@@ -1,0 +1,87 @@
+"""Headline benchmark — runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are materialized with the noop sink (full execution, no driver
+collect) so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from ma_anonymization_etl_spark import registry
+from ma_anonymization_etl_spark.session import get_spark
+
+# Stable headline set — extended as operator groups land.
+HEADLINE = [
+    "d1_agg_hash_pricing_summary",
+    "c1_join_broadcast",
+    "c2_join_shuffle",
+    "c6_join_range_theta",
+    "c7_join_asof",
+    "d3_count_distinct",
+    "d7_cube",
+    "d11_median_percentile",
+    "f4_topk_per_group",
+    "g4b_except_all",
+    # later phases (present only once implemented):
+    "e5_win_running",
+    "k1_win_tumbling",
+    "k3_win_session_batch",
+    "i17_k_enforce_suppress",
+    "i23_anonymize_pipeline",
+    "j3_dedup_near_minhash",
+    "j4_text_tokenize_wordcount",
+    "j6_tf_idf",
+    "j8_sim_topk",
+    "j10_knn_classify",
+]
+
+
+def materialize(df) -> int:
+    try:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+    except Exception:
+        return len(df.collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", cpus)
+    spark = get_spark(app_name="mael-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_q = registry.load_all()
+    names = [n for n in HEADLINE if n in all_q]
+
+    # Warm up JVM/codegen paths once (not timed).
+    materialize(all_q[names[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(all_q[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,774 @@
+"""Relational core — SURVEY.md §2 groups B (projection/filter), C (joins),
+D (aggregation), F (sort/limit/top-k), G (set ops).
+
+Every query here is pure Catalyst-native Column expressions: predicate
+pushdown, column pruning, partial aggregation, and join-strategy
+selection (broadcast vs sort-merge, AQE skew splitting) all apply
+untouched.  Scale notes per operator in docstrings.
+
+Oracle-parity rules used throughout (see functions.numeric):
+- large-magnitude double SUMs → exact scaled-int64 sums on both sides;
+- AVG/STDDEV/CORR → ROUND(, 4..6) on both sides;
+- every LIMIT carries a total order with a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.functions.numeric import dsum, ravg, sql_dsum, sql_ravg
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+# ---------------------------------------------------------------------------
+# D1 — flagship: TPC-H-Q1-style pricing summary (scan → filter → agg → sort)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "d1_agg_hash_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_ravg('l_quantity', 'avg_qty')},
+       {sql_ravg('l_extendedprice', 'avg_price')},
+       {sql_ravg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{FLAGSHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def d1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d1: hash aggregate with 8 aggregates over filtered lineitem.
+
+    Scale: filter is a native predicate → parquet row-group skipping;
+    groupBy on a 6-value key → partial (map-side) aggregation shrinks the
+    shuffle to ~6 rows/partition regardless of input size; no skew risk.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(FLAGSHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            ravg("l_quantity", "avg_qty"),
+            ravg("l_extendedprice", "avg_price"),
+            ravg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B — projection / filter / expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b1_project",
+    oracle="SELECT c_custkey AS cust_id, c_name, c_mktsegment FROM customer",
+)
+def b1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b1: column pruning + rename — ReadSchema should show only 3 columns."""
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "b2_filter_pred",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000 AND 50000
+  AND o_orderpriority LIKE '1-%'
+  AND o_custkey IS NOT NULL
+""",
+)
+def b2_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b2: IN/BETWEEN/LIKE/IS NULL conjunction — all pushed to the scan."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "b3_derive_col",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+)
+def b3_derive_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b3: computed columns; identical IEEE double exprs on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+    )
+
+
+@register(
+    "b4_case_when",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+            ELSE 'low' END AS priority_bucket
+FROM orders
+""",
+)
+def b4_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b4: conditional mapping (priority → bucket)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("priority_bucket"),
+    )
+
+
+@register(
+    "b5_cast",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+FROM orders
+""",
+)
+def b5_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b5: type coercion.  Note cross-engine gotcha: DuckDB CAST(DOUBLE AS
+    BIGINT) *rounds* while Spark truncates — FLOOR first on both sides."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_join_broadcast",
+    oracle=f"""
+SELECT r_name, COUNT(*) AS n_customers, {sql_dsum('c_acctbal', 'sum_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def c1_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c1: star join over tiny dims — explicit broadcast() so the plan is a
+    BroadcastHashJoin with NO shuffle of the fact side, the 100 TB-safe
+    shape for ≤25-row dimension tables."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+@register(
+    "c2_join_shuffle",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def c2_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c2: fact-fact equi join — above broadcast threshold Catalyst/AQE
+    pick SortMergeJoin on the shuffled orderkey; both sides already keyed
+    so at 100 TB bucketing both tables on orderkey removes this shuffle."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(net, "revenue"))
+    )
+
+
+@register(
+    "c3_join_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+""",
+)
+def c3_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c3: left outer join — customers without orders surface with NULL keys."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "c4_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def c4_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c4: left-semi join — customers with at least one big order."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@register(
+    "c5_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+)
+def c5_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c5: left-anti join — customers with no order above 300k (the plain
+    "no orders at all" variant is empty on this corpus: every customer
+    has orders, FIXTURES.md FK note)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "c6_join_range_theta",
+    oracle="""
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+)
+def c6_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c6: self equi-join on user_id with a time-range theta conjunct —
+    Spark executes the equi part as the join key and evaluates the range
+    as a post-join condition.  Scale: the equi key bounds the blow-up to
+    per-user pairs; for unbounded streams the same shape runs as an
+    interval join with watermarks (streaming module)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "c7_join_asof",
+    oracle="""
+SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+)
+def c7_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c7: as-of join — for each event, the latest order at-or-before its
+    event time for the same user.  Spark has no native ASOF JOIN; the
+    portable emulation is range-join + row_number()=1.  Scale note: the
+    range join blows up to (events×orders-per-user) before pruning — at
+    100 TB pre-bucket both sides by user and use a sorted
+    applyInPandas merge, or coarse time-bucket the range first."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+@register(
+    "c8_join_cross",
+    oracle="SELECT n_name, r_name FROM nation CROSS JOIN region",
+)
+def c8_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c8: small cartesian grid (25×5) — only ever for tiny sides."""
+    n = load(spark, sf_dir, "nation").select("n_name")
+    r = load(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r))
+
+
+@register(
+    "c9_join_self",
+    oracle="""
+SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey, a.s_nationkey
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+""",
+)
+def c9_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c9: self-join — same-nation supplier pairs, deduped by key order."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("a_suppkey"),
+        F.col("b.s_suppkey").alias("b_suppkey"),
+        F.col("a.s_nationkey").alias("s_nationkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D — aggregation (beyond the d1 flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d2_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def d2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2: distinct tuples — hash aggregate with no aggregate functions."""
+    return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "d3_count_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3: exact distinct per group — Spark expands to a two-phase agg."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register("d4_approx_count_distinct")  # HLL sketches differ per engine → rows-only
+def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4: HyperLogLog distinct estimate — the scale path when exact
+    distinct would shuffle too much.  Accuracy (±5% of exact) is asserted
+    in unit tests instead of the oracle (sketches are engine-specific)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "d5_grouping_sets",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, {sql_dsum('c_acctbal', 'sum_bal')}
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def d5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d5: multi-granularity aggregate in one pass over the input."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_d5")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               {sql_dsum('c_acctbal', 'sum_bal')}
+        FROM customer_d5
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "d6_rollup",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6: hierarchical subtotals region → nation → grand total."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "d7_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7: all-combinations subtotals."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "d8_agg_conditional",
+    oracle=f"""
+SELECT c_nationkey,
+       {sql_dsum("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END", 'building_bal')},
+       COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+       COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n_machinery
+FROM customer GROUP BY c_nationkey
+""",
+)
+def d8_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8: pivot-style conditional aggregation — sum/count over CASE."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        dsum(F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal")), "building_bal"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("n_machinery"),
+    )
+
+
+@register(
+    "d9_collect_sorted",
+    oracle="""
+SELECT r_regionkey, list(n_name ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+""",
+)
+def d9_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d9: per-group list, sorted for determinism (collect_list order is
+    otherwise partition-dependent — never emit unsorted lists)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@register(
+    "d10_agg_stats",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(stddev_samp(o_totalprice), 4) AS std_price,
+       ROUND(stddev_pop(o_totalprice), 4) AS stdp_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def d10_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: statistical aggregates (stddev family; corr/covar exercised in
+    d10b below on lineitem)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+            F.round(F.stddev_pop("o_totalprice"), 4).alias("stdp_price"),
+        )
+    )
+
+
+@register(
+    "d10b_agg_corr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def d10b_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: correlation / covariance across columns."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        )
+    )
+
+
+@register(
+    "d11_median_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def d11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d11: exact percentiles (linear interpolation — same definition as
+    DuckDB quantile_cont).  Exact percentile requires a per-group sort;
+    at 100 TB switch to approx_percentile with a tolerance."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_sort_global",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE o_totalprice > 450000
+ORDER BY o_orderdate DESC, o_totalprice ASC NULLS LAST
+""",
+)
+def f1_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f1: global multi-key sort (range-partitioned exchange in Spark)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_totalprice").asc_nulls_last())
+    )
+
+
+@register(
+    "f2_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def f2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f2: LIMIT — always paired with a total order + unique tie-break
+    (o_orderkey) or the row *set* is nondeterministic."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "f3_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def f3_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f3: global top-k — Spark plans TakeOrderedAndProject: each
+    partition keeps k rows, driver merges; no full sort at any scale."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "f4_topk_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""",
+)
+def f4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f4: top-k per group via ranked window + filter — the 100 TB-safe
+    pattern (single shuffle on the group key, no per-group collect)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# G — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_union_all",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+""",
+)
+def g1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g1: bag union — overlapping rows appear twice (multiset parity)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderpriority")
+    return urgent.unionByName(big)
+
+
+@register(
+    "g2_union_distinct",
+    oracle="""
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+""",
+)
+def g2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g2: set union (distinct applied after the bag union)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return urgent.union(big).distinct()
+
+
+@register(
+    "g3_intersect",
+    oracle="""
+SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+""",
+)
+def g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3: set intersection of projected tuples."""
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey", "c_mktsegment")
+    poor = c.filter(F.col("c_acctbal") < 0).select("c_nationkey", "c_mktsegment")
+    return rich.intersect(poor)
+
+
+@register(
+    "g3b_intersect_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def g3b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3: bag intersection — per-value multiplicity = min(count_a, count_b)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.intersectAll(views)
+
+
+@register(
+    "g4_except",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+""",
+)
+def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g4: set difference (Spark subtract)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    neg = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return o.subtract(neg)
+
+
+@register(
+    "g4b_except_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def g4b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g4: bag difference — multiplicity = max(0, count_a - count_b)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.exceptAll(views)

@@ -1,0 +1,75 @@
+"""Simulate the driver harness end-to-end: vanilla SparkSession (no engine
+confs — the driver builds its own), entry() smoke at sf0.001, every
+queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 with
+row-count + column-name + order-insensitive value comparison.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.conftest import canon_rows  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    # Vanilla session, as the driver would build it.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = entrymod.entry(spark).collect()
+    print(f"entry() smoke: {len(rows)} rows — {'OK' if rows else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_ok = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  rows-only {name}: {len(s_rows)} rows [{time.perf_counter()-t0:.2f}s]")
+                n_rows_only += 1
+                continue
+            rel = con.execute(oracles[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+            ok = (
+                sorted(s_cols) == sorted(d_cols)
+                and len(s_rows) == len(d_rows)
+                and canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows)
+            )
+            print(f"  {'MATCH' if ok else 'MISMATCH'} {name}: {len(s_rows)} rows "
+                  f"[{time.perf_counter()-t0:.2f}s]")
+            n_ok += ok
+            n_fail += not ok
+        except Exception as exc:  # driver records errors per query
+            print(f"  ERROR {name}: {type(exc).__name__}: {exc}")
+            n_fail += 1
+    print(f"TOTAL: {n_ok} match, {n_rows_only} rows-only, {n_fail} fail / {len(qs)}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

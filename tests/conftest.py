@@ -1,0 +1,91 @@
+"""Shared fixtures: one local SparkSession, a DuckDB oracle connection per
+scale factor, and a canonicalizing comparator that mirrors the driver's
+row-count + column-name + order-insensitive value check (stricter: exact
+value equality after canonicalization)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from ma_anonymization_etl_spark.session import get_spark
+from ma_anonymization_etl_spark.sources.io import TABLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="mael-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return repr(v)
+
+
+def canon_rows(columns: list[str], rows) -> list[tuple[str, ...]]:
+    """Sort columns by name (like the driver), canonicalize every value,
+    return a sorted multiset of row tuples."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(canon_value(row[i]) for i in order) for row in rows]
+    out.sort()
+    return out
+
+
+def compare_query(spark, duck, fn, oracle: str, sf_dir: str = SF_ORACLE) -> None:
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.execute(oracle)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
+    cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+    if cs != cd:
+        diff_s = [r for r in cs if r not in set(cd)][:5]
+        diff_d = [r for r in cd if r not in set(cs)][:5]
+        raise AssertionError(
+            f"value mismatch ({len(diff_s)}+ rows differ)\n"
+            f"spark-only sample: {diff_s}\nduckdb-only sample: {diff_d}\n"
+            f"sorted columns: {sorted(s_cols)}"
+        )

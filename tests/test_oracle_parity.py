@@ -1,0 +1,45 @@
+"""Differential tests: every registered query with an oracle runs on both
+Spark and DuckDB at sf0.01 and must match exactly (the driver's gate,
+but stricter — exact canonical equality, not just a hash).
+
+Queries without oracle SQL get a smoke assertion here; their semantics
+are covered by property tests in their own modules."""
+
+from __future__ import annotations
+
+import pytest
+
+from ma_anonymization_etl_spark import registry
+from tests.conftest import SF_ORACLE, compare_query
+
+ALL = registry.load_all()
+WITH_ORACLE = sorted(n for n, q in ALL.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in ALL.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, duck, name):
+    q = ALL[name]
+    compare_query(spark, duck, q.fn, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    df = ALL[name].fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    rows = e.entry(spark).collect()
+    assert len(rows) > 0
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) == len(ALL)
