@@ -1,1 +1,222 @@
-"""Populated in later build phases."""
+"""Event/stream operators, batch-first — SURVEY.md §2 group K.
+
+The `events` table is the stream (TESTDATA.md); every operator here is
+the *batch form* so the DuckDB oracle applies.  The streaming module
+wraps the same transforms in readStream/foreachBatch and asserts
+stream-output == batch-output (SURVEY §5.3).
+
+Scale: tumbling/sliding windows groupBy a derived bucket column →
+ordinary partial-aggregated shuffles; sessionization is one window
+shuffle on user_id.  In streaming form the same plans run incrementally
+with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+_SCALE = 10000
+
+_SQL_SUM_VALUE = (
+    f"CAST(SUM(CAST(FLOOR(value * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}"
+)
+
+
+@register(
+    "k1_win_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS we,
+       event_type, COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def k1_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k1: 1 h tumbling window counts/sums per event type.  Both engines
+    align hour buckets to the epoch, so bucket edges agree."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "k2_win_sliding",
+    oracle=f"""
+SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+       COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM (
+  SELECT e.*, time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws
+  FROM events e, (SELECT unnest(range(4)) AS k) ks
+)
+GROUP BY 1, 2, 3
+""",
+)
+def k2_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k2: 1 h window sliding every 15 min — each event lands in 4
+    windows.  The oracle reconstructs the 4 memberships by shifting the
+    15-min bucket; Spark's F.window does the same expansion natively."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# Shared sessionization SQL (k3 oracle; also the k4 cross-check base).
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, {_SQL_SUM_VALUE} AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("k3_win_session_batch", oracle=_SESSION_SQL)
+def k3_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k3: gap-based sessionization (gap > 30 min ⇒ new session) via the
+    classic lag → flag → running-sum pattern; one shuffle on user_id."""
+    order = ["ts", "event_id"]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "k4_win_session_native",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def k4_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k4: Spark-native session_window.  Semantics differ from k3 in two
+    documented ways the oracle mirrors: the window end is last_event +
+    gap (not max(ts)), and an exactly-gap-sized silence starts a new
+    session (end-exclusive)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "k6_stream_dedup",
+    oracle="""
+SELECT DISTINCT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events
+)
+""",
+)
+def k6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k6: exactly-once by event_id — batch form of streaming
+    dropDuplicates+watermark.  The corpus has unique event_ids, so the
+    duplicate load is constructed by self-union; survivor rows are
+    identical so which one survives is immaterial."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return e.unionByName(e).dropDuplicates(["event_id"])
+
+
+@register(
+    "k8_stream_static_join",
+    oracle=f"""
+SELECT c_mktsegment, event_type, COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
+)
+def k8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8: enrich the event stream with a static dimension — broadcast
+    the dim so the streaming form needs no stateful shuffle."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
+        )
+    )
