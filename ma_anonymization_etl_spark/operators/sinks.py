@@ -1,0 +1,91 @@
+"""Source/sink roundtrip queries — SURVEY.md §2 a2 (csv/json ingestion)
+and a4 (parquet sink).  Side-effecting by nature: each query writes to a
+deterministic scratch dir under /tmp, reads its own output back, and
+returns an aggregate the DuckDB oracle reproduces from the *original*
+table — so the roundtrip itself is what's being verified.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load, read_csv, read_json, write_parquet
+
+_SCALE = 10000
+_SQL_SUM_VALUE = (
+    f"CAST(SUM(CAST(FLOOR(value * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}"
+)
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "mael_scratch", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@register(
+    "a2_csv_roundtrip",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def a2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2: CSV sink + explicit-schema CSV source.  Doubles survive the
+    text roundtrip exactly (Spark writes shortest-repr, reads the same
+    double back); the oracle aggregates the original parquet."""
+    path = _scratch("a2_csv")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    e.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(
+        spark, path,
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
+    )
+
+
+@register(
+    "a2b_json_roundtrip",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def a2b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2: JSON-lines sink + explicit-schema JSON source."""
+    path = _scratch("a2_json")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    e.write.mode("overwrite").json(path)
+    back = read_json(spark, path, "event_id BIGINT, user_id BIGINT, event_type STRING")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "a4_parquet_sink",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers, COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def a4_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a4: hive-partitioned parquet sink, verified by re-reading.  The
+    partition column round-trips through the directory layout (read back
+    as the partition value), giving downstream partition pruning."""
+    path = _scratch("a4_parquet")
+    c = load(spark, sf_dir, "customer")
+    write_parquet(c, path, partition_by=["c_mktsegment"])
+    back = spark.read.parquet(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
