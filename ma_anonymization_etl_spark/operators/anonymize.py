@@ -1,0 +1,396 @@
+"""Anonymization operator library — SURVEY.md §2 group I, the reference's
+core domain (statistical disclosure control: pseudonymization,
+suppression, generalization, perturbation, k-anonymity and friends —
+Sweeney 2002, LeFevre 2006, Machanavajjhala 2007, Li 2007, Dwork 2006).
+
+Every operator is a pure ``DataFrame -> DataFrame`` (or ``-> Column``)
+transform built from native expressions, so the whole pipeline stays
+inside Catalyst/whole-stage codegen and predicate pushdown survives
+around it.  Demo queries + oracle SQL live in ``anonymize_queries``;
+the config-driven composer (i23) in ``plans.pipeline``.
+
+Scale notes: the only shuffles introduced are groupBys on the
+quasi-identifier (QI) columns — exactly the equivalence-class semantics
+k-anonymity needs; everything else is map-side.  Seeded randomness
+(`F.rand(seed)`) is per-partition deterministic: pin partitioning
+(`repartition(n, key)`) before seeded ops if bit-reproducibility across
+cluster sizes matters (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Pseudonymization & masking (i2-i5)
+# ---------------------------------------------------------------------------
+
+
+def pseudonymize_sha2(col: Column | str, salt: str = "") -> Column:
+    """i2: deterministic surrogate via salted SHA-256.  Same input → same
+    token, so referential integrity (joins) survives anonymization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.concat(F.lit(salt), c.cast("string")), 256)
+
+
+def pseudonymize_md5(col: Column | str) -> Column:
+    """i3: compact legacy surrogate (md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def tokenize_consistent(df: DataFrame, col: str, out: str) -> DataFrame:
+    """i4: dense integer surrogate keys (smallest value → 1).
+
+    The rank window runs over *distinct values only* (small), not the
+    full table — the full table gets the token via a broadcast-friendly
+    join, so no global sort of the fact data at scale.
+    """
+    vals = df.select(col).distinct()
+    mapping = vals.withColumn(out, F.dense_rank().over(Window.orderBy(col)))
+    return df.join(F.broadcast(mapping), on=col, how="left")
+
+
+def mask_partial(col: Column | str, keep_last: int = 4, mask_char: str = "*") -> Column:
+    """i5: partial masking — 'Customer#0001' → '*********0001'."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.repeat(F.lit(mask_char), F.length(c) - keep_last),
+        F.substring(c, -keep_last, keep_last),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suppression (i6-i7)
+# ---------------------------------------------------------------------------
+
+
+def suppress_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """i6: remove direct identifiers entirely."""
+    return df.drop(*cols)
+
+
+def null_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """i6 (schema-preserving variant): null direct identifiers in place."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+    return out
+
+
+def suppress_rows_if(df: DataFrame, pred: Column) -> DataFrame:
+    """i7: drop rows matching a predicate (outliers, small cells)."""
+    return df.filter(~pred)
+
+
+def suppress_cell_if(df: DataFrame, col: str, pred: Column) -> DataFrame:
+    """i7: null a single cell where the predicate holds."""
+    return df.withColumn(col, F.when(pred, F.lit(None)).otherwise(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# Generalization (i8-i11)
+# ---------------------------------------------------------------------------
+
+
+def generalize_numeric(col: Column | str, width: float) -> Column:
+    """i8: bin to fixed width — floor(x/w)*w; handles negatives (floor
+    rounds toward -inf consistently in Spark and DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c / width) * width
+
+
+def generalize_range_label(col: Column | str, width: int) -> Column:
+    """i9: human-readable band '[500,600)'.  Bounds rendered as BIGINT —
+    double→string rendering differs across engines, integers don't."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo = (F.floor(c / width) * width).cast("bigint")
+    return F.concat(
+        F.lit("["), lo.cast("string"), F.lit(","), (lo + width).cast("string"), F.lit(")")
+    )
+
+
+def generalize_date(col: Column | str, unit: str = "month") -> Column:
+    """i10: truncate timestamps to month/year/etc."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc(unit, c)
+
+
+def generalize_hierarchy(
+    df: DataFrame, col: str, hier: DataFrame, key_col: str, parent_col: str, out: str
+) -> DataFrame:
+    """i11: replace a value with its ancestor in a hierarchy table
+    (e.g. nation → region) via broadcast join."""
+    mapping = hier.select(F.col(key_col), F.col(parent_col).alias(out))
+    return df.join(F.broadcast(mapping), df[col] == mapping[key_col], "left").drop(key_col)
+
+
+# ---------------------------------------------------------------------------
+# Statistical protection (i12-i15)
+# ---------------------------------------------------------------------------
+
+
+def top_bottom_code(df: DataFrame, col: str, p_lo: float = 0.05, p_hi: float = 0.95,
+                    out: str | None = None) -> DataFrame:
+    """i12: clamp tails to percentiles (outlier re-identification guard).
+
+    The two exact percentiles are a 1-row aggregate cross-joined back —
+    Spark broadcasts the scalar, so this is two passes, no repartition.
+    """
+    out = out or col
+    bounds = df.agg(
+        F.percentile(col, F.lit(p_lo)).alias("__lo"),
+        F.percentile(col, F.lit(p_hi)).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
+def perturb_uniform(col: Column | str, scale: float, seed: int) -> Column:
+    """i13: additive uniform noise in [-scale/2, +scale/2), seeded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c + (F.rand(seed) - 0.5) * scale
+
+
+def perturb_laplace(col: Column | str, epsilon: float, sensitivity: float, seed: int) -> Column:
+    """i14: Laplace(b = sensitivity/epsilon) noise via inverse-CDF over a
+    seeded uniform — closed form, no UDF (Dwork 2006 DP mechanism)."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = sensitivity / epsilon
+    u = F.rand(seed) - 0.5
+    noise = -b * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return c + noise
+
+
+def swap_within_group(df: DataFrame, col: str, group_cols: Sequence[str], seed: int) -> DataFrame:
+    """i15: permute a sensitive column among rows of the same group
+    (rank-matching two independent seeded shuffles).  Per-group value
+    multisets are preserved exactly; the row↔value pairing is destroyed.
+    """
+    gcols = list(group_cols)
+    w1 = Window.partitionBy(*gcols).orderBy(F.rand(seed))
+    w2 = Window.partitionBy(*gcols).orderBy(F.rand(seed + 1))
+    left = df.withColumn("__rn", F.row_number().over(w1))
+    donors = (
+        df.select(*gcols, F.col(col).alias("__swapped"))
+        .withColumn("__rn", F.row_number().over(w2))
+    )
+    return (
+        left.join(donors, on=gcols + ["__rn"])
+        .drop("__rn")
+        .withColumn(col, F.col("__swapped"))
+        .drop("__swapped")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity family (i16-i21)
+# ---------------------------------------------------------------------------
+
+
+def class_sizes(df: DataFrame, qis: Sequence[str]) -> DataFrame:
+    """Equivalence classes = GROUP BY the quasi-identifiers (the single
+    most load-bearing Spark mapping of SDC — SURVEY §1.4)."""
+    return df.groupBy(*qis).agg(F.count("*").alias("class_size"))
+
+
+def k_anonymity_metric(df: DataFrame, qis: Sequence[str]) -> DataFrame:
+    """i16: 1-row frame — k (min class size) and the class count."""
+    return class_sizes(df, qis).agg(
+        F.min("class_size").alias("k_anonymity"),
+        F.count("*").alias("n_classes"),
+    )
+
+
+def k_enforce_suppress(df: DataFrame, qis: Sequence[str], k: int) -> DataFrame:
+    """i17: drop every row whose equivalence class is smaller than k —
+    one window count over the QI partition, no join-back needed."""
+    w = Window.partitionBy(*qis)
+    return (
+        df.withColumn("__cnt", F.count("*").over(w))
+        .filter(F.col("__cnt") >= k)
+        .drop("__cnt")
+    )
+
+
+def k_enforce_generalize(
+    df: DataFrame, qis: Sequence[str], k: int,
+    ladder: Sequence[tuple[str, Column]], generalized_col: str,
+):
+    """i18: full-domain generalization — walk a coarsening ladder
+    (level 0 = finest) until every class has ≥ k rows; returns
+    ``(df_with_generalized_col_and_level, level_index)``.  The loop runs
+    driver-side but each step is one distributed groupBy; at most
+    len(ladder) passes (Samarati/Sweeney full-domain generalization).
+    """
+    other_qis = list(qis)
+    chosen = len(ladder) - 1  # fallback: coarsest
+    for i, (_, expr) in enumerate(ladder):
+        staged = df.withColumn(generalized_col, expr)
+        k_now = (
+            class_sizes(staged, other_qis + [generalized_col])
+            .agg(F.min("class_size"))
+            .collect()[0][0]
+        )
+        if k_now is not None and k_now >= k:
+            chosen = i
+            break
+    name, expr = ladder[chosen]
+    out = df.withColumn(generalized_col, expr).withColumn(
+        "gen_level", F.lit(chosen).cast("int")
+    )
+    return out, chosen
+
+
+def l_diversity_metric(df: DataFrame, qis: Sequence[str], sa: str) -> DataFrame:
+    """i19: distinct sensitive-attribute values per equivalence class."""
+    return df.groupBy(*qis).agg(F.countDistinct(sa).alias("l_diversity"))
+
+
+def l_diversity_enforce(df: DataFrame, qis: Sequence[str], sa: str, l: int) -> DataFrame:
+    """i19: keep only rows in classes with ≥ l distinct SA values.
+    COUNT(DISTINCT) over a window isn't portable — grouped subquery +
+    join back on the QIs (broadcast when classes are few)."""
+    ok = (
+        l_diversity_metric(df, qis, sa)
+        .filter(F.col("l_diversity") >= l)
+        .select(*qis)
+    )
+    return df.join(ok, on=list(qis), how="left_semi")
+
+
+def t_closeness_metric(df: DataFrame, qis: Sequence[str], sa: str) -> DataFrame:
+    """i20: per-class total-variation distance between the class SA
+    distribution and the global SA distribution (categorical EMD —
+    Li 2007).  Three aggregates + one join, all on small grouped data."""
+    gcols = list(qis)
+    total = df.count()
+    global_dist = df.groupBy(sa).agg((F.count("*") / total).alias("p_global"))
+    cls_tot = df.groupBy(*gcols).agg(F.count("*").alias("n_class"))
+    cls_dist = df.groupBy(*gcols, sa).agg(F.count("*").alias("n_cell"))
+    joined = (
+        cls_dist.join(cls_tot, on=gcols)
+        .join(global_dist, on=sa)
+        .withColumn("p_class", F.col("n_cell") / F.col("n_class"))
+    )
+    # NB: SA values absent from a class contribute p_global/2 each; the
+    # sum over present values of |p_class - p_global| plus absent mass
+    # equals the TVD.  Compute via sum(|pc-pg|) + (1 - sum(pg present))
+    # folded into one pass: TVD = 0.5 * (Σ|pc-pg| + Σ_absent pg), and
+    # Σ_absent pg = 1 - Σ_present pg.
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.round(
+                0.5
+                * (
+                    F.sum(F.abs(F.col("p_class") - F.col("p_global")))
+                    + (1 - F.sum("p_global"))
+                ),
+                6,
+            ).alias("t_closeness")
+        )
+    )
+
+
+def uniqueness_risk(df: DataFrame, qis: Sequence[str]) -> DataFrame:
+    """i21: re-identification risk report — share of singleton classes
+    and share of rows that are unique on the QIs (1-row frame)."""
+    sizes = class_sizes(df, qis)
+    return sizes.agg(
+        (F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)) / F.count("*")).alias(
+            "frac_singleton_classes"
+        ),
+        (
+            F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0))
+            / F.sum("class_size")
+        ).alias("frac_unique_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mondrian multidimensional k-anonymity (i22, stretch)
+# ---------------------------------------------------------------------------
+
+
+def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 16) -> DataFrame:
+    """i22: multidimensional k-anonymity via recursive median splits
+    (LeFevre, ICDE 2006 — strict partitioning variant).
+
+    Distributed shape: the *data* never leaves the cluster; each level
+    collects only per-partition stats (median + size per live partition,
+    O(#partitions) rows) to the driver, then applies the split decisions
+    as a broadcast join.  At most ``max_depth`` passes.
+
+    Returns the input rows + ``mondrian_pid`` plus per-partition
+    ``<qi>_lo / <qi>_hi`` range columns (the generalized output).
+    """
+    qis = list(qis)
+    out = df.withColumn("mondrian_pid", F.lit(0).cast("long"))
+    for depth in range(max_depth):
+        dim = qis[depth % len(qis)]
+        # Phase 1: per-partition median candidates (stats only → driver).
+        stats = (
+            out.groupBy("mondrian_pid")
+            .agg(
+                F.count("*").alias("n"),
+                F.percentile(dim, F.lit(0.5)).alias("med"),
+                F.min(dim).alias("lo"),
+                F.max(dim).alias("hi"),
+            )
+            .collect()
+        )
+        candidates = [
+            (r["mondrian_pid"], float(r["med"]))
+            for r in stats
+            if r["n"] >= 2 * k and r["lo"] < r["hi"]
+        ]
+        if not candidates:
+            break
+        cand_df = out.sparkSession.createDataFrame(
+            candidates, "mondrian_pid LONG, __med DOUBLE"
+        )
+        # Phase 2: the "allowable cut" check (LeFevre §strict) — median
+        # ties can leave one side < k, so count both sides first.
+        sides = (
+            out.join(F.broadcast(cand_df), on="mondrian_pid")
+            .groupBy("mondrian_pid")
+            .agg(
+                F.sum(F.when(F.col(dim) <= F.col("__med"), 1).otherwise(0)).alias("n_le"),
+                F.sum(F.when(F.col(dim) > F.col("__med"), 1).otherwise(0)).alias("n_gt"),
+            )
+            .collect()
+        )
+        ok = {r["mondrian_pid"] for r in sides if r["n_le"] >= k and r["n_gt"] >= k}
+        splits = [c for c in candidates if c[0] in ok]
+        if not splits:
+            break
+        split_df = out.sparkSession.createDataFrame(
+            splits, "mondrian_pid LONG, __med DOUBLE"
+        )
+        out = (
+            out.join(F.broadcast(split_df), on="mondrian_pid", how="left")
+            .withColumn(
+                "mondrian_pid",
+                F.when(
+                    F.col("__med").isNotNull() & (F.col(dim) > F.col("__med")),
+                    F.col("mondrian_pid") * 2 + 2,
+                )
+                .when(F.col("__med").isNotNull(), F.col("mondrian_pid") * 2 + 1)
+                .otherwise(F.col("mondrian_pid")),
+            )
+            .drop("__med")
+        )
+    # Attach per-partition QI ranges — the generalized representation.
+    w = Window.partitionBy("mondrian_pid")
+    for q in qis:
+        out = out.withColumn(f"{q}_lo", F.min(q).over(w)).withColumn(
+            f"{q}_hi", F.max(q).over(w)
+        )
+    return out

@@ -1,1 +1,398 @@
-"""Populated in later build phases."""
+"""Registry demo queries for the anonymization library — SURVEY.md §2
+group I.  One oracle-checked query per deterministic operator; the
+stochastic ones (i13-i15) and Mondrian (i22) are rows-only here with
+property tests in tests/test_anonymize_props.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.operators import anonymize as A
+from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+# Shared bin expression: BIGINT bins on both sides (Spark FLOOR(double)
+# is already BIGINT; DuckDB's is DOUBLE, hence the cast in SQL).
+def _sql_bin(col: str, width: int) -> str:
+    return f"CAST(FLOOR({col} / {width}) AS BIGINT) * {width}"
+
+
+@register(
+    "i2_pseudonymize_sha2",
+    oracle="""
+SELECT c_custkey, sha256('s1|' || c_name) AS name_token FROM customer
+""",
+)
+def i2_pseudonymize_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2: salted SHA-256 surrogate — cross-engine parity verified
+    (Spark sha2(x,256) ≡ DuckDB sha256(x))."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", A.pseudonymize_sha2("c_name", "s1|").alias("name_token"))
+
+
+@register(
+    "i3_pseudonymize_md5",
+    oracle="SELECT c_custkey, md5(c_name) AS name_token FROM customer",
+)
+def i3_pseudonymize_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3: compact md5 surrogate."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", A.pseudonymize_md5("c_name").alias("name_token"))
+
+
+@register(
+    "i4_tokenize_consistent",
+    oracle="""
+SELECT c_custkey, DENSE_RANK() OVER (ORDER BY c_mktsegment) AS segment_token
+FROM customer
+""",
+)
+def i4_tokenize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i4: dense integer surrogates (smallest value → 1), rank computed
+    over distinct values only then broadcast-joined back."""
+    c = load(spark, sf_dir, "customer")
+    return A.tokenize_consistent(c, "c_mktsegment", "segment_token").select(
+        "c_custkey", "segment_token"
+    )
+
+
+@register(
+    "i5_mask_partial",
+    oracle="""
+SELECT c_custkey,
+       repeat('*', GREATEST(LENGTH(c_name) - 4, 0)) || right(c_name, 4) AS name_masked
+FROM customer
+""",
+)
+def i5_mask_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i5: partial masking, keep last 4 characters."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", A.mask_partial("c_name", 4).alias("name_masked"))
+
+
+@register(
+    "i6_suppress_columns",
+    oracle="""
+SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_mktsegment FROM customer
+""",
+)
+def i6_suppress_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i6: schema-preserving suppression — direct identifier nulled."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return A.null_columns(c, ["c_name"])
+
+
+@register(
+    "i7_suppress_rows_cells",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE NOT (c_acctbal < -500)
+""",
+)
+def i7_suppress_rows_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i7: row suppression (deep-negative balances) + cell suppression
+    (top outliers nulled)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    c = A.suppress_rows_if(c, F.col("c_acctbal") < -500)
+    return A.suppress_cell_if(c, "c_acctbal", F.col("c_acctbal") > 9000)
+
+
+@register(
+    "i8_generalize_numeric",
+    oracle=f"""
+SELECT c_custkey, {_sql_bin('c_acctbal', 100)} AS bal_bin FROM customer
+""",
+)
+def i8_generalize_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i8: fixed-width binning (100-bands; negatives floor toward -inf)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", A.generalize_numeric("c_acctbal", 100).alias("bal_bin"))
+
+
+@register(
+    "i9_generalize_range_label",
+    oracle=f"""
+SELECT c_custkey,
+       '[' || CAST({_sql_bin('c_acctbal', 500)} AS VARCHAR) || ',' ||
+       CAST({_sql_bin('c_acctbal', 500)} + 500 AS VARCHAR) || ')' AS bal_band
+FROM customer
+""",
+)
+def i9_generalize_range_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i9: human-readable bands '[500,1000)'."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", A.generalize_range_label("c_acctbal", 500).alias("bal_band"))
+
+
+@register(
+    "i10_generalize_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS order_year
+FROM orders
+""",
+)
+def i10_generalize_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i10: date generalization to month/year (the DATE-vs-TIMESTAMP
+    dialect gotcha handled oracle-side)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        A.generalize_date("o_orderdate", "month").alias("order_month"),
+        A.generalize_date("o_orderdate", "year").alias("order_year"),
+    )
+
+
+@register(
+    "i11_generalize_hierarchy",
+    oracle="""
+SELECT c_custkey, r_name AS region
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def i11_generalize_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i11: replace nation with its region ancestor via broadcast
+    hierarchy join."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    hier = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    return A.generalize_hierarchy(c, "c_nationkey", hier, "n_nationkey", "r_name", "region").select(
+        "c_custkey", "region"
+    )
+
+
+@register(
+    "i12_top_bottom_code",
+    oracle="""
+WITH q AS (SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+                  quantile_cont(c_acctbal, 0.95) AS hi
+           FROM customer)
+SELECT c_custkey,
+       ROUND(LEAST(GREATEST(c_acctbal, lo), hi), 4) AS bal_coded
+FROM customer, q
+""",
+)
+def i12_top_bottom_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i12: clamp tails to exact 5th/95th percentiles (outlier guard);
+    ROUND(4) both sides on the interpolated bounds."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    coded = A.top_bottom_code(c, "c_acctbal", 0.05, 0.95, out="bal_coded")
+    return coded.select("c_custkey", F.round("bal_coded", 4).alias("bal_coded"))
+
+
+@register("i13_perturb_uniform")  # RNG differs per engine → rows-only + property tests
+def i13_perturb_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i13: seeded additive uniform noise on the sensitive attribute."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", A.perturb_uniform("c_acctbal", scale=100.0, seed=42).alias("bal_noised")
+    )
+
+
+@register("i14_perturb_laplace")  # rows-only + property tests
+def i14_perturb_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i14: DP-style Laplace noise (ε=1, sensitivity=100), closed-form."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        A.perturb_laplace("c_acctbal", epsilon=1.0, sensitivity=100.0, seed=7).alias(
+            "bal_dp"
+        ),
+    )
+
+
+@register("i15_swap_within_group")  # rows-only + property tests
+def i15_swap_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i15: permute balances among same-nation rows (rank-matching)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return A.swap_within_group(c, "c_acctbal", ["c_nationkey"], seed=42)
+
+
+@register(
+    "i16_k_anonymity_metric",
+    oracle="""
+SELECT MIN(cnt) AS k_anonymity, COUNT(*) AS n_classes
+FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_nationkey, c_mktsegment)
+""",
+)
+def i16_k_anonymity_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i16: k = size of the smallest equivalence class over the QIs."""
+    c = load(spark, sf_dir, "customer")
+    return A.k_anonymity_metric(c, ["c_nationkey", "c_mktsegment"])
+
+
+@register(
+    "i17_k_enforce_suppress",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_mktsegment FROM (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt
+  FROM customer
+) WHERE cnt >= 10
+""",
+)
+def i17_k_enforce_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i17: drop rows in equivalence classes smaller than k=10."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    return A.k_enforce_suppress(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+_I18_LEVELS = [100, 500, 2000, 10000]
+_I18_K = 8
+
+
+def _i18_oracle() -> str:
+    ks = ",\n".join(
+        f"k{i} AS (SELECT MIN(cnt) AS k FROM (SELECT COUNT(*) AS cnt FROM customer "
+        f"GROUP BY c_nationkey, {_sql_bin('c_acctbal', w)}))"
+        for i, w in enumerate(_I18_LEVELS)
+    )
+    val_cases = "\n".join(
+        f"  WHEN (SELECT k FROM k{i}) >= {_I18_K} THEN {_sql_bin('c_acctbal', w)}"
+        for i, w in enumerate(_I18_LEVELS[:-1])
+    )
+    lvl_cases = "\n".join(
+        f"  WHEN (SELECT k FROM k{i}) >= {_I18_K} THEN {i}"
+        for i, w in enumerate(_I18_LEVELS[:-1])
+    )
+    last = len(_I18_LEVELS) - 1
+    return f"""
+WITH {ks}
+SELECT c_custkey, c_nationkey,
+CASE\n{val_cases}
+  ELSE {_sql_bin('c_acctbal', _I18_LEVELS[-1])} END AS acctbal_gen,
+CAST(CASE\n{lvl_cases}
+  ELSE {last} END AS INTEGER) AS gen_level
+FROM customer
+"""
+
+
+@register("i18_k_enforce_generalize", oracle=_i18_oracle())
+def i18_k_enforce_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i18: full-domain generalization — coarsen the acctbal bins
+    (100 → 500 → 2000 → 10000) until every (nation, bin) class has ≥ 8
+    rows.  The oracle mirrors the adaptive choice with scalar
+    subqueries per ladder level, so this *adaptive* op is fully
+    hash-checked (Samarati/Sweeney full-domain generalization)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    ladder = [
+        (f"bin{w}", A.generalize_numeric("c_acctbal", w)) for w in _I18_LEVELS
+    ]
+    out, _level = A.k_enforce_generalize(
+        c, ["c_nationkey"], _I18_K, ladder, "acctbal_gen"
+    )
+    return out.select("c_custkey", "c_nationkey", "acctbal_gen", "gen_level")
+
+
+@register(
+    "i19_l_diversity",
+    oracle=f"""
+SELECT c_custkey, c.c_nationkey, c.c_mktsegment
+FROM customer c
+JOIN (SELECT c_nationkey, c_mktsegment FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+      HAVING COUNT(DISTINCT {_sql_bin('c_acctbal', 1000)}) >= 3) ok
+  ON c.c_nationkey = ok.c_nationkey AND c.c_mktsegment = ok.c_mktsegment
+""",
+)
+def i19_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i19: keep rows only in classes with ≥ 3 distinct sensitive bins
+    (grouped subquery + semi join — COUNT(DISTINCT) OVER isn't
+    portable)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        A.generalize_numeric("c_acctbal", 1000).alias("sa_bin"),
+    )
+    kept = A.l_diversity_enforce(c, ["c_nationkey", "c_mktsegment"], "sa_bin", 3)
+    return kept.select("c_custkey", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "i20_t_closeness",
+    oracle="""
+WITH g AS (SELECT c_mktsegment,
+                  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM customer) AS p_global
+           FROM customer GROUP BY c_mktsegment),
+ct AS (SELECT c_nationkey, COUNT(*) AS n_class FROM customer GROUP BY c_nationkey),
+cd AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cell
+       FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_nationkey,
+       ROUND(0.5 * (SUM(ABS(CAST(n_cell AS DOUBLE) / n_class - p_global))
+                    + (1 - SUM(p_global))), 6) AS t_closeness
+FROM cd JOIN ct USING (c_nationkey) JOIN g USING (c_mktsegment)
+GROUP BY c_nationkey
+""",
+)
+def i20_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i20: per-class total-variation distance of the segment
+    distribution vs global (absent categories contribute their global
+    mass — folded in as 1 - Σ p_global_present)."""
+    c = load(spark, sf_dir, "customer")
+    return A.t_closeness_metric(c, ["c_nationkey"], "c_mktsegment")
+
+
+@register(
+    "i21_uniqueness_risk",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS frac_singleton_classes,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(cnt)
+         AS frac_unique_rows
+FROM (SELECT COUNT(*) AS cnt FROM customer
+      GROUP BY c_nationkey, c_mktsegment, {_sql_bin('c_acctbal', 100)})
+""",
+)
+def i21_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i21: re-identification risk — singleton-class share and unique-row
+    share on fine QIs (exact rational divisions, engine-identical)."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "bal_bin", A.generalize_numeric("c_acctbal", 100)
+    )
+    return A.uniqueness_risk(c, ["c_nationkey", "c_mktsegment", "bal_bin"])
+
+
+@register("i22_mondrian_kanon")  # adaptive recursion → rows-only + property tests
+def i22_mondrian_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i22: Mondrian multidimensional k-anonymity (k=25) over
+    (c_acctbal, c_nationkey) — recursive median splits, stats-only to
+    driver, split decisions re-broadcast."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return A.mondrian_kanon(c, ["c_acctbal", "c_nationkey"], k=25)
+
+
+@register(
+    "i23_anonymize_pipeline",
+    oracle="""
+WITH t AS (
+  SELECT sha256('demo|' || c_name) AS name_token,
+         c_nationkey,
+         CAST(FLOOR(c_acctbal / 500) AS BIGINT) * 500 AS bal_bin
+  FROM customer
+), counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, bal_bin) AS cnt FROM t
+)
+SELECT name_token, c_nationkey, bal_bin FROM counted WHERE cnt >= 8
+""",
+)
+def i23_anonymize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i23: the config-driven route — pseudonymize DI, generalize SA into
+    a QI bin, k-enforce, project.  One lazy Catalyst plan end to end."""
+    c = load(spark, sf_dir, "customer")
+    route = [
+        {"op": "pseudonymize_sha2", "col": "c_name", "salt": "demo|", "out": "name_token"},
+        {"op": "generalize_numeric", "col": "c_acctbal", "width": 500, "out": "bal_bin"},
+        {"op": "k_enforce_suppress", "qis": ["c_nationkey", "bal_bin"], "k": 8},
+        {"op": "select", "cols": ["name_token", "c_nationkey", "bal_bin"]},
+    ]
+    return anonymize_pipeline(c, route)

@@ -1,0 +1,142 @@
+"""Config-driven anonymization pipeline — SURVEY.md §2 i1 (column
+classification) and i23 (the composer, the reference's raison d'être).
+
+The reference's lifecycle (SURVEY §3) is *read → classify DI/QI/SA →
+ordered transforms → metrics → write*.  Here the "route" is a plain
+JSON-able list of steps; folding it over a DataFrame builds ONE lazy
+Catalyst plan, so the whole pipeline optimizes as a unit (filters
+reordered around map-side transforms, etc.).
+
+Ordering caveat encoded by design (SURVEY §4): suppression does NOT
+commute with joins/aggregations — anonymize-then-join ≠
+join-then-anonymize.  The composer applies steps strictly in config
+order and never reorders them itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.operators import anonymize as A
+
+ROLES = ("di", "qi", "sa", "keep")
+
+
+def classify_columns(cfg: Mapping[str, str]) -> dict[str, list[str]]:
+    """i1: validate a {column: role} config into role → columns lists.
+    Roles: di (direct identifier), qi (quasi-identifier), sa (sensitive
+    attribute), keep (pass through untouched)."""
+    out: dict[str, list[str]] = {r: [] for r in ROLES}
+    for col, role in cfg.items():
+        if role not in ROLES:
+            raise ValueError(f"unknown role {role!r} for column {col!r}; roles: {ROLES}")
+        out[role].append(col)
+    return out
+
+
+def _step_pseudonymize_sha2(df, col, salt="", out=None):
+    return df.withColumn(out or col, A.pseudonymize_sha2(col, salt))
+
+
+def _step_pseudonymize_md5(df, col, out=None):
+    return df.withColumn(out or col, A.pseudonymize_md5(col))
+
+
+def _step_mask_partial(df, col, keep_last=4, mask_char="*", out=None):
+    return df.withColumn(out or col, A.mask_partial(col, keep_last, mask_char))
+
+
+def _step_suppress_columns(df, cols):
+    return A.suppress_columns(df, cols)
+
+
+def _step_null_columns(df, cols):
+    return A.null_columns(df, cols)
+
+
+def _step_suppress_rows_if(df, pred):
+    return A.suppress_rows_if(df, F.expr(pred))
+
+
+def _step_suppress_cell_if(df, col, pred):
+    return A.suppress_cell_if(df, col, F.expr(pred))
+
+
+def _step_generalize_numeric(df, col, width, out=None):
+    return df.withColumn(out or col, A.generalize_numeric(col, width))
+
+
+def _step_generalize_range_label(df, col, width, out=None):
+    return df.withColumn(out or col, A.generalize_range_label(col, width))
+
+
+def _step_generalize_date(df, col, unit="month", out=None):
+    return df.withColumn(out or col, A.generalize_date(col, unit))
+
+
+def _step_top_bottom_code(df, col, p_lo=0.05, p_hi=0.95, out=None):
+    return A.top_bottom_code(df, col, p_lo, p_hi, out)
+
+
+def _step_perturb_uniform(df, col, scale, seed, out=None):
+    return df.withColumn(out or col, A.perturb_uniform(col, scale, seed))
+
+
+def _step_perturb_laplace(df, col, epsilon, sensitivity, seed, out=None):
+    return df.withColumn(out or col, A.perturb_laplace(col, epsilon, sensitivity, seed))
+
+
+def _step_swap_within_group(df, col, group_cols, seed):
+    return A.swap_within_group(df, col, group_cols, seed)
+
+
+def _step_k_enforce_suppress(df, qis, k):
+    return A.k_enforce_suppress(df, qis, k)
+
+
+def _step_l_diversity_enforce(df, qis, sa, l):
+    return A.l_diversity_enforce(df, qis, sa, l)
+
+
+def _step_select(df, cols):
+    return df.select(*cols)
+
+
+STEPS = {
+    "pseudonymize_sha2": _step_pseudonymize_sha2,
+    "pseudonymize_md5": _step_pseudonymize_md5,
+    "mask_partial": _step_mask_partial,
+    "suppress_columns": _step_suppress_columns,
+    "null_columns": _step_null_columns,
+    "suppress_rows_if": _step_suppress_rows_if,
+    "suppress_cell_if": _step_suppress_cell_if,
+    "generalize_numeric": _step_generalize_numeric,
+    "generalize_range_label": _step_generalize_range_label,
+    "generalize_date": _step_generalize_date,
+    "top_bottom_code": _step_top_bottom_code,
+    "perturb_uniform": _step_perturb_uniform,
+    "perturb_laplace": _step_perturb_laplace,
+    "swap_within_group": _step_swap_within_group,
+    "k_enforce_suppress": _step_k_enforce_suppress,
+    "l_diversity_enforce": _step_l_diversity_enforce,
+    "select": _step_select,
+}
+
+
+def anonymize_pipeline(df: DataFrame, steps: Sequence[Mapping[str, Any]]) -> DataFrame:
+    """i23: fold an ordered list of anonymization steps over a DataFrame.
+
+    Each step is ``{"op": <name>, **params}``; predicates are SQL
+    strings so routes serialize to JSON.  Returns ONE lazy plan.
+    """
+    out = df
+    for step in steps:
+        params = dict(step)
+        op = params.pop("op")
+        if op not in STEPS:
+            raise ValueError(f"unknown pipeline op {op!r}; known: {sorted(STEPS)}")
+        out = STEPS[op](out, **params)
+    return out

@@ -1,0 +1,159 @@
+"""Property-based tests for the stochastic / adaptive anonymization
+operators that have no DuckDB oracle (SURVEY §5.2): noise bounds &
+seed-reproducibility, swap multiset invariance, k/l guarantees,
+Mondrian partition sizes, and the pipeline composer's config errors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.operators import anonymize as A
+from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline, classify_columns
+from ma_anonymization_etl_spark.sources.io import load
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return load(spark, SF_ORACLE, "customer").cache()
+
+
+def test_perturb_uniform_bounds_and_mean(spark, customer):
+    scale = 100.0
+    out = customer.select(
+        "c_acctbal", A.perturb_uniform("c_acctbal", scale, seed=42).alias("noised")
+    )
+    stats = out.select(
+        F.max(F.abs(F.col("noised") - F.col("c_acctbal"))).alias("max_dev"),
+        F.avg(F.col("noised") - F.col("c_acctbal")).alias("mean_dev"),
+    ).collect()[0]
+    assert stats["max_dev"] <= scale / 2
+    assert abs(stats["mean_dev"]) < scale / 10  # zero-mean within tolerance
+
+
+def test_perturb_uniform_seed_reproducible(spark, customer):
+    a = [r["n"] for r in customer.select(
+        A.perturb_uniform("c_acctbal", 50.0, seed=7).alias("n")).collect()]
+    b = [r["n"] for r in customer.select(
+        A.perturb_uniform("c_acctbal", 50.0, seed=7).alias("n")).collect()]
+    c = [r["n"] for r in customer.select(
+        A.perturb_uniform("c_acctbal", 50.0, seed=8).alias("n")).collect()]
+    assert a == b
+    assert sorted(a) != sorted(c)
+
+
+def test_perturb_laplace_properties(spark, customer):
+    eps, sens = 1.0, 100.0
+    out = customer.select(
+        (A.perturb_laplace("c_acctbal", eps, sens, seed=3) - F.col("c_acctbal")).alias("noise")
+    )
+    rows = [r["noise"] for r in out.collect()]
+    assert all(not math.isnan(x) and not math.isinf(x) for x in rows)
+    # Laplace(b): mean |noise| = b = sens/eps = 100; loose 3-sigma-ish band.
+    mean_abs = sum(abs(x) for x in rows) / len(rows)
+    assert 60 < mean_abs < 160
+    # Symmetry: roughly half the draws negative.
+    frac_neg = sum(x < 0 for x in rows) / len(rows)
+    assert 0.4 < frac_neg < 0.6
+
+
+def test_swap_preserves_group_multisets(spark, customer):
+    src = customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    swapped = A.swap_within_group(src, "c_acctbal", ["c_nationkey"], seed=42)
+    before = sorted((r["c_nationkey"], r["c_acctbal"]) for r in src.collect())
+    after = sorted((r["c_nationkey"], r["c_acctbal"]) for r in swapped.collect())
+    assert before == after
+    assert swapped.count() == src.count()
+    # And the pairing actually changed for a decent share of rows.
+    joined = src.alias("a").join(swapped.alias("b"), on="c_custkey")
+    moved = joined.filter(F.col("a.c_acctbal") != F.col("b.c_acctbal")).count()
+    assert moved > src.count() * 0.5
+
+
+def test_k_enforce_suppress_guarantee(spark, customer):
+    qis = ["c_nationkey", "c_mktsegment"]
+    out = A.k_enforce_suppress(customer, qis, k=10)
+    k_after = A.k_anonymity_metric(out, qis).collect()[0]["k_anonymity"]
+    assert k_after >= 10
+    assert out.count() < customer.count()  # something was actually suppressed
+
+
+def test_k_enforce_generalize_minimal_level(spark, customer):
+    k = 8
+    ladder = [(f"bin{w}", A.generalize_numeric("c_acctbal", w)) for w in (100, 500, 2000, 10000)]
+    out, level = A.k_enforce_generalize(customer, ["c_nationkey"], k, ladder, "gen")
+    k_after = (
+        A.k_anonymity_metric(out, ["c_nationkey", "gen"]).collect()[0]["k_anonymity"]
+    )
+    assert k_after >= k or level == len(ladder) - 1
+    if level > 0:  # the previous (finer) level must violate k — minimality
+        finer = customer.withColumn("gen", ladder[level - 1][1])
+        k_finer = (
+            A.k_anonymity_metric(finer, ["c_nationkey", "gen"]).collect()[0]["k_anonymity"]
+        )
+        assert k_finer < k
+
+
+def test_l_diversity_guarantee(spark, customer):
+    src = customer.withColumn("sa_bin", A.generalize_numeric("c_acctbal", 1000))
+    out = A.l_diversity_enforce(src, ["c_nationkey", "c_mktsegment"], "sa_bin", 3)
+    min_l = (
+        A.l_diversity_metric(out, ["c_nationkey", "c_mktsegment"], "sa_bin")
+        .agg(F.min("l_diversity"))
+        .collect()[0][0]
+    )
+    assert min_l >= 3
+
+
+def test_t_closeness_range(spark, customer):
+    out = A.t_closeness_metric(customer, ["c_nationkey"], "c_mktsegment").collect()
+    assert len(out) == 25
+    assert all(0.0 <= r["t_closeness"] <= 1.0 for r in out)
+
+
+def test_mondrian_k_guarantee(spark, customer):
+    k = 25
+    out = A.mondrian_kanon(
+        customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_acctbal", "c_nationkey"], k=k,
+    ).cache()
+    sizes = out.groupBy("mondrian_pid").count().collect()
+    assert all(r["count"] >= k for r in sizes)
+    assert len(sizes) > 1  # it actually split
+    assert out.count() == customer.count()  # partition-preserving
+    # Range columns really bound the data.
+    bad = out.filter(
+        (F.col("c_acctbal") < F.col("c_acctbal_lo"))
+        | (F.col("c_acctbal") > F.col("c_acctbal_hi"))
+    ).count()
+    assert bad == 0
+
+
+def test_classify_columns_roles():
+    cfg = {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "sa", "c_custkey": "keep"}
+    roles = classify_columns(cfg)
+    assert roles["di"] == ["c_name"]
+    with pytest.raises(ValueError, match="unknown role"):
+        classify_columns({"x": "banana"})
+
+
+def test_pipeline_unknown_op(spark, customer):
+    with pytest.raises(ValueError, match="unknown pipeline op"):
+        anonymize_pipeline(customer, [{"op": "nope"}])
+
+
+def test_approx_count_distinct_accuracy(spark):
+    e = load(spark, SF_ORACLE, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
