@@ -1,1 +1,513 @@
-"""Populated in later build phases."""
+"""LLM-data-pipeline operators: deduplication + text analysis —
+SURVEY.md §2 group J (j1-j7) plus the north-star extensions (lang-id,
+quality scoring, token counting, fingerprinting).
+
+All hot paths are native Column expressions (higher-order array
+functions, engine-portable md5-based hashing); Python appears only in
+the SimHash variant (a deliberately-Arrow'd pandas UDF, see udfs.py for
+the family).
+
+Scale notes: MinHash-LSH is *the* 100 TB dedup path — shingle → k
+salted min-hashes → band keys → groupBy band (shuffle is bounded by
+(docs × bands), not docs²) → verify only candidates.  Exact dedup is a
+hash groupBy.  The pairwise-Jaccard variant is quadratic per shared
+n-gram and exists for corpora small enough to verify exhaustively.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module scope: pandas_udf type hints must resolve here
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+# ---------------------------------------------------------------------------
+# Shared text expressions
+# ---------------------------------------------------------------------------
+
+
+def words_of(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def word_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles (assumes ≥ n words, true for the
+    corpus — FIXTURES.md documents ≥ 48 chars of word salad)."""
+    w = words_of(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def hash64(col: Column) -> Column:
+    """Engine-portable 60-bit integer hash: md5 hex prefix → BIGINT.
+    (xxhash64/hash are engine-specific — never in checked output.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Dedup (j1-j3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_dedup_exact",
+    oracle="""
+SELECT DISTINCT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id, lang, source FROM documents
+)
+""",
+)
+def j1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1: exact row dedup (hash groupBy).  The corpus has no duplicate
+    rows (FIXTURES), so the duplicate load is a self-union; survivors
+    are full-row-identical so the kept copy is immaterial."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return d.unionByName(d).dropDuplicates()
+
+
+@register(
+    "j2_dedup_content_hash",
+    oracle="""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+GROUP BY md5(text)
+""",
+)
+def j2_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j2: content-hash dedup — md5(text) groups; deterministic survivor
+    = MIN(doc_id).  Every text appears twice by construction, so
+    n_copies = 2 everywhere proves the grouping."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return doubled.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 4  # 4 bands × 4 rows
+_MINHASH_TAU = 0.5
+
+
+def minhash_signature(shingles: Column, n_perms: int = _MINHASH_PERMS) -> Column:
+    """MinHash: one salted md5-min per permutation (Broder 1997)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, p=p: hash64(F.concat(F.lit(f"{p}|"), s)))
+            )
+            for p in range(n_perms)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int = _MINHASH_BANDS) -> Column:
+    """LSH banding: hash each contiguous run of the signature; docs
+    agreeing on ANY band become candidates."""
+    r = _MINHASH_PERMS // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[sig[b * r + i].cast("string") for i in range(r)])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+@register("j3_dedup_near_minhash")  # adaptive candidate set → rows-only + property test
+def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3: near-duplicate pairs via shingling + MinHash-LSH banding,
+    verified with exact Jaccard ≥ 0.5.  The corpus has no near-dups, so
+    the query plants one perturbed copy per document (first word
+    dropped, doc_id+100000) — the result must pair each doc with its
+    perturbed twin.  Scale: candidates come from a groupBy on band
+    keys, never a docs² join."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    sh = corpus.withColumn("shingles", word_shingles("text", 3)).select("doc_id", "shingles")
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles")))
+    banded = sig.select(
+        "doc_id", "shingles", F.explode(band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= _MINHASH_TAU)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+@register("j3b_dedup_simhash")  # python hashing in pandas UDF → rows-only + property test
+def j3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3 (SimHash variant, Charikar 2002): 64-bit sign-sum fingerprints
+    via an Arrow-batched pandas UDF, near-dup pairs = hamming ≤ 12
+    found through 16-bit chunk banding (a pair within hamming 3 of 64
+    bits must agree on ≥1 of 4 chunks; wider radii may lose pairs —
+    documented recall trade-off).  Same planted perturbed corpus as j3.
+    """
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            acc = [0] * 64
+            for tok in (t or "").lower().split(" "):
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = sum(1 << i for i, a in enumerate(acc) if a > 0)
+            out.append(v - (1 << 64) if v >= 1 << 63 else v)  # to signed int64
+        return pd.Series(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(perturbed).withColumn("sh", simhash64("text"))
+    chunks = corpus.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.filter(F.col("hamming") <= 12)
+
+
+@register(
+    "j3c_dedup_ngram_jaccard",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 1),
+                                      i -> w[i + 1] || ' ' || w[i + 2])) AS gs
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), x AS (
+  SELECT doc_id, unnest(gs) AS g FROM t
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), n AS (SELECT doc_id, len(gs) AS n FROM t)
+SELECT a_id, b_id,
+       ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN n na ON na.doc_id = a_id
+JOIN n nb ON nb.doc_id = b_id
+WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
+""",
+)
+def j3c_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3 (exhaustive variant): word-2-gram Jaccard ≥ 0.2 pairs via
+    explode + equi-join on shared grams — fully oracle-checked.  The
+    equi-join on the gram bounds the blow-up to docs sharing a gram;
+    for 100 TB use the MinHash-LSH variant (j3) instead."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", word_shingles("text", 2).alias("gs"))
+    x = t.select("doc_id", F.explode("gs").alias("g"))
+    a, b = x.alias("a"), x.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    n = t.select("doc_id", F.size("gs").alias("n"))
+    jac = F.col("shared") / (F.col("na.n") + F.col("nb.n") - F.col("shared"))
+    return (
+        pairs.join(n.alias("na"), F.col("na.doc_id") == F.col("a_id"))
+        .join(n.alias("nb"), F.col("nb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.2)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (j4-j7 + extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_text_tokenize_wordcount",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def j4_text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j4: corpus term frequencies — split → explode → count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words_of()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j5_text_ngrams",
+    oracle="""
+SELECT g AS bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])) AS g
+  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+)
+GROUP BY g
+""",
+)
+def j5_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j5: corpus word-bigram frequencies (non-distinct per doc)."""
+    d = load(spark, sf_dir, "documents")
+    w = words_of()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j6_tf_idf",
+    oracle="""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfc FROM w GROUP BY word),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / dfc), 6) AS tfidf
+FROM tf JOIN dfq USING (word), nd
+""",
+)
+def j6_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j6: tf × ln(N/df) term weighting.  N comes from a 1-row aggregate
+    cross-joined in (never a driver-side collect), so the plan stays
+    fully lazy and SF-independent."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_of()).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfc"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfq, on="word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfc")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "j7_lang_source_profile",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def j7_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j7: corpus profiling — docs and length stats per lang × source."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "j13_lang_id_heuristic",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(lower(text), '[äöüß]') THEN 'de'
+            WHEN regexp_matches(lower(text), '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(lower(text), '[àâçèêî]') THEN 'fr'
+            WHEN regexp_matches(text, '^[ -~]+$') THEN 'en'
+            ELSE 'und' END AS lang_pred
+FROM documents
+""",
+)
+def j13_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: script/diacritic marker classes with an
+    ASCII fallback — table-driven CASE ladder, trivially extendable.
+    (Real-world accuracy needs char-n-gram profiles; the operator shape
+    — pure native regexp CASE — is the 100 TB-relevant part.)"""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.when(t.rlike("[一-鿿]"), "zh")
+        .when(F.lower(t).rlike("[äöüß]"), "de")
+        .when(F.lower(t).rlike("[ñ¿¡]"), "es")
+        .when(F.lower(t).rlike("[àâçèêî]"), "fr")
+        .when(t.rlike("^[ -~]+$"), "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+_STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on")
+
+
+@register(
+    "j14_text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_words, n_chars,
+       ROUND(avg_word_len, 4) AS avg_word_len,
+       ROUND(stop_frac, 6) AS stop_frac,
+       ROUND(1.0 / (1.0 + exp(-(0.05 * n_words - 2.0))), 6) AS length_score
+FROM (
+  SELECT doc_id, n_chars,
+         len(string_split(lower(text), ' ')) AS n_words,
+         CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS avg_word_len,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN {_STOPWORDS!r})) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS stop_frac
+  FROM documents
+)
+""",
+)
+def j14_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word/char counts, average word length, stopword
+    ratio, and a logistic length score — the standard pre-training
+    corpus filters, all as native expressions."""
+    d = load(spark, sf_dir, "documents")
+    w = words_of()
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_frac = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / n_words
+    avg_word_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        "n_chars",
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(1.0 / (1.0 + F.exp(-(0.05 * n_words.cast("double") - 2.0))), 6).alias(
+            "length_score"
+        ),
+    )
+
+
+@register(
+    "j15_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4) AS BIGINT) AS bpe_est_tokens
+FROM documents
+""",
+)
+def j15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the chars/4 BPE estimate
+    (the standard quick sizing heuristic for LLM token budgets)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.ceil(F.length("text").cast("double") / 4).alias("bpe_est_tokens"),
+    )
+
+
+@register(
+    "j16_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_sort(list_transform(
+         list_distinct(list_transform(range(len(w) - 2),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+         g -> md5(g)))[1:4] AS fingerprint
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+""",
+)
+def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: bottom-4 sketch of md5'd word-3-gram
+    shingles (a deterministic min-k sketch — two docs share fingerprint
+    entries iff they share shingles; engine-portable because it stays
+    in hex-string space)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.slice(
+        F.array_sort(F.transform(word_shingles("text", 3), lambda g: F.md5(g))), 1, 4
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,115 @@
+"""Multimodal columns — north-star extension: image/audio/video as
+opaque BINARY columns with typed metadata, processed in Arrow batches.
+
+The corpus ships no binary table, so each query *derives* a
+deterministic payload (unhex(md5(text)) — 16 bytes) from documents and
+treats it as the media blob.  Real decode (PIL/ffmpeg/librosa) is NOT
+in this container: ``decode_image`` raises NotImplementedError and the
+queries run the deterministic fake extractor instead — the Spark-side
+plumbing (binary schema, mapInPandas batch shape, partitioning) is
+real and tested either way.
+
+Scale notes: blobs ride in parquet as BINARY column chunks; metadata
+predicates (format/width) push down so full blobs are only
+materialized for selected rows; mapInPandas streams Arrow batches so
+peak memory is one batch of blobs per core, not a partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+
+def decode_image(blob: bytes) -> "object":
+    """The real decoder hook — requires an image library that is not in
+    this container.  Swap in PIL.Image.open(io.BytesIO(blob)) on a real
+    cluster."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not installed); "
+        "fake_features() is the deterministic stand-in used by the queries"
+    )
+
+
+def fake_features(blob: bytes, n: int = 4) -> list[float]:
+    """Deterministic stand-in feature extractor: first n bytes / 255."""
+    return [round(b / 255.0, 6) for b in blob[:n]]
+
+
+def with_media_columns(df: DataFrame) -> DataFrame:
+    """Schema plumbing: derive a BINARY payload + typed metadata from a
+    text column (stand-in for reading real media files)."""
+    return df.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64).cast("int").alias("width"),
+            (F.col("doc_id") % 48).cast("int").alias("height"),
+            F.lit("fake/raw16").alias("format"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "m1_binary_meta",
+    oracle="""
+SELECT doc_id,
+       unhex(md5(text)) AS payload,
+       octet_length(unhex(md5(text))) AS n_bytes,
+       CAST(n_chars % 64 AS INTEGER) AS width,
+       CAST(doc_id % 48 AS INTEGER) AS height
+FROM documents
+""",
+)
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m1: binary payload + typed metadata columns — the storage schema
+    for multimodal data.  BINARY values themselves are hash-compared."""
+    d = with_media_columns(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+@register("m2_decode_features")  # python-side batch extractor → rows-only + unit test
+def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m2: feature extraction over binary payloads via mapInPandas —
+    Arrow-batched, schema-declared ('doc_id LONG, features
+    ARRAY<DOUBLE>').  Uses the deterministic fake extractor; the real
+    decode hook (decode_image) raises until a decoder lib exists."""
+    d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [fake_features(b, 4) for b in pdf["payload"]],
+                }
+            )
+
+    return d.mapInPandas(extract, "doc_id LONG, features ARRAY<DOUBLE>")
+
+
+@register("m3_frame_sample")  # python-side batch sampler → rows-only + unit test
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m3: frame sampling over a fake 'video' (payload ×8 = 128 bytes;
+    every 16th byte is a 'frame') via mapInPandas — the uniform-stride
+    sampling shape used for real video, minus the codec."""
+    d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [[(b * 8)[i] for i in range(0, 128, 16)] for b in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "frames": frames})
+
+    return d.mapInPandas(sample, "doc_id LONG, frames ARRAY<INT>")

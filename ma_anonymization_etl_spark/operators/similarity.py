@@ -1,0 +1,236 @@
+"""Similarity search over the embeddings table — SURVEY.md §2 j8-j12
+plus the LSH-bucketed scale path.
+
+Brute-force cosine is the correctness baseline (and is exhaustive at
+test SFs); the random-hyperplane LSH signature is the 100 TB path:
+bucket vectors by signature, search within buckets (candidates per
+query drop from N to N/2^bits on average).  Embedding-cosine near-dup
+detection (north star) = j9 with a high threshold.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.functions.vectors import as_double, cosine, dot, l2_normalize
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+# DuckDB-side cosine with identical double accumulation order.
+_SQL_E = "embedding::DOUBLE[]"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "j8_sim_topk",
+    oracle=f"""
+WITH q AS (SELECT {_SQL_E} AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_sql_cos(_SQL_E, 'qe')}, 5) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def j8_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8: brute-force cosine top-k for one query vector (vec_id 0) —
+    broadcast the query, fold per row, TakeOrderedAndProject for the
+    top-k (no global sort)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qe")), 5).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "j9_sim_pair_join",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_sql_cos('a.v', 'b.v')}, 5) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= 0.4
+""",
+)
+def j9_sim_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9: all pairs with cosine ≥ 0.4 (embedding-space near-dup
+    detection).  Exhaustive self-join at test SFs; at 100 TB run the
+    LSH bucketing (j17) first and verify only same-bucket candidates."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "j10_knn_classify",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {_SQL_E} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, e.label,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cos('q.v', 'e.v')} DESC, e.vec_id) AS rn
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM scored WHERE rn <= 5 GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+""",
+)
+def j10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10: 5-NN majority-label classification for the first 20 vectors
+    — rank neighbours per query, vote, tie-break on smaller label."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "label",
+        "vec_id",
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w_win = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_win))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+@register(
+    "j11_label_centroids",
+    oracle="""
+SELECT label, list(ROUND(avg_v, 6) ORDER BY pos) AS centroid
+FROM (
+  SELECT label, pos, AVG(v) AS avg_v
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+)
+GROUP BY label
+""",
+)
+def j11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j11: mean vector per label — posexplode → per-(label,dim) avg →
+    re-assemble ordered by position.  This is the reduce-side of
+    k-means/IVF coarse quantizers; shuffle is (labels × dims) rows."""
+    e = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("avg_v"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg_v"))), lambda s: s.avg_v
+        ).alias("centroid")
+    )
+
+
+@register(
+    "j12_vec_normalize",
+    oracle="""
+SELECT vec_id,
+       list_transform(embedding::DOUBLE[],
+                      x -> ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[])), 6))
+         AS unit_vec
+FROM embeddings
+""",
+)
+def j12_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j12: L2-normalize the embedding column (then cosine ≡ dot —
+    normalize once, reuse everywhere)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", l2_normalize(as_double(F.col("embedding")), nd=6).alias("unit_vec")
+    )
+
+
+# --- LSH signatures: the approximate scale path --------------------------
+
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = random.Random(42)  # fixed seed → identical constants in Spark & SQL
+    return [
+        [round(rng.gauss(0, 1), 6) for _ in range(_LSH_DIM)] for _ in range(_LSH_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = _hyperplanes()
+    bits = ",\n       ".join(
+        f"CASE WHEN list_dot_product({_SQL_E}, {p}::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+SELECT vec_id, CONCAT({bits}) AS bucket
+FROM embeddings
+"""
+
+
+@register("j17_sim_lsh_bucket", oracle=_lsh_oracle())
+def j17_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for vectors, Charikar 2002): an
+    8-bit signature from fixed seeded hyperplanes.  Same-bucket vectors
+    are ANN candidates — at 100 TB, groupBy(bucket) then brute-force
+    within buckets replaces the quadratic pair join.  Oracle carries
+    the identical hyperplane constants."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    v = as_double(F.col("embedding"))
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return e.select("vec_id", F.concat(*bits).alias("bucket"))

@@ -1,1 +1,141 @@
-"""Populated in later build phases."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2 group L.
+
+The engine's position (SURVEY §4): UDFs are the slow path — row-at-a-
+time Python (l1) breaks codegen AND pushdown and exists only as the
+documented escape hatch; everything practical goes through Arrow
+(pandas_udf / applyInPandas, 10-100× faster).  Each demo here computes
+something a native expression could ALSO compute — which is exactly
+what lets the DuckDB oracle hash-check the UDF machinery itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+
+@register(
+    "l1_udf_scalar_py",
+    oracle="SELECT c_custkey, reverse(c_name) AS name_rev FROM customer",
+)
+def l1_udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l1: row-at-a-time Python UDF (discouraged; shown for surface
+    completeness — appears as BatchEvalPython in the plan, blocking
+    codegen and pushdown)."""
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, StringType())
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", rev("c_name").alias("name_rev"))
+
+
+@register(
+    "l2_udf_pandas_scalar",
+    oracle="""
+SELECT event_id, ROUND(ln(1 + value), 6) AS log1p_value FROM events
+""",
+)
+def l2_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2: vectorized Arrow UDF — numpy log1p over whole batches.
+    Identical doubles to the SQL ln(1+x) path, so the Arrow transfer
+    machinery itself is what the oracle verifies."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def log1p(v: pd.Series) -> pd.Series:
+        return pd.Series(np.log1p(v.to_numpy()))
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", F.round(log1p("value"), 6).alias("log1p_value"))
+
+
+@register(
+    "l3_udaf_pandas_grouped",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, ROUND(AVG(value), 4) AS trimmed_mean
+FROM r
+WHERE rn > FLOOR(n * 0.1) AND rn <= n - FLOOR(n * 0.1)
+GROUP BY event_type
+""",
+)
+def l3_udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l3: custom grouped aggregate (10% trimmed mean) as a GROUPED_AGG
+    pandas UDF; the oracle recomputes it relationally (rank, trim,
+    avg).  Ties at the trim boundary drop the same value multiset
+    either way, so the means agree."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy())
+        k = int(len(arr) * 0.1)
+        return float(arr[k : len(arr) - k].mean())
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(trimmed_mean("value"), 4).alias("trimmed_mean"))
+    )
+
+
+@register(
+    "l4_grouped_map",
+    oracle="""
+SELECT c_custkey,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_z
+FROM customer
+""",
+)
+def l4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l4: per-group DataFrame→DataFrame via applyInPandas (full shuffle
+    on the group key) — z-score of balance within nation, with the
+    group key reattached in the output schema.  ddof=1 matches
+    stddev_samp."""
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["c_acctbal"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "bal_z": z.round(6)})
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(zscore, "c_custkey LONG, bal_z DOUBLE")
+
+
+@register(
+    "l5_udtf",
+    oracle="""
+SELECT doc_id, CAST(i + 1 AS INTEGER) AS pos, w[i + 1] AS word
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+     (SELECT unnest(range(200)) AS i)
+WHERE i < len(w)
+""",
+)
+def l5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l5: Python UDTF — one text row → (pos, word) rows, applied via
+    LATERAL (per-row table function).  Native explode would do the same
+    cheaper; the UDTF surface is the point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, word STRING")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").lower().split(" ")):
+                yield i + 1, w
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_l5")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM documents_l5 d, LATERAL split_words_udtf(d.text) t
+        """
+    )

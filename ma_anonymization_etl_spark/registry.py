@@ -34,6 +34,8 @@ _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.anonymize_queries",
     "ma_anonymization_etl_spark.operators.events",
     "ma_anonymization_etl_spark.operators.llm",
+    "ma_anonymization_etl_spark.operators.similarity",
+    "ma_anonymization_etl_spark.operators.multimodal",
     "ma_anonymization_etl_spark.operators.udfs",
 ]
 
