@@ -1,0 +1,178 @@
+"""Registry queries that EXECUTE via Structured Streaming — the stream
+computes, the DuckDB oracle (batch semantics) verifies the memory-sink
+or parquet-sink output.  SURVEY.md §2 a5/a6, k5/k7/k9.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.streaming.runner import (
+    run_foreach_batch,
+    run_to_memory,
+    stream_events,
+)
+
+_SCALE = 10000
+_SQL_SUM_VALUE = (
+    f"CAST(SUM(CAST(FLOOR(value * {_SCALE}) AS BIGINT)) AS DOUBLE) / {_SCALE}"
+)
+
+
+@register(
+    "a5_stream_source_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+       COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def a5_stream_source_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a5: readStream file source → tumbling-window aggregate →
+    complete-mode memory sink.  The oracle checks the STREAM's final
+    output against batch semantics — the strongest equivalence check
+    available (SURVEY §5.3)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    return run_to_memory(agg, "a5_tumbling", "complete")
+
+
+@register(
+    "a6_stream_sink_parquet",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+)
+def a6_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a6: micro-batch parquet sink via foreachBatch + checkpoint
+    (exactly-once file output); verified by re-reading the sink."""
+    out_dir = os.path.join(tempfile.gettempdir(), "mael_scratch", "a6_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(ev, write_batch)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("k5_watermark_late_drop")  # batch-split-dependent → rows-only + pytest
+def k5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k5: watermarked tumbling aggregate — events later than 10 min
+    behind max event-time are dropped from closed windows.  Append-mode
+    emissions depend on how files split into micro-batches, so the
+    hash-oracle doesn't apply; test_streaming.py pins the semantics
+    with a crafted two-batch late arrival."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return run_to_memory(agg, "k5_watermark", "append")
+
+
+@register(
+    "k7_stateful_running",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, {_SQL_SUM_VALUE} AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def k7_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k7: custom stateful per-user running aggregate across
+    micro-batches via applyInPandasWithState (GroupState).  The state
+    carries (count, scaled-int sum) so the streamed total is exact;
+    with availableNow the final emission per user must equal the batch
+    groupBy — which is exactly what the oracle checks."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, scaled = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            scaled += int(sum(int(v * _SCALE // 1) for v in pdf["value"]))
+        state.update((n, scaled))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [scaled / _SCALE]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, scaled BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(out, "k7_stateful", "update")
+    # Multiple emissions per user across batches: totals are monotone
+    # (value > 0), so the final state is the row-max per user.
+    return mem.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+
+
+@register(
+    "k9_stream_anonymize",
+    oracle="""
+WITH t AS (
+  SELECT sha256('stream|' || CAST(user_id AS VARCHAR)) AS user_token,
+         event_type,
+         CAST(FLOOR(value / 50) AS BIGINT) * 50 AS value_bin
+  FROM events
+), counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type, value_bin) AS cnt FROM t
+)
+SELECT user_token, event_type, value_bin FROM counted WHERE cnt >= 5
+""",
+)
+def k9_stream_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k9: the reference's signature move — the anonymization route
+    applied per micro-batch via foreachBatch, sanitized output written
+    to parquet.  Map-side steps (pseudonymize, generalize) are
+    batch-local and stream-safe; the k-enforcement is applied on the
+    accumulated sink (cross-batch classes), mirroring how a periodic
+    compaction job would enforce k over the landed data."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    out_dir = os.path.join(tempfile.gettempdir(), "mael_scratch", "k9_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    route = [
+        {"op": "pseudonymize_sha2", "col": "user_id", "salt": "stream|", "out": "user_token"},
+        {"op": "generalize_numeric", "col": "value", "width": 50, "out": "value_bin"},
+        {"op": "select", "cols": ["user_token", "event_type", "value_bin"]},
+    ]
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        anonymize_pipeline(batch, route).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(ev, write_batch)
+    landed = spark.read.parquet(out_dir)
+    return anonymize_pipeline(
+        landed, [{"op": "k_enforce_suppress", "qis": ["event_type", "value_bin"], "k": 5}]
+    )

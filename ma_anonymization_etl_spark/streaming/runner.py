@@ -1,0 +1,87 @@
+"""Structured Streaming wrappers — SURVEY.md §2 a5/a6, k5/k7/k9.
+
+Design (SURVEY §5.3): every event operator ships batch-first (group K
+batch forms, oracle-checked); this module runs the SAME transforms
+through readStream → writeStream.  ``run_to_memory`` executes a
+bounded stream with trigger(availableNow) and hands back the memory
+sink as a plain DataFrame, which is how the registry exposes
+*streaming* executions to the driver's batch-style oracle check: the
+stream computes, DuckDB verifies.
+
+Scale notes: file source here stands in for Kafka — swap
+``readStream.format("kafka")`` in production; the transform chain is
+identical.  Watermarks bound state (late drop k5, dedup k6, stateful
+k7); foreachBatch (k9) is the anonymization route applied per
+micro-batch with exactly-once parquet output via checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.session import configure
+
+# Explicit schema: streaming file sources never infer.  ts arrives as
+# BIGINT ns (nanosAsLong, same as the batch path) and is truncated to a
+# µs timestamp identically to sources.io.load.
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> DataFrame:
+    """a5: event-stream source (file source standing in for Kafka).
+
+    The file source requires a *directory*; the corpus ships one file
+    per table, so it is staged (copied once) into a scratch dir keyed
+    by sf_dir.
+    """
+    configure(spark)
+    if path is None:
+        src_file = f"{sf_dir.rstrip('/')}/events.parquet"
+        key = sf_dir.rstrip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), "mael_stream_src", key)
+        staged = os.path.join(path, "events.parquet")
+        if not os.path.exists(staged):
+            os.makedirs(path, exist_ok=True)
+            shutil.copy(src_file, staged)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a bounded stream (availableNow) into a memory sink; block
+    until drained; return the sink table as a normal DataFrame."""
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+def run_foreach_batch(df: DataFrame, batch_fn, checkpoint: str | None = None) -> None:
+    """a6/k9: micro-batch sink — apply ``batch_fn(batch_df, batch_id)``
+    per micro-batch with checkpointed exactly-once progress."""
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), "mael_ckpt", uuid.uuid4().hex
+    )
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)

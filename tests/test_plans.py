@@ -1,0 +1,90 @@
+"""Physical-plan audits (SURVEY §7 Phase 6): the plan-shape guarantees
+the 100 TB story depends on — pushdown reaching the scan, broadcasts
+staying broadcast, top-k avoiding global sorts, and zero Python on hot
+paths.  A correct result from a wrong plan is a scale bug."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from ma_anonymization_etl_spark import registry
+from tests.conftest import SF_ORACLE
+
+ALL = registry.load_all()
+
+# Operators allowed to show Python eval nodes: the explicitly
+# Python-surface ops (L group, SimHash, multimodal, stateful streaming).
+PYTHON_OK = {
+    "l1_udf_scalar_py", "l2_udf_pandas_scalar", "l3_udaf_pandas_grouped",
+    "l4_grouped_map", "l5_udtf", "j3b_dedup_simhash",
+    "m2_decode_features", "m3_frame_sample",
+}
+
+# Streaming queries execute eagerly (memory sink) — skip plan text checks.
+STREAMING = {n for n in ALL if n.startswith(("a5_", "a6_", "k5_", "k7_", "k9_"))}
+
+
+def plan_of(spark, name: str) -> str:
+    df = ALL[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in ALL if n not in PYTHON_OK and n not in STREAMING),
+)
+def test_no_python_on_hot_path(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python in hot path"
+    assert "ArrowEvalPython" not in plan, f"{name}: unexpected pandas UDF in hot path"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "b2_filter_pred")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_custkey)" in plan or "In(o_orderstatus" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    plan = plan_of(spark, "b1_project")
+    # Only the three projected columns reach the parquet reader.
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in rs and "c_name" in rs and "c_mktsegment" in rs
+    assert "c_acctbal" not in rs and "c_nationkey" not in rs
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "c1_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "f3_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_partial_aggregation(spark):
+    plan = plan_of(spark, "d1_agg_hash_pricing_summary")
+    # Two-phase hash aggregation (map-side partial + final).
+    assert plan.count("HashAggregate") >= 2
+    # Codegen markers ("*(n) Op") appear once AQE finalizes — execute first.
+    df = ALL["d1_agg_hash_pricing_summary"].fn(spark, SF_ORACLE)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    final = buf.getvalue()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final, "whole-stage codegen not engaged"
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "c4_join_semi")
+    assert "LeftAnti" in plan_of(spark, "c5_join_anti")

@@ -1,0 +1,136 @@
+"""Streaming equivalence + watermark semantics tests (SURVEY §5.3).
+
+The oracle-checked streaming queries (a5/a6/k7/k9) already prove
+stream-output == batch-output on the full events table; here we pin
+the semantics the oracle can't see: watermark late-drop across
+micro-batch boundaries and streaming dedup of a duplicated source."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.sources.io import load
+from ma_anonymization_etl_spark.streaming.runner import run_to_memory, stream_events
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def staging_dir():
+    d = os.path.join(tempfile.gettempdir(), "mael_stream_stage", str(time.time_ns()))
+    os.makedirs(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_ns_parquet(spark, rows, path):
+    """Write an events-shaped parquet with BIGINT-ns ts (like the corpus)."""
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _ns(hours: float) -> int:
+    base = 1704067200  # 2024-01-01 00:00:00 UTC, matches the corpus epoch
+    return int((base + hours * 3600) * 1_000_000_000)
+
+
+def test_watermark_drops_late_event(spark, staging_dir):
+    """Two checkpointed runs = two micro-batches: run 1 (events
+    00:00..05:00) advances the watermark to 04:50 and persists it in
+    the checkpoint; run 2 delivers an event at 00:30 — far behind the
+    watermark — plus a fresh one at 06:00.  The late event must NOT
+    appear in any emitted window; run 1's closed windows must."""
+    in_dir = os.path.join(staging_dir, "in")
+    ckpt = os.path.join(staging_dir, "ckpt")
+    out_dir = os.path.join(staging_dir, "out")
+    os.makedirs(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        ).parquet(os.path.join(in_dir, "*"))
+        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_ns_parquet(
+        spark,
+        [(i, _ns(i), 1, "click", 1.0, "{}") for i in range(6)],  # 00:00..05:00
+        os.path.join(in_dir, "batch1"),
+    )
+    run_once()
+    _write_ns_parquet(
+        spark,
+        [(100, _ns(0.5), 1, "late", 1.0, "{}"), (101, _ns(6), 1, "fresh", 1.0, "{}")],
+        os.path.join(in_dir, "batch2"),
+    )
+    run_once()
+    out = spark.read.parquet(out_dir).collect()
+    types = {r["event_type"] for r in out}
+    assert "late" not in types, f"late event leaked into {out}"
+    # Run 1's windows (00:00..04:00 starts) closed once the watermark
+    # passed them — emitted in run 2.
+    assert "click" in types
+
+
+def test_stream_dedup_duplicated_source(spark, staging_dir):
+    """k6 streaming form: the same events file landed twice (re-delivery)
+    → dropDuplicates on event_id within the watermark yields each event
+    once."""
+    src_file = f"{SF_ORACLE}/events.parquet"
+    in_dir = os.path.join(staging_dir, "in")
+    os.makedirs(in_dir)
+    shutil.copy(src_file, os.path.join(in_dir, "copy1.parquet"))
+    shutil.copy(src_file, os.path.join(in_dir, "copy2.parquet"))
+    ev = stream_events(spark, SF_ORACLE, path=in_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["event_id"]).select("event_id")
+    got = run_to_memory(deduped, "dedup_test", "append")
+    n_expected = load(spark, SF_ORACLE, "events").count()
+    assert got.count() == n_expected
+    assert got.distinct().count() == n_expected
+
+
+def test_stream_tumbling_equals_batch(spark):
+    """Direct stream-vs-batch equivalence for the k1 transform (complete
+    mode, no watermark)."""
+    ev = stream_events(spark, SF_ORACLE)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    streamed = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in run_to_memory(agg, "eq_test", "complete").collect()
+    }
+    batch = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert streamed == batch
