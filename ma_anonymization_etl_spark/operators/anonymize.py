@@ -387,6 +387,11 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
             )
             .drop("__med")
         )
+        # Iterative algorithm: truncate the lineage each level, or every
+        # later collect recomputes the whole join chain from the scan
+        # (on a real cluster use reliable checkpoint(); localCheckpoint
+        # materializes to executor storage).
+        out = out.localCheckpoint(eager=True)
     # Attach per-partition QI ranges — the generalized representation.
     w = Window.partitionBy("mondrian_pid")
     for q in qis:

@@ -99,18 +99,49 @@ def j2_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PERMS = 16
 _MINHASH_BANDS = 4  # 4 bands × 4 rows
 _MINHASH_TAU = 0.5
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_constants(n_perms: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1337)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(n_perms)]
 
 
 def minhash_signature(shingles: Column, n_perms: int = _MINHASH_PERMS) -> Column:
-    """MinHash: one salted md5-min per permutation (Broder 1997)."""
+    """MinHash via a universal hash family (Broder 1997): ONE md5 per
+    shingle, then n_perms cheap (a·h + b) mod p permutations — 16×
+    less hashing than salted-md5-per-permutation.  Base hash is folded
+    to 31 bits so a·h stays in int64.  (Array-expression form; the j3
+    operator uses the equivalent explode+groupBy form, which codegens
+    leaner and shuffles only (doc, hash) longs.)"""
+    base = F.transform(shingles, lambda s: hash64(s) % _MERSENNE)
+
+    def perm(a: int, b: int):
+        return lambda h: (a * h + b) % _MERSENNE
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, p=p: hash64(F.concat(F.lit(f"{p}|"), s)))
-            )
-            for p in range(n_perms)
+            F.array_min(F.transform(base, perm(a, b)))
+            for a, b in _perm_constants(n_perms)
         ]
     )
+
+
+def minhash_signature_grouped(sh: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFrame:
+    """Aggregation-form MinHash: explode shingles → one md5 per shingle →
+    n_perms MIN aggregates per doc.  Same values as minhash_signature;
+    partial aggregation means the shuffle carries n_perms longs per
+    (doc × map-partition) — the 100 TB shape."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).withColumn(
+        "h", hash64(F.col("s")) % _MERSENNE
+    )
+    aggs = [
+        F.min((a * F.col("h") + b) % _MERSENNE).alias(f"m{p}")
+        for p, (a, b) in enumerate(_perm_constants(n_perms))
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def band_keys(sig: Column, bands: int = _MINHASH_BANDS) -> Column:
@@ -143,12 +174,46 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
-    corpus = d.unionByName(perturbed)
-    sh = corpus.withColumn("shingles", word_shingles("text", 3)).select("doc_id", "shingles")
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles")))
+    # The corpus arrives as one small file → 1-2 input partitions, which
+    # serializes the CPU-heavy shingle/hash stage; spread it across the
+    # cluster first (at real scale the source is already many splits).
+    corpus = d.unionByName(perturbed).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # The shingle table feeds three plan branches (signature + both sides
+    # of verification); without persist Spark recomputes the shingling
+    # per branch.  Small: (docs × distinct shingles) strings.
+    sh = (
+        corpus.withColumn("shingles", word_shingles("text", 3))
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    sig = minhash_signature_grouped(sh)
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+    # Band join carries ids only — shingle arrays would bloat the shuffle;
+    # they are re-joined for the (small) candidate set during verification.
     banded = sig.select(
-        "doc_id", "shingles", F.explode(band_keys(F.col("sig"))).alias("bk")
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{band * r + i}").cast("string")
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for band in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -157,17 +222,16 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a")), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b")), "b_id")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= _MINHASH_TAU)
         .select("a_id", "b_id", "jaccard")
     )

@@ -28,6 +28,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # Modules whose import populates the registry.
 _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.relational",
+    "ma_anonymization_etl_spark.operators.sources_queries",
     "ma_anonymization_etl_spark.operators.sinks",
     "ma_anonymization_etl_spark.operators.windows",
     "ma_anonymization_etl_spark.operators.scalars",

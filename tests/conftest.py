@@ -71,14 +71,42 @@ def canon_rows(columns: list[str], rows) -> list[tuple[str, ...]]:
     return out
 
 
+def _type_family(t: str) -> str:
+    """Coarse type families for schema comparison: integer widths are
+    interchangeable, everything else must align."""
+    t = t.lower()
+    if any(x in t for x in ("tinyint", "smallint", "int", "long", "bigint", "hugeint")):
+        return "int"
+    if any(x in t for x in ("double", "float", "real", "decimal")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if any(x in t for x in ("binary", "blob")):
+        return "binary"
+    if any(x in t for x in ("array", "list", "[]")):
+        return "array"
+    if any(x in t for x in ("string", "varchar", "char")):
+        return "string"
+    return t
+
+
 def compare_query(spark, duck, fn, oracle: str, sf_dir: str = SF_ORACLE) -> None:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = dict(sdf.dtypes)
     s_rows = [tuple(r) for r in sdf.collect()]
-    rel = duck.execute(oracle)
-    d_cols = [d[0] for d in rel.description]
+    rel = duck.sql(oracle)  # relation API: real logical types, not DBAPI 'NUMBER'
+    d_cols = list(rel.columns)
+    d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    for c in s_cols:
+        sf_, df_ = _type_family(s_types[c]), _type_family(d_types[c])
+        assert sf_ == df_, f"type family differs for {c}: spark {s_types[c]} vs duckdb {d_types[c]}"
     assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
     cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
     if cs != cd:

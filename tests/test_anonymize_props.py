@@ -18,7 +18,11 @@ from tests.conftest import SF_ORACLE
 
 @pytest.fixture(scope="module")
 def customer(spark):
-    return load(spark, SF_ORACLE, "customer").cache()
+    df = load(spark, SF_ORACLE, "customer").cache()
+    yield df
+    # Unpersist, or the cached relation substitutes into later tests'
+    # plans (plan-based cache matching) and breaks the scan-shape audits.
+    df.unpersist()
 
 
 def test_perturb_uniform_bounds_and_mean(spark, customer):
