@@ -60,7 +60,7 @@ def with_media_columns(df: DataFrame) -> DataFrame:
     "m1_binary_meta",
     oracle="""
 SELECT doc_id,
-       unhex(md5(text)) AS payload,
+       hex(unhex(md5(text))) AS payload_hex,
        octet_length(unhex(md5(text))) AS n_bytes,
        CAST(n_chars % 64 AS INTEGER) AS width,
        CAST(doc_id % 48 AS INTEGER) AS height
@@ -69,11 +69,14 @@ FROM documents
 )
 def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m1: binary payload + typed metadata columns — the storage schema
-    for multimodal data.  BINARY values themselves are hash-compared."""
+    for multimodal data.  The BINARY ops (unhex/octet_length) run on
+    both engines; the payload is emitted hex-encoded because raw-bytes
+    python values (bytearray vs bytes) canonicalize differently across
+    drivers — engine-internal columns stay binary."""
     d = with_media_columns(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        "payload",
+        F.hex("payload").alias("payload_hex"),
         F.octet_length("payload").alias("n_bytes"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
