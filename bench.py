@@ -62,8 +62,10 @@ def main() -> None:
     all_q = registry.load_all()
     names = [n for n in HEADLINE if n in all_q]
 
-    # Warm up JVM/codegen paths once (not timed).
-    materialize(all_q[names[0]].fn(spark, sf_dir))
+    # Warm pass: run every query once untimed so timed runs measure
+    # steady-state execution, not first-run codegen compilation.
+    for name in names:
+        materialize(all_q[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

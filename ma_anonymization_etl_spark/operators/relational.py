@@ -322,26 +322,46 @@ SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
 )
 def c7_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c7: as-of join — for each event, the latest order at-or-before its
-    event time for the same user.  Spark has no native ASOF JOIN; the
-    portable emulation is range-join + row_number()=1.  Scale note: the
-    range join blows up to (events×orders-per-user) before pruning — at
-    100 TB pre-bucket both sides by user and use a sorted
-    applyInPandas merge, or coarse time-bucket the range first."""
+    event time for the same user.  Spark has no native ASOF JOIN;
+    implemented as the union-merge: tag both sides, sort each user's
+    timeline once, and carry the last-seen order forward with
+    last(..., ignorenulls) — one shuffle on user, O(n log n), no
+    (events × orders-per-user) pair blow-up (that naive range-join +
+    row_number emulation is what the oracle uses as the referee).
+
+    Ordering details that make it exact: at equal timestamps orders
+    sort before events (inclusive <=), and same-date orders sort by
+    orderkey ascending so the carried value is the max orderkey —
+    matching the oracle's DESC row_number tie-break."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left")
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    timeline = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        e.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_event"),
+            F.lit(None).cast("long").alias("okey"),
+            F.lit(None).cast("timestamp").alias("odate"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
-        )
+        timeline.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .withColumn("asof_orderdate", F.last("odate", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "asof_orderkey", "asof_orderdate")
     )
 
 
