@@ -55,11 +55,16 @@ def tokenize_consistent(df: DataFrame, col: str, out: str) -> DataFrame:
 
 
 def mask_partial(col: Column | str, keep_last: int = 4, mask_char: str = "*") -> Column:
-    """i5: partial masking — 'Customer#0001' → '*********0001'."""
+    """i5: partial masking — 'Customer#0001' → '*********0001'.  Strings
+    shorter than keep_last pass through whole (mirrors SQL right());
+    negative-start substring semantics differ across engines, so the
+    short case is branched explicitly."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.concat(
-        F.repeat(F.lit(mask_char), F.length(c) - keep_last),
-        F.substring(c, -keep_last, keep_last),
+    return F.when(F.length(c) <= keep_last, c).otherwise(
+        F.concat(
+            F.repeat(F.lit(mask_char), F.length(c) - keep_last),
+            F.substring(c, -keep_last, keep_last),
+        )
     )
 
 

@@ -555,6 +555,58 @@ def j15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j18_sample_hash",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+""",
+)
+def j18_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling + train/val/test split — the
+    reproducible-pipeline alternative to rand() sampling (engine RNGs
+    differ; md5 doesn't).  Hex-prefix thresholds: keep ~75% ('0'..'b'
+    of 16), then split ~5%/5%/rest by the first byte.  Same row lands
+    in the same split on every engine, every run, every cluster size."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.filter(F.substring(h, 1, 1) < "c")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.substring(h, 1, 2) < "0d", "test")
+            .when(F.substring(h, 1, 2) < "1a", "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
+@register(
+    "j19_stratified_sample",
+    oracle="""
+SELECT lang, COUNT(*) AS n_sampled
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE WHEN lang = 'en' THEN '1a' ELSE '80' END
+GROUP BY lang
+""",
+)
+def j19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) deterministic sampling: ~10% of 'en' docs,
+    ~50% of everything else — the class-rebalancing shape for training
+    mixes, as a pure map-side predicate (no shuffle, no RNG)."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bound = F.when(F.col("lang") == "en", "1a").otherwise("80")
+    return d.filter(h2 < bound).groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
     "j16_fingerprint",
     oracle="""
 SELECT doc_id,

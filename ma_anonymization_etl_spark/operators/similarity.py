@@ -194,6 +194,95 @@ def j12_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQL_CENTROIDS = """
+centroids AS (
+  SELECT label, list(avg_v ORDER BY pos) AS cent
+  FROM (SELECT label, pos, ROUND(AVG(v), 6) AS avg_v
+        FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                     unnest(range(1, 65)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+)"""
+
+
+@register(
+    "j20_ivf_ann",
+    oracle=f"""
+WITH {_IVF_SQL_CENTROIDS},
+e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT e.vec_id, c.label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.v', 'c.cent')} DESC, c.label) AS rn
+    FROM e, centroids c
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         ROUND({_sql_cos('qv.v', 'xv.v')}, 5) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cos('qv.v', 'xv.v')} DESC, x.vec_id) AS rn
+  FROM assign q
+  JOIN assign x ON x.cell = q.cell AND x.vec_id <> q.vec_id
+  JOIN e qv ON qv.vec_id = q.vec_id
+  JOIN e xv ON xv.vec_id = x.vec_id
+  WHERE q.vec_id < 10
+) WHERE rn <= 3
+""",
+)
+def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest label
+    centroid (the inverted-file cell), then search only within the
+    query's cell — candidates drop from N to N/#cells.  Centroids are
+    6-dp-rounded per-dimension means, so both engines fold identical
+    doubles.  Top-3 neighbours for the first 10 query vectors."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.avg("x"), 6).alias("avg_v"))
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "avg_v"))), lambda s: s.avg_v
+        ).alias("cent")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("clabel")
+    )
+    assign = (
+        e.drop("label")
+        .crossJoin(F.broadcast(cents.select(F.col("label").alias("clabel"), "cent")))
+        .withColumn("cos_c", cosine(F.col("v"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"), "v")
+    )
+    q = assign.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"), F.col("v").alias("qv")
+    )
+    cand = q.join(
+        assign, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 5).alias("cos_sim"),
+        )
+    )
+
+
 # --- LSH signatures: the approximate scale path --------------------------
 
 _LSH_PLANES = 8
