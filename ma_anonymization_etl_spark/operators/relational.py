@@ -610,6 +610,35 @@ def d11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "d12_pivot",
+    oracle=f"""
+SELECT c_nationkey,
+       {", ".join(f"COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS {s}" for s in _SEGMENTS)}
+FROM customer GROUP BY c_nationkey
+""",
+)
+def d12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12: pivot (long → wide) — segments become columns.  The pivot
+    values are pinned explicitly: letting Spark discover them adds an
+    extra distinct pass AND makes the schema data-dependent (fatal for
+    both the oracle and a 100 TB job's stability).  Missing combos are
+    coalesced to 0 to match SQL COUNT semantics."""
+    piv = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    return piv.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _SEGMENTS],
+    )
+
+
 # ---------------------------------------------------------------------------
 # F — sorts / limits / top-k
 # ---------------------------------------------------------------------------
