@@ -304,6 +304,21 @@ def t_closeness_metric(df: DataFrame, qis: Sequence[str], sa: str) -> DataFrame:
     )
 
 
+def utility_metrics(df: DataFrame, qis: Sequence[str], k: int) -> DataFrame:
+    """i24 (extension): utility/information-loss report for an
+    anonymized release — class count, average equivalence class size,
+    the discernibility metric Σ|class|² (Bayardo & Agrawal, ICDE 2005),
+    and C_avg = (n/#classes)/k (normalized average class size; 1.0 is
+    the k-anonymity optimum).  One grouped pass + a 1-row aggregate."""
+    sizes = class_sizes(df, qis)
+    return sizes.agg(
+        F.count("*").alias("n_classes"),
+        F.round(F.avg("class_size"), 4).alias("avg_class_size"),
+        F.sum(F.col("class_size") * F.col("class_size")).alias("discernibility"),
+        F.round((F.sum("class_size") / F.count("*")) / k, 4).alias("c_avg"),
+    )
+
+
 def uniqueness_risk(df: DataFrame, qis: Sequence[str]) -> DataFrame:
     """i21: re-identification risk report — share of singleton classes
     and share of rows that are unique on the QIs (1-row frame)."""

@@ -362,6 +362,24 @@ def i21_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.uniqueness_risk(c, ["c_nationkey", "c_mktsegment", "bal_bin"])
 
 
+@register(
+    "i24_utility_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_classes,
+       ROUND(AVG(cnt), 4) AS avg_class_size,
+       SUM(cnt * cnt) AS discernibility,
+       ROUND((CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) / 10, 4) AS c_avg
+FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_nationkey, c_mktsegment)
+""",
+)
+def i24_utility_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i24: information-loss report (class count, avg class size,
+    discernibility Σ|class|², C_avg vs k=10) — the utility half of the
+    privacy/utility trade-off the risk metrics (i16/i21) measure."""
+    c = load(spark, sf_dir, "customer")
+    return A.utility_metrics(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
 @register("i22_mondrian_kanon")  # adaptive recursion → rows-only + property tests
 def i22_mondrian_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i22: Mondrian multidimensional k-anonymity (k=25) over
