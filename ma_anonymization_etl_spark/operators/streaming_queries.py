@@ -136,6 +136,109 @@ def k7_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("k10_stream_minhash_dedup")  # pair set checked vs batch j3 in pytest
+def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k10 (extension): incremental near-dup dedup — the 100 TB
+    ingestion shape.  Documents arrive in micro-batches (originals,
+    then perturbed copies, maxFilesPerTrigger=1); each batch's MinHash
+    band keys are checked against an accumulating parquet fingerprint
+    store (batch-internal + batch-vs-store candidates), verified pairs
+    land in a pairs sink, and the batch's fingerprints join the store.
+    The resulting pair set must equal single-shot batch j3 on the same
+    corpus — asserted in tests/test_streaming.py."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _MINHASH_BANDS,
+        _MINHASH_PERMS,
+        _MINHASH_TAU,
+        minhash_signature_grouped,
+        word_shingles,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "mael_scratch", "k10")
+    in_dir, store, pairs_dir = (os.path.join(base, d) for d in ("in", "store", "pairs"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select("doc_id", "text")
+    d.write.parquet(os.path.join(in_dir, "batch1"))
+    d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    ).write.parquet(os.path.join(in_dir, "batch2"))
+
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+
+    def fingerprints(batch: DataFrame) -> DataFrame:
+        sh = batch.withColumn("shingles", word_shingles("text", 3)).select(
+            "doc_id", "shingles"
+        )
+        sig = minhash_signature_grouped(sh)
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[F.col(f"m{band * r + i}").cast("string") for i in range(r)],
+                                )
+                            ).alias("key"),
+                        )
+                        for band in range(_MINHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        return banded.join(sh, "doc_id")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        fp = fingerprints(batch).persist()
+        try:
+            known = spark.read.parquet(store)
+        except Exception:
+            known = None
+        pool = fp if known is None else fp.unionByName(known)
+        a, b = fp.alias("a"), pool.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+                F.col("a.shingles").alias("sh_a"),
+                F.col("b.shingles").alias("sh_b"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+        (
+            cand.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= _MINHASH_TAU)
+            .select("a_id", "b_id", "jaccard")
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        fp.write.mode("append").parquet(store)
+        fp.unpersist()
+
+    src = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    run_foreach_batch(src, process)
+    # Cross-batch duplicates of the same pair (both directions seen) —
+    # dedup on the ordered key.
+    return spark.read.parquet(pairs_dir).dropDuplicates(["a_id", "b_id"])
+
+
 @register(
     "k9_stream_anonymize",
     oracle="""

@@ -112,6 +112,25 @@ def test_stream_dedup_duplicated_source(spark, staging_dir):
     assert got.distinct().count() == n_expected
 
 
+def test_stream_minhash_dedup_equals_batch(spark):
+    """k10's incremental (two-micro-batch, fingerprint-store) near-dup
+    pairs must equal single-shot batch j3 on the same planted corpus."""
+    from ma_anonymization_etl_spark.operators.llm import j3_dedup_near_minhash
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k10_stream_minhash_dedup,
+    )
+
+    streamed = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in k10_stream_minhash_dedup(spark, SF_ORACLE).collect()
+    }
+    batch = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in j3_dedup_near_minhash(spark, SF_ORACLE).collect()
+    }
+    assert streamed == batch
+
+
 def test_stream_tumbling_equals_batch(spark):
     """Direct stream-vs-batch equivalence for the k1 transform (complete
     mode, no watermark)."""
