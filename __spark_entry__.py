@@ -12,11 +12,18 @@ registered per SURVEY.md §2 operator id in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ma_anonymization_etl_spark import registry
+# Robust to being imported by file path from any CWD.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from ma_anonymization_etl_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
