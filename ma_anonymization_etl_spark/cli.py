@@ -1,0 +1,111 @@
+"""ETL front door — run a config-driven anonymization route end to end:
+
+    python -m ma_anonymization_etl_spark.cli --route route.json \\
+        [--sf-dir /root/testdata/sf0.01] [--show 10]
+
+Route file shape (JSON — the reference's pipeline-as-config lifecycle,
+SURVEY §3):
+
+    {
+      "input":  {"table": "customer", "sf_dir": "/root/testdata/sf0.01"},
+      "columns": {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "sa"},
+      "steps":  [{"op": "pseudonymize_sha2", "col": "c_name",
+                  "salt": "s1|", "out": "name_token"},
+                 {"op": "generalize_numeric", "col": "c_acctbal",
+                  "width": 500, "out": "bal_bin"},
+                 {"op": "k_enforce_suppress",
+                  "qis": ["c_nationkey", "bal_bin"], "k": 8},
+                 {"op": "select",
+                  "cols": ["name_token", "c_nationkey", "bal_bin"]}],
+      "output": {"path": "/tmp/sanitized", "partition_by": ["c_nationkey"]}
+    }
+
+`input` may give `path` (any parquet) instead of `table`+`sf_dir`.
+`columns` is validated (i1) and every DI column must be touched by some
+step — the route fails fast otherwise instead of leaking identifiers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline, classify_columns
+from ma_anonymization_etl_spark.sources.io import load, write_parquet
+
+
+def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) -> None:
+    roles = classify_columns(cfg)
+    touched: set[str] = set()
+    for s in steps:
+        if "col" in s:
+            touched.add(s["col"])
+        touched.update(s.get("cols", []))
+    dropped = {c for s in steps if s.get("op") == "suppress_columns" for c in s["cols"]}
+    selected_away = set()
+    for s in steps:
+        if s.get("op") == "select":
+            selected_away = set(cfg) - set(s["cols"])
+    uncovered = [
+        c for c in roles["di"]
+        if c not in touched and c not in dropped and c not in selected_away
+    ]
+    if uncovered:
+        raise SystemExit(
+            f"route error: direct identifiers {uncovered} are not transformed, "
+            "suppressed, or projected away — refusing to run a leaking route"
+        )
+
+
+def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
+    src = route["input"]
+    if "path" in src:
+        df = spark.read.parquet(src["path"])
+    else:
+        df = load(spark, src.get("sf_dir", "/root/testdata/sf0.01"), src["table"])
+    if "columns" in route:
+        _check_di_covered(route["columns"], route.get("steps", []))
+    out = anonymize_pipeline(df, route.get("steps", []))
+    sink = route.get("output")
+    if sink:
+        write_parquet(out, sink["path"], sink.get("partition_by"))
+    return out
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Run an anonymization route")
+    ap.add_argument("--route", required=True, help="path to route JSON")
+    ap.add_argument("--sf-dir", default=None, help="override input sf_dir")
+    ap.add_argument("--show", type=int, default=0, help="print first N result rows")
+    args = ap.parse_args(argv)
+
+    with open(args.route) as f:
+        route = json.load(f)
+    if args.sf_dir:
+        route.setdefault("input", {})["sf_dir"] = args.sf_dir
+
+    owns_session = spark is None
+    if owns_session:
+        from ma_anonymization_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="mael-route")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        out = run_route(spark, route)
+        n = out.count()
+        print(f"route ok: {n} rows -> {route.get('output', {}).get('path', '(no sink)')}")
+        if args.show:
+            for row in out.limit(args.show).collect():
+                print(row)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""CLI route-runner tests: the example route end to end (in-process
+session), DI-leak refusal, and output re-read."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.cli import main, run_route
+from ma_anonymization_etl_spark.operators.anonymize import k_anonymity_metric
+from tests.conftest import SF_ORACLE
+
+
+def test_example_route_end_to_end(spark, tmp_path, capsys):
+    route = json.load(open("/root/repo/examples/route_customer.json"))
+    route["output"]["path"] = str(tmp_path / "out")
+    rf = tmp_path / "route.json"
+    rf.write_text(json.dumps(route))
+    assert main(["--route", str(rf), "--sf-dir", SF_ORACLE], spark=spark) == 0
+    assert "route ok:" in capsys.readouterr().out
+
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert set(back.columns) == {"name_token", "c_nationkey", "c_mktsegment", "bal_bin"}
+    # The sink really is k-anonymous on the route's QIs.
+    k = k_anonymity_metric(back, ["c_nationkey", "bal_bin"]).collect()[0]["k_anonymity"]
+    assert k >= 8
+    # Tokens are sha256 hex, not names.
+    assert back.filter(F.length("name_token") != 64).count() == 0
+    # Partitioned layout materialized.
+    assert any(p.name.startswith("c_nationkey=") for p in (tmp_path / "out").iterdir())
+
+
+def test_route_refuses_di_leak(spark):
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [{"op": "generalize_numeric", "col": "c_acctbal", "width": 100}],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
