@@ -410,8 +410,9 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
         # Iterative algorithm: truncate the lineage each level, or every
         # later collect recomputes the whole join chain from the scan
         # (on a real cluster use reliable checkpoint(); localCheckpoint
-        # materializes to executor storage).
-        out = out.localCheckpoint(eager=True)
+        # stores to executor storage).  Lazy: materializes with the next
+        # level's stats job instead of spending a dedicated job.
+        out = out.localCheckpoint(eager=False)
     # Attach per-partition QI ranges — the generalized representation.
     w = Window.partitionBy("mondrian_pid")
     for q in qis:
