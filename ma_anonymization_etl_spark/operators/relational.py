@@ -610,6 +610,22 @@ def d11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d13_approx_percentile")  # sketch values are engine-specific → rows-only
+def d13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13 (extension): approximate percentiles via the KLL/GK sketch —
+    the 100 TB replacement for exact d11 (no per-group sort; mergeable
+    sketches, single pass).  Accuracy vs exact is asserted in unit
+    tests; sketch outputs are engine-specific so no oracle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+        )
+    )
+
+
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 

@@ -149,6 +149,20 @@ def test_pipeline_unknown_op(spark, customer):
         anonymize_pipeline(customer, [{"op": "nope"}])
 
 
+def test_approx_percentile_accuracy(spark):
+    o = load(spark, SF_ORACLE, "orders")
+    rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:  # 1/accuracy relative-rank error → tight at 10000
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01
+
+
 def test_approx_count_distinct_accuracy(spark):
     e = load(spark, SF_ORACLE, "events")
     rows = (
