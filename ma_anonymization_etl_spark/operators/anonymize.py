@@ -355,40 +355,40 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
     out = df.withColumn("mondrian_pid", F.lit(0).cast("long"))
     for depth in range(max_depth):
         dim = qis[depth % len(qis)]
-        # Phase 1: per-partition median candidates (stats only → driver).
+        # ONE stats job per level: a per-partition value histogram with a
+        # cumulative-count window yields the exact lower-median AND the
+        # exact left-side count together, so the "allowable cut" check
+        # (LeFevre §strict: median ties can leave one side < k) needs no
+        # second pass over the data.  Shuffle sizes: (pid, value) pairs
+        # with map-side partial agg, then a window over the (much smaller)
+        # histogram; only O(#live partitions) rows reach the driver.
+        vc = out.groupBy("mondrian_pid", dim).agg(F.count("*").alias("cnt"))
+        wo = (
+            Window.partitionBy("mondrian_pid")
+            .orderBy(dim)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wp = Window.partitionBy("mondrian_pid")
+        cum = vc.withColumn("cum", F.sum("cnt").over(wo)).withColumn(
+            "n", F.sum("cnt").over(wp)
+        )
+        # Lower median = smallest value whose cumulative count reaches n/2;
+        # its cum IS count(dim <= med), exact even under heavy ties.
         stats = (
-            out.groupBy("mondrian_pid")
-            .agg(
-                F.count("*").alias("n"),
-                F.percentile(dim, F.lit(0.5)).alias("med"),
-                F.min(dim).alias("lo"),
-                F.max(dim).alias("hi"),
-            )
-            .collect()
-        )
-        candidates = [
-            (r["mondrian_pid"], float(r["med"]))
-            for r in stats
-            if r["n"] >= 2 * k and r["lo"] < r["hi"]
-        ]
-        if not candidates:
-            break
-        cand_df = out.sparkSession.createDataFrame(
-            candidates, "mondrian_pid LONG, __med DOUBLE"
-        )
-        # Phase 2: the "allowable cut" check (LeFevre §strict) — median
-        # ties can leave one side < k, so count both sides first.
-        sides = (
-            out.join(F.broadcast(cand_df), on="mondrian_pid")
+            cum.filter(F.col("cum") * 2 >= F.col("n"))
             .groupBy("mondrian_pid")
             .agg(
-                F.sum(F.when(F.col(dim) <= F.col("__med"), 1).otherwise(0)).alias("n_le"),
-                F.sum(F.when(F.col(dim) > F.col("__med"), 1).otherwise(0)).alias("n_gt"),
+                F.min(dim).alias("med"),
+                F.min_by("cum", dim).alias("n_le"),
+                F.max("n").alias("n"),
             )
             .collect()
         )
-        ok = {r["mondrian_pid"] for r in sides if r["n_le"] >= k and r["n_gt"] >= k}
-        splits = [c for c in candidates if c[0] in ok]
+        splits = [
+            (r["mondrian_pid"], float(r["med"]))
+            for r in stats
+            if r["n_le"] >= k and r["n"] - r["n_le"] >= k
+        ]
         if not splits:
             break
         split_df = out.sparkSession.createDataFrame(

@@ -225,9 +225,28 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    # Fused verification: instead of re-joining sh once per pair side (two
+    # full shuffles of the heavy shingle arrays), melt each candidate pair
+    # to two (pair, doc_id, side) rows, join sh ONCE, and gather the two
+    # sides back with a groupBy that shuffles only the candidate subset's
+    # arrays — at 100 TB the corpus-sized shuffle happens once, not twice.
+    melted = cand.select(
+        "a_id",
+        "b_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("doc_id"), F.lit(0).alias("side")),
+                F.struct(F.col("b_id").alias("doc_id"), F.lit(1).alias("side")),
+            )
+        ).alias("m"),
+    ).select("a_id", "b_id", F.col("m.doc_id").alias("doc_id"), F.col("m.side").alias("side"))
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a")), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b")), "b_id")
+        melted.join(sh, "doc_id")
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first(F.when(F.col("side") == 0, F.col("shingles")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == 1, F.col("shingles")), ignorenulls=True).alias("sh_b"),
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
