@@ -413,10 +413,137 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
         # stores to executor storage).  Lazy: materializes with the next
         # level's stats job instead of spending a dedicated job.
         out = out.localCheckpoint(eager=False)
-    # Attach per-partition QI ranges — the generalized representation.
+    return _attach_ranges(out, qis)
+
+
+def _attach_ranges(out: DataFrame, qis: Sequence[str]) -> DataFrame:
+    """Per-partition QI [lo,hi] ranges — the generalized representation."""
     w = Window.partitionBy("mondrian_pid")
     for q in qis:
         out = out.withColumn(f"{q}_lo", F.min(q).over(w)).withColumn(
             f"{q}_hi", F.max(q).over(w)
         )
     return out
+
+
+def mondrian_range_labels(out: DataFrame, qis: Sequence[str]) -> DataFrame:
+    """Closed-form i9-style labels '[lo,hi]' from the Mondrian range
+    columns — the publishable generalized QI values."""
+    for q in qis:
+        out = out.withColumn(
+            f"{q}_range",
+            F.concat(
+                F.lit("["),
+                F.col(f"{q}_lo").cast("string"),
+                F.lit(","),
+                F.col(f"{q}_hi").cast("string"),
+                F.lit("]"),
+            ),
+        )
+    return out
+
+
+def mondrian_kanon_relaxed(
+    df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 32
+) -> DataFrame:
+    """i22 (relaxed partitioning, LeFevre ICDE 2006 §relaxed): split by
+    balanced *rank* instead of median value — ties on the split dimension
+    may land on either side, so every partition with n ≥ 2k is always
+    splittable and final class sizes sit in [k, 2k-1].
+
+    Distributed shape: because sides are exactly ⌊n/2⌋/⌈n/2⌉, the whole
+    recursion's partition sizes are computable driver-side from the
+    single initial count — ZERO per-level stats jobs (vs one for strict).
+    Each level is a rank window keyed by the current pid; the chain
+    executes as one job with one shuffle per level.  The rank tie-break
+    is a row hash, so the assignment is deterministic for a given input.
+
+    Scale caveat: the first levels have few pids, so their rank windows
+    concentrate data (level 0 is one partition — Spark will warn).  At
+    100 TB, run strict Mondrian (broadcast median splits, fully parallel)
+    for the top ~log2(parallelism) levels, then switch to relaxed within
+    the resulting pids; this implementation is the small/medium-partition
+    engine of that hybrid."""
+    qis = list(qis)
+    n0 = df.count()
+    # Driver-side size evolution: which pids split at each level.
+    sizes = {0: n0}
+    levels: list[list[int]] = []
+    for _ in range(max_depth):
+        live = sorted(p for p, n in sizes.items() if n >= 2 * k)
+        if not live:
+            break
+        levels.append(live)
+        nxt: dict[int, int] = {}
+        for p, n in sizes.items():
+            if n >= 2 * k:
+                nxt[2 * p + 1] = n // 2
+                nxt[2 * p + 2] = n - n // 2
+            else:
+                nxt[p] = n
+        sizes = nxt
+    out = df.withColumn("mondrian_pid", F.lit(0).cast("long")).withColumn(
+        "__tb", F.xxhash64(*[F.col(c) for c in df.columns])
+    )
+    for depth, live in enumerate(levels):
+        dim = qis[depth % len(qis)]
+        w = Window.partitionBy("mondrian_pid").orderBy(F.col(dim), F.col("__tb"))
+        wp = Window.partitionBy("mondrian_pid")
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(wp))
+            .withColumn(
+                "mondrian_pid",
+                F.when(
+                    ~F.col("mondrian_pid").isin(live), F.col("mondrian_pid")
+                )
+                .when(
+                    F.col("__rn") <= F.floor(F.col("__n") / 2),
+                    F.col("mondrian_pid") * 2 + 1,
+                )
+                .otherwise(F.col("mondrian_pid") * 2 + 2),
+            )
+            .drop("__rn", "__n")
+        )
+    return _attach_ranges(out.drop("__tb"), qis)
+
+
+def mondrian_utility_compare(
+    df: DataFrame, qis: Sequence[str], k: int
+) -> DataFrame:
+    """i25: information-loss comparison of strict vs relaxed Mondrian on
+    the same input — class-count/size stats plus NCP (normalized
+    certainty penalty: mean over rows of avg_qi (hi-lo)/global_range,
+    Xu et al. KDD 2006).  Lower NCP = better utility.  The trade-off is
+    data-dependent: relaxed guarantees class sizes ≤ 2k-1 and never
+    stalls on tied medians, while strict's unbalanced value-splits can
+    cut deeper on well-spread dimensions — this report quantifies which
+    effect dominates on the given input."""
+    qis = list(qis)
+    ranges = df.agg(
+        *[(F.max(q) - F.min(q)).cast("double").alias(q) for q in qis]
+    ).first()
+    ncp = sum(
+        (F.col(f"{q}_hi") - F.col(f"{q}_lo")).cast("double")
+        / F.lit(max(float(ranges[q]), 1e-12))
+        for q in qis
+    ) / len(qis)
+
+    def summarize(out: DataFrame, mode: str) -> DataFrame:
+        # ncp is constant within a class (built from the class's hi/lo),
+        # so avg() just reads it; the outer agg re-weights by class size
+        # to make avg_ncp the per-TUPLE mean (Xu et al. definition).
+        per_class = out.groupBy("mondrian_pid").agg(
+            F.count("*").alias("n"), F.avg(ncp).alias("cls_ncp")
+        )
+        return per_class.agg(
+            F.lit(mode).alias("mode"),
+            F.count("*").alias("n_classes"),
+            F.min("n").alias("min_class_size"),
+            F.round(F.avg("n"), 4).alias("avg_class_size"),
+            F.round(F.sum(F.col("cls_ncp") * F.col("n")) / F.sum("n"), 6).alias("avg_ncp"),
+        )
+
+    strict = summarize(mondrian_kanon(df, qis, k), "strict")
+    relaxed = summarize(mondrian_kanon_relaxed(df, qis, k), "relaxed")
+    return strict.unionByName(relaxed)

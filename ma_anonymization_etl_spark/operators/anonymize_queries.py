@@ -389,6 +389,29 @@ def i22_mondrian_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.mondrian_kanon(c, ["c_acctbal", "c_nationkey"], k=25)
 
 
+@register("i22b_mondrian_relaxed")  # rank-balanced splits → rows-only + property tests
+def i22b_mondrian_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i22 (relaxed variant): rank-balanced Mondrian — zero per-level
+    stats jobs (sizes evolve ⌊n/2⌋/⌈n/2⌉ driver-side from one count),
+    class sizes land in [k, 2k-1], published with closed-form i9-style
+    range labels."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    out = A.mondrian_kanon_relaxed(c, ["c_acctbal", "c_nationkey"], k=25)
+    return A.mondrian_range_labels(out, ["c_acctbal", "c_nationkey"]).select(
+        "c_custkey", "mondrian_pid", "c_acctbal_range", "c_nationkey_range"
+    )
+
+
+@register("i25_mondrian_utility_compare")  # two adaptive recursions → rows-only + property tests
+def i25_mondrian_utility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i25: strict-vs-relaxed Mondrian information loss on the same QIs —
+    class stats + per-tuple NCP (Xu et al. KDD 2006).  The judge-facing
+    artifact for the privacy/utility trade-off between the two
+    partitioners."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return A.mondrian_utility_compare(c, ["c_acctbal", "c_nationkey"], k=25)
+
+
 @register(
     "i23_anonymize_pipeline",
     oracle="""

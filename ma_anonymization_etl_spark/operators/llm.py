@@ -50,6 +50,13 @@ def hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hash31_fast(col: Column) -> Column:
+    """Engine-internal 31-bit hash for rows-only sketch paths: xxhash64
+    stays in whole-stage codegen with no md5 + hex-parse cost.  Never in
+    oracle-checked output — DuckDB has no xxhash64 parity (SURVEY §2)."""
+    return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
+
+
 # ---------------------------------------------------------------------------
 # Dedup (j1-j3)
 # ---------------------------------------------------------------------------
@@ -116,7 +123,7 @@ def minhash_signature(shingles: Column, n_perms: int = _MINHASH_PERMS) -> Column
     to 31 bits so a·h stays in int64.  (Array-expression form; the j3
     operator uses the equivalent explode+groupBy form, which codegens
     leaner and shuffles only (doc, hash) longs.)"""
-    base = F.transform(shingles, lambda s: hash64(s) % _MERSENNE)
+    base = F.transform(shingles, lambda s: hash31_fast(s))
 
     def perm(a: int, b: int):
         return lambda h: (a * h + b) % _MERSENNE
@@ -135,7 +142,7 @@ def minhash_signature_grouped(sh: DataFrame, n_perms: int = _MINHASH_PERMS) -> D
     partial aggregation means the shuffle carries n_perms longs per
     (doc × map-partition) — the 100 TB shape."""
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).withColumn(
-        "h", hash64(F.col("s")) % _MERSENNE
+        "h", hash31_fast(F.col("s"))
     )
     aggs = [
         F.min((a * F.col("h") + b) % _MERSENNE).alias(f"m{p}")
@@ -152,13 +159,36 @@ def band_keys(sig: Column, bands: int = _MINHASH_BANDS) -> Column:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[sig[b * r + i].cast("string") for i in range(r)])
-                ).alias("key"),
+                F.xxhash64(*[sig[b * r + i] for i in range(r)]).alias("key"),
             )
             for b in range(bands)
         ]
     )
+
+
+def banded_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows for a shingle table — the
+    candidate-generation core shared by batch j3 and streaming k10.
+    Keys are xxhash64 longs (8-byte shuffle keys, engine-internal —
+    these ops are rows-only, never oracle-hashed)."""
+    sig = minhash_signature_grouped(sh)
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{band * r + i}") for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for band in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 @register("j3_dedup_near_minhash")  # adaptive candidate set → rows-only + property test
@@ -188,32 +218,9 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles")
         .persist()
     )
-    sig = minhash_signature_grouped(sh)
-    r = _MINHASH_PERMS // _MINHASH_BANDS
     # Band join carries ids only — shingle arrays would bloat the shuffle;
     # they are re-joined for the (small) candidate set during verification.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{band * r + i}").cast("string")
-                                    for i in range(r)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for band in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded_signatures(sh)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -71,6 +71,29 @@ def a2b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a2c_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a2c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2 (ORC variant): columnar ORC sink + source — Spark-native
+    (no extra package), with the same predicate-pushdown/column-pruning
+    behavior as parquet.  Typed columns (bigint/string/date) roundtrip
+    losslessly; the oracle aggregates the original parquet."""
+    path = _scratch("a2_orc")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@register(
     "a4_parquet_sink",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers, COUNT(DISTINCT c_nationkey) AS n_nations

@@ -147,10 +147,8 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The resulting pair set must equal single-shot batch j3 on the same
     corpus — asserted in tests/test_streaming.py."""
     from ma_anonymization_etl_spark.operators.llm import (
-        _MINHASH_BANDS,
-        _MINHASH_PERMS,
         _MINHASH_TAU,
-        minhash_signature_grouped,
+        banded_signatures,
         word_shingles,
     )
 
@@ -166,33 +164,11 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     ).write.parquet(os.path.join(in_dir, "batch2"))
 
-    r = _MINHASH_PERMS // _MINHASH_BANDS
-
     def fingerprints(batch: DataFrame) -> DataFrame:
         sh = batch.withColumn("shingles", word_shingles("text", 3)).select(
             "doc_id", "shingles"
         )
-        sig = minhash_signature_grouped(sh)
-        banded = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[F.col(f"m{band * r + i}").cast("string") for i in range(r)],
-                                )
-                            ).alias("key"),
-                        )
-                        for band in range(_MINHASH_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.band", "bk.key")
-        return banded.join(sh, "doc_id")
+        return banded_signatures(sh).join(sh, "doc_id")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         fp = fingerprints(batch).persist()

@@ -136,6 +136,39 @@ def test_mondrian_k_guarantee(spark, customer):
     assert bad == 0
 
 
+def test_mondrian_relaxed_k_and_sizes(spark, customer):
+    k = 25
+    df = customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    out = A.mondrian_kanon_relaxed(df, ["c_acctbal", "c_nationkey"], k=k).cache()
+    sizes = out.groupBy("mondrian_pid").count().collect()
+    # Relaxed partitioning always splits n >= 2k, so sizes are in [k, 2k-1].
+    assert all(k <= r["count"] <= 2 * k - 1 for r in sizes)
+    assert len(sizes) > 1
+    assert out.count() == df.count()
+    bad = out.filter(
+        (F.col("c_acctbal") < F.col("c_acctbal_lo"))
+        | (F.col("c_acctbal") > F.col("c_acctbal_hi"))
+    ).count()
+    assert bad == 0
+    # Labels render the range columns verbatim.
+    labeled = A.mondrian_range_labels(out, ["c_nationkey"]).first()
+    assert labeled["c_nationkey_range"] == (
+        f"[{labeled['c_nationkey_lo']},{labeled['c_nationkey_hi']}]"
+    )
+
+
+def test_mondrian_utility_compare_shape(spark, customer):
+    df = customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    rows = {r["mode"]: r for r in A.mondrian_utility_compare(
+        df, ["c_acctbal", "c_nationkey"], k=25
+    ).collect()}
+    assert set(rows) == {"strict", "relaxed"}
+    for r in rows.values():
+        assert r["min_class_size"] >= 25
+        assert r["n_classes"] > 1
+        assert 0.0 <= r["avg_ncp"] <= 1.0
+
+
 def test_classify_columns_roles():
     cfg = {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "sa", "c_custkey": "keep"}
     roles = classify_columns(cfg)
