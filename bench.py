@@ -67,11 +67,17 @@ def main() -> None:
     for name in names:
         materialize(all_q[name].fn(spark, sf_dir))
 
+    # Median of 3 timed runs per query — a single GC/compilation spike
+    # otherwise shows up as round-to-round variance in BENCH history.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        materialize(all_q[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(all_q[name].fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
