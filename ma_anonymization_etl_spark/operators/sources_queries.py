@@ -4,6 +4,7 @@ classification) so SURVEY §2's inventory maps 1:1 onto queries()."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.plans.pipeline import classify_columns
 from ma_anonymization_etl_spark.registry import register
@@ -18,6 +19,36 @@ def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a1: the raw columnar scan — schema from parquet footers, values
     byte-identical to the oracle's read of the same file."""
     return load(spark, sf_dir, "region")
+
+
+@register(
+    "a7_custom_pyds",
+    oracle="""
+SELECT CAST(i % 10 AS INT) AS grp,
+       COUNT(*) AS n,
+       SUM((i * 7 % 100) / 4.0) AS sum_val,
+       MIN(i) AS first_id,
+       MAX(i) AS last_id
+FROM range(0, 10000) t(i)
+GROUP BY CAST(i % 10 AS INT)
+""",
+)
+def a7_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a7: custom Python DataSource (Spark 4 datasource API) — partitioned
+    executor-side row generation through the format() registry; the oracle
+    reproduces the closed-form rows from DuckDB's range().  Values are
+    exact binary fractions so plain SUM is parity-safe (see
+    sources/pydatasource.py)."""
+    from ma_anonymization_etl_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic_events").option("n", 10000).option("parts", 8).load()
+    return df.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+    )
 
 
 # The fixture classification for the customer table (FIXTURES.md roles).

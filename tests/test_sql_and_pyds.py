@@ -1,0 +1,40 @@
+"""SQL entry point + custom Python DataSource surfaces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.sources.pydatasource import register_synthetic_source
+from ma_anonymization_etl_spark.sql import run_sql
+from tests.conftest import SF_ORACLE
+
+
+def test_run_sql_full_catalyst_path(spark):
+    df = run_sql(
+        spark, SF_ORACLE,
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+    )
+    rows = {r["c_mktsegment"]: r["n"] for r in df.collect()}
+    assert sum(rows.values()) == 1500 and len(rows) == 5
+
+
+def test_run_sql_views_join(spark):
+    n = run_sql(
+        spark, SF_ORACLE,
+        "SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA'",
+    ).count()
+    assert n == 5
+
+
+def test_custom_datasource_partitions_and_values(spark):
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic_events").option("n", 1000).option("parts", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    # Executor-side closed form: id i -> (i % 10, (i*7 % 100)/4.0).
+    r = df.filter(F.col("id") == 123).first()
+    assert r["grp"] == 3 and r["val"] == (123 * 7 % 100) / 4.0
+    # Uneven split: last partition short.
+    df2 = spark.read.format("synthetic_events").option("n", 10).option("parts", 4).load()
+    assert df2.count() == 10 and df2.rdd.getNumPartitions() == 4
