@@ -38,6 +38,36 @@ def a3_json_col_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h8_variant_semi_structured",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) % 7
+""",
+)
+def h8_variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h8 (Spark 4 VARIANT): parse the JSON column ONCE into the binary
+    VARIANT type, then typed ``variant_get`` extractions — the modern
+    semi-structured path (single parse, no per-access re-parse like
+    get_json_object; shreddable at the parquet layer).  Oracle uses
+    DuckDB's json_extract on the same column."""
+    e = load(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "h1_string_funcs",
     oracle="""
 SELECT p_partkey,

@@ -88,3 +88,23 @@ def test_flagship_partial_aggregation(spark):
 def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in plan_of(spark, "c4_join_semi")
     assert "LeftAnti" in plan_of(spark, "c5_join_anti")
+
+
+def test_sql_text_gets_same_optimizations(spark):
+    """SQL text through run_sql must hit the same Catalyst physical
+    strategies as the DataFrame twins: pushed scans for s6, broadcast
+    dims for s5."""
+    s6 = plan_of(spark, "s6_tpch_q6_sql")
+    assert "PushedFilters: [" in s6
+    assert "l_shipdate" in [ln for ln in s6.splitlines() if "PushedFilters" in ln][0]
+    s5 = plan_of(spark, "s5_tpch_q5_sql")
+    assert "BroadcastHashJoin" in s5  # nation/region/supplier side
+    s1 = plan_of(spark, "s1_tpch_q1_sql")
+    assert s1.count("HashAggregate") >= 2  # partial + final
+
+
+def test_custom_datasource_is_batch_scan(spark):
+    plan = plan_of(spark, "a7_custom_pyds")
+    assert "BatchScan synthetic_events" in plan
+    # Aggregation still two-phase on top of the Python source.
+    assert plan.count("HashAggregate") >= 2
