@@ -1,0 +1,143 @@
+"""Warehouse-maintenance ETL operators (group N): MERGE/upsert and SCD2
+historization — the write-side primitives an anonymization ETL deploys
+around (refresh the cleaned table from a delta feed; keep auditable
+history of changing attributes).
+
+Scale shapes:
+- merge_upsert is one shuffle join on the merge key (broadcast when the
+  delta is small, which is the common nightly-feed case) — never a
+  row-at-a-time driver loop.  On a real lakehouse the same plan runs
+  under a transactional table format's MERGE; this is the engine
+  semantics underneath.
+- scd2_historize is two window passes over (key, order) — change
+  detection via lag, version numbering via running sum, interval close
+  via lead.  Partition-local after one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE semantics on matching schemas: update rows win on key match,
+    unmatched update rows insert, unmatched base rows survive.
+    (WHEN MATCHED THEN UPDATE ∪ WHEN NOT MATCHED THEN INSERT.)"""
+    keys = list(keys)
+    kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_historize(
+    snapshots: DataFrame,
+    key: str,
+    attr: str,
+    order_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an append-only
+    snapshot/event feed: collapse consecutive runs of the same ``attr``
+    per ``key`` into versioned validity intervals
+    (valid_from, valid_to, version, is_current)."""
+    w = Window.partitionBy(key).orderBy(order_col, tiebreak)
+    marked = snapshots.withColumn(
+        "__chg",
+        F.when(
+            ~F.lag(attr).over(w).eqNullSafe(F.col(attr)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("__version", F.sum("__chg").over(w))
+    per_version = marked.groupBy(key, "__version").agg(
+        F.first(attr).alias("state"),
+        F.min(order_col).alias("valid_from"),
+    )
+    wv = Window.partitionBy(key).orderBy("__version")
+    return (
+        per_version.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key,
+            F.col("__version").alias("version"),
+            "state",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+    )
+
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+
+
+@register(
+    "n1_merge_upsert",
+    oracle=f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT {_ORDER_COLS} FROM updates
+UNION ALL
+SELECT {_ORDER_COLS} FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+""",
+)
+def n1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n1: MERGE/upsert — a synthetic delta feed (10% price updates +
+    1% inserts under new keys) merged into orders; anti-join keeps
+    untouched rows, updates win on key.  +100 not *1.1: identical IEEE
+    addition on both engines, no rounding-mode parity risk."""
+    o = load(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    return merge_upsert(o, updates, ["o_orderkey"])
+
+
+@register(
+    "n2_scd2_historize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), versioned AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM marked
+), per_version AS (
+  SELECT user_id, version, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+FROM per_version
+""",
+)
+def n2_scd2_historize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n2: SCD2 — the event feed becomes a versioned dimension: runs of
+    identical event_type per user collapse to validity intervals; the
+    open interval is the current state.  (state = MIN(event_type) in the
+    oracle is safe: every row in a version has the same event_type.)"""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_historize(e, key="user_id", attr="event_type", order_col="ts", tiebreak="event_id")

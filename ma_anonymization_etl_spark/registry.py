@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.multimodal",
     "ma_anonymization_etl_spark.operators.udfs",
     "ma_anonymization_etl_spark.operators.sql_queries",
+    "ma_anonymization_etl_spark.operators.etl",
 ]
 
 
