@@ -51,6 +51,43 @@ def a7_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a8_custom_pyds_stream",
+    oracle="""
+SELECT CAST(i % 10 AS INT) AS grp,
+       COUNT(*) AS n,
+       SUM((i * 7 % 100) / 4.0) AS sum_val
+FROM range(0, 5000) t(i)
+GROUP BY CAST(i % 10 AS INT)
+""",
+)
+def a8_custom_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a8: the STREAMING face of the custom Python DataSource —
+    SimpleDataSourceStreamReader paginates the same closed-form rows as
+    offset-tracked micro-batches (5 batches × 1000 rows) through a
+    complete-mode aggregate; the oracle is the batch answer over the
+    full range.  Drained via run_until (Python stream readers prefetch
+    one micro-batch at a time, so availableNow can't see the bounded
+    range up front)."""
+    from ma_anonymization_etl_spark.sources.pydatasource import register_synthetic_source
+    from ma_anonymization_etl_spark.streaming.runner import run_until
+
+    register_synthetic_source(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 5000)
+        .option("batch_rows", 1000)
+        .load()
+    )
+    agg = src.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("val").alias("sum_val")
+    )
+    return run_until(
+        agg, "a8_pyds", "complete",
+        lambda sink: (sink.agg(F.sum("n")).first()[0] or 0) == 5000,
+    )
+
+
 # The fixture classification for the customer table (FIXTURES.md roles).
 CUSTOMER_ROLES = {
     "c_name": "di",

@@ -22,7 +22,12 @@ Registration is per-session: ``spark.dataSource.register(cls)``, then
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RangePartition(InputPartition):
@@ -44,6 +49,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -60,6 +68,37 @@ class SyntheticEventsReader(DataSourceReader):
     def read(self, partition: RangePartition):
         for i in range(partition.start, partition.end):
             yield (i, i % 10, (i * 7 % 100) / 4.0)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are row ids; each
+    micro-batch emits the next ``batch_rows`` closed-form rows.  A real
+    connector would replace the closed form with a poll (API page, log
+    segment, queue drain) and keep the offset bookkeeping identical.
+    SimpleDataSourceStreamReader reads on the driver and is for
+    low-throughput sources; high-throughput ones implement
+    DataSourceStreamReader with partitioned executor reads."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("n", 10000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        # iter-of-list, not a generator: the driver-side prefetch cache
+        # copy.copy()s and may pickle the iterator; list_iterators
+        # support both, generators neither.
+        return iter(self.readBetweenOffsets(start, {"next": hi})), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            (i, i % 10, (i * 7 % 100) / 4.0)
+            for i in range(start["next"], end["next"])
+        ]
 
 
 def register_synthetic_source(spark) -> None:

@@ -71,6 +71,34 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     return df.sparkSession.table(qname)
 
 
+def run_until(df: DataFrame, name: str, output_mode: str, done_fn, timeout_s: float = 120.0) -> DataFrame:
+    """Run an unbounded-source stream into a memory sink until
+    ``done_fn(sink_df)`` is truthy, then stop the query and return the
+    sink.  For sources where trigger(availableNow) can't see the full
+    bounded range up front (e.g. Python stream readers, which prefetch
+    one micro-batch at a time on the driver)."""
+    import time
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .start()
+    )
+    sink = df.sparkSession.table(qname)
+    deadline = time.monotonic() + timeout_s
+    try:
+        while not done_fn(sink):
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"stream {qname} did not drain in {timeout_s}s")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return sink
+
+
 def run_foreach_batch(df: DataFrame, batch_fn, checkpoint: str | None = None) -> None:
     """a6/k9: micro-batch sink — apply ``batch_fn(batch_df, batch_id)``
     per micro-batch with checkpointed exactly-once progress."""

@@ -24,7 +24,7 @@ PYTHON_OK = {
 }
 
 # Streaming queries execute eagerly (memory sink) — skip plan text checks.
-STREAMING = {n for n in ALL if n.startswith(("a5_", "a6_", "k5_", "k7_", "k9_"))}
+STREAMING = {n for n in ALL if n.startswith(("a5_", "a6_", "a8_", "k5_", "k7_", "k9_"))}
 
 
 def plan_of(spark, name: str) -> str:
