@@ -508,6 +508,81 @@ def mondrian_kanon_relaxed(
     return _attach_ranges(out.drop("__tb"), qis)
 
 
+def mondrian_kanon_hybrid(
+    df: DataFrame,
+    qis: Sequence[str],
+    k: int,
+    strict_levels: int = 4,
+    max_depth: int = 32,
+) -> DataFrame:
+    """i22c: the 100 TB Mondrian shape — STRICT median splits for the top
+    ``strict_levels`` (fully parallel: per-pid histograms + broadcast
+    split decisions, no single-partition windows), then RELAXED
+    rank-balanced recursion inside each resulting pid (its windows key on
+    thousands of pids, so work spreads across the cluster; sizes in
+    [k, 2k-1] wherever a pid is still splittable).
+
+    strict_levels ≈ log2(cluster parallelism) in production: after that
+    many levels there are ~2^strict_levels pids — enough keys for the
+    relaxed windows to parallelize.
+    """
+    qis = list(qis)
+    coarse = mondrian_kanon(df, qis, k, max_depth=strict_levels)
+    coarse = coarse.drop(*[c for c in coarse.columns if c.endswith(("_lo", "_hi"))])
+    coarse = coarse.withColumnRenamed("mondrian_pid", "__coarse_pid")
+    # Relaxed recursion within each coarse pid: driver-side size
+    # evolution needs per-pid counts — ONE stats job total, then the
+    # whole refinement is a single chained-window job.
+    sizes = {
+        r["__coarse_pid"]: r["n"]
+        for r in coarse.groupBy("__coarse_pid").agg(F.count("*").alias("n")).collect()
+    }
+    # Encode (coarse, local) as coarse * 2^depth_budget + local-heap-id.
+    # Track per-coarse local trees independently.
+    out = coarse.withColumn("__local", F.lit(0).cast("long")).withColumn(
+        "__tb", F.xxhash64(*[F.col(c) for c in df.columns])
+    )
+    local_sizes: dict[tuple[int, int], int] = {(c, 0): n for c, n in sizes.items()}
+    strict_offset = strict_levels % len(qis)
+    for depth in range(max_depth):
+        dim = qis[(strict_offset + depth) % len(qis)]
+        live = sorted(
+            {(c, p) for (c, p), n in local_sizes.items() if n >= 2 * k},
+            key=lambda t: (t[0], t[1]),
+        )
+        if not live:
+            break
+        nxt: dict[tuple[int, int], int] = {}
+        live_local_by_coarse: dict[int, set[int]] = {}
+        for (c, p), n in local_sizes.items():
+            if n >= 2 * k:
+                nxt[(c, 2 * p + 1)] = n // 2
+                nxt[(c, 2 * p + 2)] = n - n // 2
+                live_local_by_coarse.setdefault(c, set()).add(p)
+            else:
+                nxt[(c, p)] = n
+        local_sizes = nxt
+        live_keys = [c * (1 << 32) + p for c, ps in live_local_by_coarse.items() for p in ps]
+        key_col = F.col("__coarse_pid") * (1 << 32) + F.col("__local")
+        w = Window.partitionBy("__coarse_pid", "__local").orderBy(F.col(dim), F.col("__tb"))
+        wp = Window.partitionBy("__coarse_pid", "__local")
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(wp))
+            .withColumn(
+                "__local",
+                F.when(~key_col.isin(live_keys), F.col("__local"))
+                .when(F.col("__rn") <= F.floor(F.col("__n") / 2), F.col("__local") * 2 + 1)
+                .otherwise(F.col("__local") * 2 + 2),
+            )
+            .drop("__rn", "__n")
+        )
+    out = out.withColumn(
+        "mondrian_pid", F.col("__coarse_pid") * (1 << 32) + F.col("__local")
+    ).drop("__coarse_pid", "__local", "__tb")
+    return _attach_ranges(out, qis)
+
+
 def mondrian_utility_compare(
     df: DataFrame, qis: Sequence[str], k: int
 ) -> DataFrame:

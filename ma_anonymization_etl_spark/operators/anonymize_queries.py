@@ -402,6 +402,16 @@ def i22b_mondrian_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("i22c_mondrian_hybrid")  # adaptive recursion → rows-only + property tests
+def i22c_mondrian_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i22c: hybrid Mondrian — strict median splits for the top levels
+    (fully parallel broadcast decisions), relaxed rank-balanced inside
+    each coarse partition (windows keyed on many pids).  The shape that
+    runs at 100 TB: no single-partition window ever sees the full table."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return A.mondrian_kanon_hybrid(c, ["c_acctbal", "c_nationkey"], k=25, strict_levels=3)
+
+
 @register("i25_mondrian_utility_compare")  # two adaptive recursions → rows-only + property tests
 def i25_mondrian_utility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i25: strict-vs-relaxed Mondrian information loss on the same QIs —

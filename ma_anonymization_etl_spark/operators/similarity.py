@@ -323,3 +323,39 @@ def j17_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in planes
     ]
     return e.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+@register("j21_sim_topk_vectorized")  # python-surface perf twin of j8 → rows-only + equality test
+def j21_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j21: Arrow-vectorized brute-force cosine top-k via mapInPandas +
+    numpy matmul — the PERFORMANCE twin of j8 (whose sequential
+    F.aggregate fold is kept for bit-exact DuckDB parity).  Per Arrow
+    batch: stack to a matrix, one BLAS matvec, argpartition local top-k;
+    the global TakeOrderedAndProject sees only (batches × k) rows.
+    This is the dense-scoring shape for 100 TB: ~memory-bandwidth-bound
+    per executor, no shuffle until the tiny per-batch winners.
+    Equality with j8 (after ROUND 5) is pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    bq = spark.sparkContext.broadcast(qn)
+
+    def score(batches):
+        qv = bq.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (m @ qv) / np.linalg.norm(m, axis=1)
+            k = min(10, len(cos))
+            idx = np.argpartition(-cos, k - 1)[:k]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[idx], "cos_sim": np.round(cos[idx], 5)}
+            )
+
+    scored = e.filter(F.col("vec_id") != 0).mapInPandas(
+        score, "vec_id BIGINT, cos_sim DOUBLE"
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)

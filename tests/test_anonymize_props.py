@@ -157,6 +157,26 @@ def test_mondrian_relaxed_k_and_sizes(spark, customer):
     )
 
 
+def test_mondrian_hybrid_k_guarantee(spark, customer):
+    k = 25
+    df = customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    out = A.mondrian_kanon_hybrid(
+        df, ["c_acctbal", "c_nationkey"], k=k, strict_levels=3
+    ).cache()
+    sizes = out.groupBy("mondrian_pid").count().collect()
+    assert all(r["count"] >= k for r in sizes)
+    # Refinement continues past the strict phase: at least as many
+    # classes as 2^strict_levels could ever produce alone, and every
+    # still-splittable class got split (relaxed guarantee: < 2k).
+    assert all(r["count"] < 2 * k for r in sizes)
+    assert out.count() == df.count()
+    bad = out.filter(
+        (F.col("c_acctbal") < F.col("c_acctbal_lo"))
+        | (F.col("c_acctbal") > F.col("c_acctbal_hi"))
+    ).count()
+    assert bad == 0
+
+
 def test_mondrian_utility_compare_shape(spark, customer):
     df = customer.select("c_custkey", "c_nationkey", "c_acctbal")
     rows = {r["mode"]: r for r in A.mondrian_utility_compare(

@@ -34,6 +34,17 @@ def test_minhash_recovers_planted_neardups(spark):
     assert all(r["jaccard"] >= 0.5 for r in pairs)
 
 
+def test_vectorized_topk_equals_fold_topk(spark):
+    """j21 (numpy mapInPandas) must reproduce j8 (sequential F.aggregate
+    fold) exactly after the shared ROUND 5 — same neighbours, same order."""
+    from ma_anonymization_etl_spark.registry import load_all
+
+    qs = load_all()
+    a = [tuple(r) for r in qs["j21_sim_topk_vectorized"].fn(spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in qs["j8_sim_topk"].fn(spark, SF_ORACLE).collect()]
+    assert a == b and len(a) == 10
+
+
 def test_simhash_pairs_planted(spark):
     pairs = j3b_dedup_simhash(spark, SF_ORACLE).collect()
     n_docs = load(spark, SF_ORACLE, "documents").count()
