@@ -220,3 +220,78 @@ def k8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias("sum_value"),
         )
     )
+
+
+@register(
+    "k11_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_signup AND e.ts <= v.t_signup + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_24h,
+       (SELECT COUNT(*) FROM p) AS n_purchase_24h
+""",
+)
+def k11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k11: ordered, time-bounded funnel signup → click(≤24 h) →
+    purchase(≤24 h of the click) — per-user stage timestamps via chained
+    conditional-min windows on ONE user_id exchange (Spark reuses the
+    partitioning across the three window ops), then a single-row
+    conversion report.  The oracle takes the equivalent three-CTE join
+    form; at sf0.01 the stages are 150 → 65 → 29, so step order and the
+    time bounds are all load-bearing."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_signup",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_signup"))
+                    & (F.col("ts") <= F.col("t_signup") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_signup").alias("t0"),
+        F.max("t_click").alias("t1"),
+        F.max("t_buy").alias("t2"),
+    )
+    return per_user.agg(
+        F.count("t0").alias("n_signup"),
+        F.count("t1").alias("n_click_24h"),
+        F.count("t2").alias("n_purchase_24h"),
+    )

@@ -100,6 +100,19 @@ LIMIT 20
 """
 
 
+S14_TPCH_Q14 = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+     / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+     * 100 AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     @register(name, oracle=sql)
     def q(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
@@ -133,6 +146,13 @@ _sql_query(
     S6_TPCH_Q6,
     "TPC-H Q6 (forecast revenue) as SQL text — pure scan + pushed "
     "predicates + one global aggregate.",
+)
+_sql_query(
+    "s14_tpch_q14_sql",
+    S14_TPCH_Q14,
+    "TPC-H Q14 (promo revenue share) as SQL text — the numerator and "
+    "denominator are scaled-int64 exact sums, so the final division is "
+    "identical IEEE on both engines.",
 )
 _sql_query(
     "s10_tpch_q10_sql",
