@@ -116,3 +116,26 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "frames": frames})
 
     return d.mapInPandas(sample, "doc_id LONG, frames ARRAY<INT>")
+
+
+@register("m4_resize")  # python-side batch resize → rows-only + unit test
+def m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m4: image resize over fake raster payloads via mapInPandas +
+    numpy — payload ×64 = 1024 bytes read as a 32×32 uint8 raster,
+    block-mean pooled to 8×8 (the antialiased-downsample shape; swap in
+    PIL.Image.resize when a codec exists).  Exact float64 means of
+    integer blocks, so results are deterministic across partitionings."""
+    import numpy as np
+
+    d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for b in pdf["payload"]:
+                img = np.frombuffer(bytes(b) * 64, dtype=np.uint8)[:1024].reshape(32, 32)
+                small = img.reshape(8, 4, 8, 4).mean(axis=(1, 3))
+                pixels.append([float(x) for x in small.ravel()])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
+
+    return d.mapInPandas(resize, "doc_id LONG, pixels ARRAY<DOUBLE>")

@@ -103,6 +103,25 @@ def test_m2_features_exact(spark):
         assert len(got[doc_id]) == 4
 
 
+def test_m4_resize_exact(spark):
+    import numpy as np
+
+    from ma_anonymization_etl_spark.operators.multimodal import m4_resize
+
+    d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(5)
+    expected = {}
+    for r in d.collect():
+        img = np.frombuffer(
+            hashlib.md5(r["text"].encode()).digest() * 64, dtype=np.uint8
+        )[:1024].reshape(32, 32)
+        expected[r["doc_id"]] = list(img.reshape(8, 4, 8, 4).mean(axis=(1, 3)).ravel())
+    got = {r["doc_id"]: r["pixels"] for r in m4_resize(spark, SF_ORACLE).collect()}
+    for doc_id, pix in expected.items():
+        assert got[doc_id] == pix
+        assert len(got[doc_id]) == 64
+        assert all(0.0 <= p <= 255.0 for p in got[doc_id])
+
+
 def test_m3_frames_exact(spark):
     d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(10)
     expected = {}
