@@ -341,71 +341,104 @@ def uniqueness_risk(df: DataFrame, qis: Sequence[str]) -> DataFrame:
 
 def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 16) -> DataFrame:
     """i22: multidimensional k-anonymity via recursive median splits
-    (LeFevre, ICDE 2006 — strict partitioning variant).
+    (LeFevre, ICDE 2006 — strict partitioning variant, widest-dimension
+    cut selection per §choose_dimension).
 
     Distributed shape: the *data* never leaves the cluster; each level
-    collects only per-partition stats (median + size per live partition,
-    O(#partitions) rows) to the driver, then applies the split decisions
-    as a broadcast join.  At most ``max_depth`` passes.
+    runs ONE stats job covering ALL dimensions — rows melt to
+    (pid, dim, value) pairs with map-side partial agg, a cumulative-count
+    window over the (much smaller) histogram yields per (pid, dim) the
+    exact lower-median, left-side count, and value range together, so the
+    "allowable cut" check (median ties can leave one side < k) needs no
+    second pass.  Only O(#live partitions × #dims) rows reach the driver,
+    which picks per partition the allowable dim with the widest
+    *normalized* span and re-broadcasts the split decisions.  Every
+    splittable partition advances every level, so the loop converges in
+    ~log2(n/k) levels independent of #dims (a round-robin dim schedule
+    needs up to #dims× that) and terminates exactly when no partition has
+    an allowable cut on ANY dimension.  At most ``max_depth`` passes.
 
     Returns the input rows + ``mondrian_pid`` plus per-partition
     ``<qi>_lo / <qi>_hi`` range columns (the generalized output).
     """
     qis = list(qis)
     out = df.withColumn("mondrian_pid", F.lit(0).cast("long"))
-    for depth in range(max_depth):
-        dim = qis[depth % len(qis)]
-        # ONE stats job per level: a per-partition value histogram with a
-        # cumulative-count window yields the exact lower-median AND the
-        # exact left-side count together, so the "allowable cut" check
-        # (LeFevre §strict: median ties can leave one side < k) needs no
-        # second pass over the data.  Shuffle sizes: (pid, value) pairs
-        # with map-side partial agg, then a window over the (much smaller)
-        # histogram; only O(#live partitions) rows reach the driver.
-        vc = out.groupBy("mondrian_pid", dim).agg(F.count("*").alias("cnt"))
+    # Global per-dim spans (one job, up front): widths normalize to
+    # [0,1] so "widest dim" is scale-free across heterogeneous QIs.
+    g = df.agg(
+        *[F.min(F.col(q).cast("double")).alias(f"{q}_lo") for q in qis],
+        *[F.max(F.col(q).cast("double")).alias(f"{q}_hi") for q in qis],
+    ).first()
+    span = {q: max((g[f"{q}_hi"] or 0.0) - (g[f"{q}_lo"] or 0.0), 1e-12) for q in qis}
+
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(q).alias("dim"), F.col(q).cast("double").alias("val"))
+                for q in qis
+            ]
+        )
+    ).alias("dv")
+    for _depth in range(max_depth):
+        vc = (
+            out.select("mondrian_pid", melted)
+            .select("mondrian_pid", "dv.dim", "dv.val")
+            .groupBy("mondrian_pid", "dim", "val")
+            .agg(F.count("*").alias("cnt"))
+        )
         wo = (
-            Window.partitionBy("mondrian_pid")
-            .orderBy(dim)
+            Window.partitionBy("mondrian_pid", "dim")
+            .orderBy("val")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        wp = Window.partitionBy("mondrian_pid")
-        cum = vc.withColumn("cum", F.sum("cnt").over(wo)).withColumn(
-            "n", F.sum("cnt").over(wp)
+        wp = Window.partitionBy("mondrian_pid", "dim")
+        cum = (
+            vc.withColumn("cum", F.sum("cnt").over(wo))
+            .withColumn("n", F.sum("cnt").over(wp))
+            .withColumn("lo", F.min("val").over(wp))
+            .withColumn("hi", F.max("val").over(wp))
         )
         # Lower median = smallest value whose cumulative count reaches n/2;
-        # its cum IS count(dim <= med), exact even under heavy ties.
+        # its cum IS count(val <= med), exact even under heavy ties.
         stats = (
             cum.filter(F.col("cum") * 2 >= F.col("n"))
-            .groupBy("mondrian_pid")
+            .groupBy("mondrian_pid", "dim")
             .agg(
-                F.min(dim).alias("med"),
-                F.min_by("cum", dim).alias("n_le"),
+                F.min("val").alias("med"),
+                F.min_by("cum", "val").alias("n_le"),
                 F.max("n").alias("n"),
+                F.max("lo").alias("lo"),
+                F.max("hi").alias("hi"),
             )
             .collect()
         )
-        splits = [
-            (r["mondrian_pid"], float(r["med"]))
-            for r in stats
-            if r["n_le"] >= k and r["n"] - r["n_le"] >= k
-        ]
-        if not splits:
+        best: dict = {}
+        for r in stats:
+            if r["n_le"] >= k and r["n"] - r["n_le"] >= k:
+                width = (r["hi"] - r["lo"]) / span[r["dim"]]
+                cur = best.get(r["mondrian_pid"])
+                if cur is None or (width, cur[1]) > (cur[0], r["dim"]):
+                    best[r["mondrian_pid"]] = (width, r["dim"], float(r["med"]))
+        if not best:
             break
         split_df = out.sparkSession.createDataFrame(
-            splits, "mondrian_pid LONG, __med DOUBLE"
+            [(pid, d, m) for pid, (_, d, m) in best.items()],
+            "mondrian_pid LONG, __dim STRING, __med DOUBLE",
         )
+        gt = F.lit(False)
+        for q in qis:
+            gt = gt | (
+                (F.col("__dim") == q) & (F.col(q).cast("double") > F.col("__med"))
+            )
         out = (
             out.join(F.broadcast(split_df), on="mondrian_pid", how="left")
             .withColumn(
                 "mondrian_pid",
-                F.when(
-                    F.col("__med").isNotNull() & (F.col(dim) > F.col("__med")),
-                    F.col("mondrian_pid") * 2 + 2,
-                )
-                .when(F.col("__med").isNotNull(), F.col("mondrian_pid") * 2 + 1)
+                F.when(F.col("__dim").isNotNull() & gt, F.col("mondrian_pid") * 2 + 2)
+                .when(F.col("__dim").isNotNull(), F.col("mondrian_pid") * 2 + 1)
                 .otherwise(F.col("mondrian_pid")),
             )
-            .drop("__med")
+            .drop("__dim", "__med")
         )
         # Iterative algorithm: truncate the lineage each level, or every
         # later collect recomputes the whole join chain from the scan
