@@ -359,3 +359,66 @@ def j21_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "vec_id BIGINT, cos_sim DOUBLE"
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@register("j10b_knn_vectorized")  # python-side batch scoring → rows-only + property tests
+def j10b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10b: Arrow-vectorized 5-NN classification — the PERFORMANCE twin
+    of j10 (whose sequential F.aggregate cosine fold is kept for
+    bit-exact DuckDB parity).  The 20 query vectors broadcast as one
+    normalized numpy matrix; each Arrow batch does a single
+    (20 × batch) BLAS matmul and emits only its local top-5 per query
+    ((cos desc, vec_id) lexsort — j10's exact neighbour order), so the
+    JVM-side global rank + majority vote sees just (batches × 20 × 5)
+    rows.  This is the KNN shape for 100 TB: the O(Q×N) scoring is
+    embarrassingly parallel and memory-bandwidth-bound per executor,
+    with no shuffle until the tiny per-batch winners.  Label equality
+    with j10 is pinned in tests/test_llm_props.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrows = e.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def topk(batches):
+        ids, qn = bq.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = qn @ m.T  # queries × batch
+            vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            qcol, vcol, lcol, ccol = [], [], [], []
+            for qi, qid in enumerate(ids):
+                cand = np.flatnonzero(vids != qid)
+                order = cand[np.lexsort((vids[cand], -cos[qi, cand]))][:5]
+                qcol.extend([qid] * len(order))
+                vcol.extend(vids[order])
+                lcol.extend(labels[order])
+                ccol.extend(cos[qi, order])
+            yield pd.DataFrame(
+                {"query_id": qcol, "vec_id": vcol, "label": lcol, "cos_sim": ccol}
+            )
+
+    local = e.mapInPandas(
+        topk, "query_id BIGINT, vec_id BIGINT, label INT, cos_sim DOUBLE"
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    votes = (
+        local.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w_win = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_win))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )

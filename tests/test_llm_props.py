@@ -45,6 +45,18 @@ def test_vectorized_topk_equals_fold_topk(spark):
     assert a == b and len(a) == 10
 
 
+def test_vectorized_knn_equals_fold_knn(spark):
+    """j10b (numpy mapInPandas) must reproduce j10 (sequential
+    F.aggregate fold) exactly — same predicted label and vote count for
+    every one of the 20 query vectors."""
+    from ma_anonymization_etl_spark.registry import load_all
+
+    qs = load_all()
+    a = sorted(tuple(r) for r in qs["j10b_knn_vectorized"].fn(spark, SF_ORACLE).collect())
+    b = sorted(tuple(r) for r in qs["j10_knn_classify"].fn(spark, SF_ORACLE).collect())
+    assert a == b and len(a) == 20
+
+
 def test_simhash_pairs_planted(spark):
     pairs = j3b_dedup_simhash(spark, SF_ORACLE).collect()
     n_docs = load(spark, SF_ORACLE, "documents").count()

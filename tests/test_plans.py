@@ -22,6 +22,7 @@ PYTHON_OK = {
     "l4_grouped_map", "l5_udtf", "j3b_dedup_simhash",
     "m2_decode_features", "m3_frame_sample", "m4_resize",
     "j21_sim_topk_vectorized",  # deliberate Arrow/numpy perf twin of j8
+    "j10b_knn_vectorized",  # deliberate Arrow/numpy perf twin of j10
 }
 
 # Streaming queries execute eagerly (memory sink) — skip plan text checks.
