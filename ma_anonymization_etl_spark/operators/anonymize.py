@@ -379,9 +379,15 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
             ]
         )
     ).alias("dv")
+    live: list | None = None  # None = level 0, every pid unresolved
     for _depth in range(max_depth):
+        # A pid with no allowable cut can never split again, so only the
+        # children of last level's splits are worth re-measuring: filter
+        # them BEFORE the melt and the stats shuffle stops carrying
+        # finished partitions (at convergence that's most of the data).
+        src = out if live is None else out.filter(F.col("mondrian_pid").isin(live))
         vc = (
-            out.select("mondrian_pid", melted)
+            src.select("mondrian_pid", melted)
             .select("mondrian_pid", "dv.dim", "dv.val")
             .groupBy("mondrian_pid", "dim", "val")
             .agg(F.count("*").alias("cnt"))
@@ -421,6 +427,7 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
                     best[r["mondrian_pid"]] = (width, r["dim"], float(r["med"]))
         if not best:
             break
+        live = [c for pid in best for c in (pid * 2 + 1, pid * 2 + 2)]
         split_df = out.sparkSession.createDataFrame(
             [(pid, d, m) for pid, (_, d, m) in best.items()],
             "mondrian_pid LONG, __dim STRING, __med DOUBLE",
