@@ -221,17 +221,21 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session, sf_dir) so repeated invocations in one session measure
     # steady state instead of re-materializing the same subtree.
     key = (id(spark), sf_dir)
-    sh = _J3_SHINGLE_CACHE.get(key)
-    if sh is None:
+    cached = _J3_SHINGLE_CACHE.get(key)
+    if cached is None:
         sh = (
             corpus.withColumn("shingles", word_shingles("text", 3))
             .select("doc_id", "shingles")
             .persist()
         )
-        _J3_SHINGLE_CACHE[key] = sh
-    # Band join carries ids only — shingle arrays would bloat the shuffle;
-    # they are re-joined for the (small) candidate set during verification.
-    banded = banded_signatures(sh)
+        # Band join carries ids only — shingle arrays would bloat the
+        # shuffle; they are re-joined for the (small) candidate set during
+        # verification.  The banded table (docs × bands id rows) is tiny
+        # but costs a full explode/groupBy pass to derive, so it is
+        # cached alongside the shingles.
+        banded = banded_signatures(sh).persist()
+        cached = _J3_SHINGLE_CACHE[key] = (sh, banded)
+    sh, banded = cached
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
