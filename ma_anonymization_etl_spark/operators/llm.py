@@ -668,3 +668,44 @@ def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.transform(word_shingles("text", 3), lambda g: F.md5(g))), 1, 4
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_RK_K, _RK_B, _RK_M = 8, 257, 2147483647
+
+
+@register(
+    "j16b_fingerprint_rolling",
+    oracle=f"""
+SELECT doc_id,
+  list_sort(list_distinct(list_transform(
+    range(1, CASE WHEN length(t) >= {_RK_K} THEN length(t) - {_RK_K} + 2 ELSE 1 END),
+    i -> list_reduce(
+           list_prepend(0::BIGINT,
+                        list_transform(range(0, {_RK_K}),
+                                       j -> ascii(substr(t, i + j, 1))::BIGINT)),
+           (acc, c) -> (acc * {_RK_B} + c) % {_RK_M})
+  )))[1:4] AS fingerprint
+FROM (SELECT doc_id, lower(text) AS t FROM documents)
+""",
+)
+def j16b_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, Rabin-Karp family: bottom-4 sketch of
+    polynomial hashes (base 257 mod 2^31-1) of every char-8-gram —
+    the winnowing/MOSS fingerprint shape, robust to word-boundary edits
+    where j16's word shingles are not.  Expressed declaratively as a
+    nested transform/aggregate fold (codegen, no Python); a streaming
+    producer would roll the same hash incrementally in O(1) per char.
+    Int64 stays exact: acc < 2^31 so acc*257 + c < 2^40."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    fp = F.expr(
+        f"""
+slice(array_sort(array_distinct(transform(
+  CASE WHEN length(t) >= {_RK_K} THEN sequence(1, length(t) - {_RK_K} + 1)
+       ELSE array() END,
+  i -> aggregate(sequence(0, {_RK_K - 1}), 0L,
+                 (acc, j) -> (acc * {_RK_B} + ascii(substring(t, i + j, 1))) % {_RK_M})
+))), 1, 4)"""
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
