@@ -139,3 +139,28 @@ def m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
 
     return d.mapInPandas(resize, "doc_id LONG, pixels ARRAY<DOUBLE>")
+
+
+@register("m5_audio_energy")  # python-side frame DSP → rows-only + unit test
+def m5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m5: per-frame audio energy over fake PCM payloads via mapInPandas
+    + numpy — payload ×32 = 512 bytes read as 256 little-endian int16
+    samples, framed into 4 windows of 64, RMS per frame (swap in a
+    librosa/scipy STFT when an audio stack exists).  Exact float64 over
+    integer samples, so results are deterministic across partitionings;
+    frames of a long stream would map to (doc_id, frame_no) rows and
+    repartition by doc for windowed DSP at scale."""
+    import numpy as np
+
+    d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                pcm = np.frombuffer(bytes(b) * 32, dtype="<i2")[:256].astype(np.float64)
+                frames = pcm.reshape(4, 64)
+                out.append([float(x) for x in np.sqrt((frames**2).mean(axis=1))])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "frame_rms": out})
+
+    return d.mapInPandas(energy, "doc_id LONG, frame_rms ARRAY<DOUBLE>")

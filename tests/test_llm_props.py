@@ -134,6 +134,25 @@ def test_m4_resize_exact(spark):
         assert all(0.0 <= p <= 255.0 for p in got[doc_id])
 
 
+def test_m5_audio_energy_exact(spark):
+    import numpy as np
+
+    from ma_anonymization_etl_spark.operators.multimodal import m5_audio_energy
+
+    d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(5)
+    expected = {}
+    for r in d.collect():
+        pcm = np.frombuffer(
+            hashlib.md5(r["text"].encode()).digest() * 32, dtype="<i2"
+        )[:256].astype(np.float64)
+        expected[r["doc_id"]] = list(np.sqrt((pcm.reshape(4, 64) ** 2).mean(axis=1)))
+    got = {r["doc_id"]: r["frame_rms"] for r in m5_audio_energy(spark, SF_ORACLE).collect()}
+    for doc_id, rms in expected.items():
+        assert got[doc_id] == rms
+        assert len(got[doc_id]) == 4
+        assert all(x >= 0.0 for x in got[doc_id])
+
+
 def test_m3_frames_exact(spark):
     d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(10)
     expected = {}
