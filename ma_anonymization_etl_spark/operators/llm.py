@@ -670,42 +670,79 @@ def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
-_RK_K, _RK_B, _RK_M = 8, 257, 2147483647
+_RK_K, _RK_B, _RK_M, _RK_W = 8, 257, 2147483647, 4
+
+# Rolling-hash sequence shared by j16b/j16c: polynomial hash of every
+# char-K-gram of column `t`, as a Spark SQL fragment (codegen'd nested
+# transform/aggregate — no Python) and its DuckDB list_reduce twin.
+_RK_HASHES_SPARK = f"""transform(
+  CASE WHEN length(t) >= {_RK_K} THEN sequence(1, length(t) - {_RK_K} + 1)
+       ELSE array() END,
+  i -> aggregate(sequence(0, {_RK_K - 1}), 0L,
+                 (acc, j) -> (acc * {_RK_B} + ascii(substring(t, i + j, 1))) % {_RK_M}))"""
+_RK_HASHES_DUCK = f"""list_transform(
+    range(1, CASE WHEN length(t) >= {_RK_K} THEN length(t) - {_RK_K} + 2 ELSE 1 END),
+    i -> list_reduce(
+           list_prepend(0::BIGINT,
+                        list_transform(range(0, {_RK_K}),
+                                       j -> ascii(substr(t, i + j, 1))::BIGINT)),
+           (acc, c) -> (acc * {_RK_B} + c) % {_RK_M}))"""
 
 
 @register(
     "j16b_fingerprint_rolling",
     oracle=f"""
 SELECT doc_id,
-  list_sort(list_distinct(list_transform(
-    range(1, CASE WHEN length(t) >= {_RK_K} THEN length(t) - {_RK_K} + 2 ELSE 1 END),
-    i -> list_reduce(
-           list_prepend(0::BIGINT,
-                        list_transform(range(0, {_RK_K}),
-                                       j -> ascii(substr(t, i + j, 1))::BIGINT)),
-           (acc, c) -> (acc * {_RK_B} + c) % {_RK_M})
-  )))[1:4] AS fingerprint
+  list_sort(list_distinct({_RK_HASHES_DUCK}))[1:4] AS fingerprint
 FROM (SELECT doc_id, lower(text) AS t FROM documents)
 """,
 )
 def j16b_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting, Rabin-Karp family: bottom-4 sketch of
     polynomial hashes (base 257 mod 2^31-1) of every char-8-gram —
-    the winnowing/MOSS fingerprint shape, robust to word-boundary edits
-    where j16's word shingles are not.  Expressed declaratively as a
-    nested transform/aggregate fold (codegen, no Python); a streaming
-    producer would roll the same hash incrementally in O(1) per char.
-    Int64 stays exact: acc < 2^31 so acc*257 + c < 2^40."""
+    robust to word-boundary edits where j16's word shingles are not.
+    Expressed declaratively as a nested transform/aggregate fold
+    (codegen, no Python); a streaming producer would roll the same hash
+    incrementally in O(1) per char.  Int64 stays exact: acc < 2^31 so
+    acc*257 + c < 2^40."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
     fp = F.expr(
-        f"""
-slice(array_sort(array_distinct(transform(
-  CASE WHEN length(t) >= {_RK_K} THEN sequence(1, length(t) - {_RK_K} + 1)
-       ELSE array() END,
-  i -> aggregate(sequence(0, {_RK_K - 1}), 0L,
-                 (acc, j) -> (acc * {_RK_B} + ascii(substring(t, i + j, 1))) % {_RK_M})
-))), 1, 4)"""
+        f"slice(array_sort(array_distinct({_RK_HASHES_SPARK})), 1, 4)"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "j16c_fingerprint_winnow",
+    oracle=f"""
+SELECT doc_id, list_sort(list_distinct(list_transform(
+    range(1, CASE WHEN len(h) >= {_RK_W} THEN len(h) - {_RK_W} + 2 ELSE 1 END),
+    i -> list_min(h[i:i+{_RK_W}-1])))) AS fingerprint
+FROM (SELECT doc_id, {_RK_HASHES_DUCK} AS h
+      FROM (SELECT doc_id, lower(text) AS t FROM documents))
+""",
+)
+def j16c_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, full winnowing (Schleimer/Wilkerson/
+    Aiken, SIGMOD 2003 — the MOSS algorithm): the minimum of every
+    window of W=4 consecutive char-8-gram rolling hashes, deduplicated.
+    Guarantees every match of length >= K + W - 1 chars between two
+    docs shares a selected hash, with fingerprint density ~2/(W+1) —
+    position-robust where bottom-k (j16/j16b) is content-global.
+    Declarative end to end: the hash list and its windowed minima are
+    nested transform/array_min expressions (codegen, no Python)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    winnow = F.expr(
+        f"""array_sort(array_distinct(transform(
+  CASE WHEN size(h) >= {_RK_W} THEN sequence(1, size(h) - {_RK_W} + 1)
+       ELSE array() END,
+  i -> array_min(slice(h, i, {_RK_W})))))"""
+    )
+    return (
+        d.withColumn("h", F.expr(_RK_HASHES_SPARK))
+        .select("doc_id", winnow.alias("fingerprint"))
+    )
