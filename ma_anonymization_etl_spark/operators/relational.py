@@ -400,6 +400,70 @@ def c9_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Manual skew mitigation for an inner equi-join: every big-side row
+    gets a deterministic salt in [0, n_salt) from xxhash64 of its full
+    row, the small side is replicated n_salt times via explode, and the
+    join runs on (key, salt) — a hot key's rows spread over n_salt
+    reducers instead of one straggler task.  Result is row-identical to
+    ``big.join(small, big_key == small_key)``.
+
+    Prefer AQE skew-join splitting (on by default here) — it salts only
+    the partitions that are actually skewed, at runtime, for free.  This
+    helper is the fallback for when a SINGLE key exceeds what one task
+    can hold even after AQE splits (power-law user_id at 100 TB), at the
+    cost of scanning the small side n_salt times through the shuffle.
+    """
+    salted = big.withColumn(
+        "__salt_b", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
+    )
+    rep = small.withColumn(
+        "__salt_s", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        salted.join(
+            rep,
+            (F.col(big_key) == F.col(small_key))
+            & (F.col("__salt_b") == F.col("__salt_s")),
+        )
+        .drop("__salt_b", "__salt_s")
+    )
+
+
+@register(
+    "c10_join_salted",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def c10_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c10: c2's fact-fact join through the manual salting fallback —
+    lineitem rows salted 8 ways, orders replicated 8× — proving the
+    rewrite is row-identical (same oracle as c2).  The demonstration
+    data is unskewed, so this plan is strictly worse than c2's here;
+    the point is the verified rewrite, reached for only when one key
+    outgrows a task even after AQE skew splitting."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_join(li, o, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(net, "revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # D — aggregation (beyond the d1 flagship)
 # ---------------------------------------------------------------------------
