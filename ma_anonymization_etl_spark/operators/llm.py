@@ -680,6 +680,12 @@ _RK_HASHES_SPARK = f"""transform(
        ELSE array() END,
   i -> aggregate(sequence(0, {_RK_K - 1}), 0L,
                  (acc, j) -> (acc * {_RK_B} + ascii(substring(t, i + j, 1))) % {_RK_M}))"""
+# Winnowing selection over a hash-list column `h` (min of each window of
+# W consecutive hashes, deduplicated) — shared by j16c and its tests.
+_RK_WINNOW_SPARK = f"""array_sort(array_distinct(transform(
+  CASE WHEN size(h) >= {_RK_W} THEN sequence(1, size(h) - {_RK_W} + 1)
+       ELSE array() END,
+  i -> array_min(slice(h, i, {_RK_W})))))"""
 _RK_HASHES_DUCK = f"""list_transform(
     range(1, CASE WHEN length(t) >= {_RK_K} THEN length(t) - {_RK_K} + 2 ELSE 1 END),
     i -> list_reduce(
@@ -736,13 +742,7 @@ def j16c_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
-    winnow = F.expr(
-        f"""array_sort(array_distinct(transform(
-  CASE WHEN size(h) >= {_RK_W} THEN sequence(1, size(h) - {_RK_W} + 1)
-       ELSE array() END,
-  i -> array_min(slice(h, i, {_RK_W})))))"""
-    )
     return (
         d.withColumn("h", F.expr(_RK_HASHES_SPARK))
-        .select("doc_id", winnow.alias("fingerprint"))
+        .select("doc_id", F.expr(_RK_WINNOW_SPARK).alias("fingerprint"))
     )

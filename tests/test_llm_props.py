@@ -162,3 +162,31 @@ def test_m3_frames_exact(spark):
     got = {r["doc_id"]: r["frames"] for r in m3_frame_sample(spark, SF_ORACLE).collect()}
     for doc_id, frames in expected.items():
         assert got[doc_id] == frames
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee (SIGMOD 2003 thm): two docs sharing a
+    substring of length >= K + W - 1 chars select at least one common
+    hash; disjoint texts share none."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        _RK_HASHES_SPARK,
+        _RK_WINNOW_SPARK,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    docs = [
+        (1, base),
+        (2, "zzz prefix " + base),
+        (3, "completely different words entirely unrelated body"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, t STRING")
+    fp = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.withColumn("h", F.expr(_RK_HASHES_SPARK))
+        .select("doc_id", F.expr(_RK_WINNOW_SPARK).alias("fp"))
+        .collect()
+    }
+    assert fp[1] & fp[2]
+    assert not (fp[1] & fp[3])

@@ -48,3 +48,19 @@ def test_salt_is_deterministic(spark):
     b = {r["event_id"]: r["__salt"] for r in with_salt(e, ["user_id"], 16).collect()}
     assert a == b
     assert len(set(a.values())) > 4  # actually spreads
+
+
+def test_salted_join_row_identity_on_skewed_input(spark):
+    from ma_anonymization_etl_spark.operators.relational import salted_join
+
+    # 90% of big-side rows on key 0 — the case a plain shuffle join
+    # would funnel into one reducer task.
+    rows = [(0 if i % 10 else i % 7, i) for i in range(20_000)]
+    big = spark.createDataFrame(rows, "k LONG, v LONG")
+    small = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (3, "b"), (99, "unmatched")], "k2 LONG, tag STRING"
+    )
+    got = sorted(tuple(r) for r in salted_join(big, small, "k", "k2").collect())
+    want = sorted(tuple(r) for r in big.join(small, F.col("k") == F.col("k2")).collect())
+    assert got == want
+    assert len(got) > 18_000  # the hot key really joined
