@@ -141,3 +141,57 @@ def n2_scd2_historize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is safe: every row in a version has the same event_type.)"""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     return scd2_historize(e, key="user_id", attr="event_type", order_col="ts", tiebreak="event_id")
+
+
+def merge_agg_partials(
+    partials: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Algebraic-aggregate refresh: union per-partition partial
+    aggregates (count + scaled-int64 sum columns) and re-aggregate by
+    key.  The shuffle carries only GROUP rows, never the raw inputs —
+    at 100 TB the stored base partial is read back (or kept bucketed by
+    the key) and only the delta's groups are recomputed, instead of
+    rescanning the whole fact table.  Columns other than ``keys`` must
+    all be associatively mergeable (counts / scaled-int sums)."""
+    keys = list(keys)
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    vals = [c for c in out.columns if c not in keys]
+    return out.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in vals])
+
+
+@register(
+    "n3_incremental_agg_refresh",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS total_spend
+FROM orders GROUP BY o_custkey
+""",
+)
+def n3_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n3: incremental refresh of a per-customer aggregate table — the
+    fact table splits into a 'stored' base partial (orders before
+    1997-01-01) and a 'new' delta partial; merging the partials must
+    equal the full recompute (the oracle).  Partials stay scaled-int64
+    until the final divide, so the merge is bit-exact and
+    order-independent — the property that makes the refresh correct no
+    matter how many increments are applied."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).alias("__spend_scaled"),
+        )
+
+    cut = "1997-01-01"
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    merged = merge_agg_partials([base, delta], ["o_custkey"])
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("__spend_scaled").cast("double") / 10000).alias("total_spend"),
+    )
