@@ -112,3 +112,38 @@ def a4_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+@register(
+    "n4_compact_small_files",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS total_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def n4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n4: small-file compaction — the lakehouse maintenance pass.  A
+    deliberately fragmented copy of orders (64 files from an
+    over-parallel writer) is rewritten to 4 right-sized files via
+    repartition-write; the aggregate over the compacted copy must match
+    the source oracle, proving compaction is content-preserving.  At
+    100 TB the repartition count comes from table_bytes /
+    maxPartitionBytes per partition dir, and the rewrite runs per
+    partition so only fragmented partitions pay; file counts are pinned
+    in tests/test_etl.py."""
+    frag = _scratch("n4_frag")
+    comp = _scratch("n4_compact")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+    back = spark.read.parquet(comp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("o_totalprice") * 10000)).cast("double") / 10000).alias(
+            "total_price"
+        ),
+    )

@@ -58,3 +58,18 @@ def test_merge_upsert_count_invariant(spark):
     out = merge_upsert(base, upd, ["k"])
     assert out.count() == base.count()  # pure update, no inserts
     assert out.filter((F.col("k") % 7 == 0) & (F.col("c_acctbal") != 0.0)).count() == 0
+
+
+def test_n4_compaction_reduces_file_count(spark):
+    import glob
+    import os
+    import tempfile
+
+    from ma_anonymization_etl_spark.registry import load_all
+
+    load_all()["n4_compact_small_files"].fn(spark, SF_ORACLE).collect()
+    scratch = os.path.join(tempfile.gettempdir(), "mael_scratch")
+    frag = glob.glob(os.path.join(scratch, "n4_frag", "*.parquet"))
+    comp = glob.glob(os.path.join(scratch, "n4_compact", "*.parquet"))
+    assert len(frag) == 64
+    assert len(comp) == 4
