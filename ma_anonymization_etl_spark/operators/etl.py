@@ -195,3 +195,74 @@ def n3_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("__spend_scaled").cast("double") / 10000).alias("total_spend"),
     )
+
+
+@register(
+    "n5_zorder_layout",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS x,
+         datediff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS y
+  FROM orders
+), ranked AS (
+  SELECT *, (NTILE(256) OVER (ORDER BY x, o_orderkey) - 1)::BIGINT AS rx,
+            (NTILE(256) OVER (ORDER BY y, o_orderkey) - 1)::BIGINT AS ry
+  FROM base
+), zed AS (
+  SELECT *, list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(range(0, 8),
+        i -> (((rx >> i) & 1) << (2*i)) | (((ry >> i) & 1) << (2*i + 1)))),
+    (acc, v) -> acc | v) AS z
+  FROM ranked
+)
+SELECT bucket, COUNT(*) AS n, MIN(x) AS min_cust, MAX(x) AS max_cust,
+       MIN(y) AS min_day, MAX(y) AS max_day
+FROM (SELECT x, y, NTILE(16) OVER (ORDER BY z, o_orderkey) AS bucket FROM zed)
+GROUP BY bucket
+""",
+)
+def n5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n5: Z-order data layout — interleave the bit planes of the
+    256-quantile RANKS of two cluster keys (ranks, not raw values, so
+    neither key's width dominates — the Delta OPTIMIZE ZORDER recipe),
+    then cut the z-ordered table into 16 buckets and report each
+    bucket's min/max per key: the exact footer stats multi-dimensional
+    file skipping would prune on.  Locality pinned in tests: both keys'
+    average per-bucket range shrinks to ~30-40% of global, where a
+    single-key sort leaves the other key at ~100%.
+
+    Scale shape: the deterministic ntile ranks here are the
+    oracle-checkable twin of what a cluster runs — approx-quantile
+    range partitioning per key for ranks, repartitionByRange(z) +
+    sortWithinPartitions(z) for the write, so no global window ever
+    materializes on one node."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+        .cast("long")
+        .alias("y"),
+    )
+    rx = (F.ntile(256).over(Window.orderBy("x", "o_orderkey")) - 1).cast("long")
+    ry = (F.ntile(256).over(Window.orderBy("y", "o_orderkey")) - 1).cast("long")
+    z = F.expr(
+        """aggregate(
+  transform(sequence(0, 7),
+            i -> shiftleft((rx >> i) & 1, 2*i) | shiftleft((ry >> i) & 1, 2*i + 1)),
+  0L, (acc, v) -> acc | v)"""
+    )
+    return (
+        o.withColumn("rx", rx)
+        .withColumn("ry", ry)
+        .withColumn("z", z)
+        .withColumn("bucket", F.ntile(16).over(Window.orderBy("z", "o_orderkey")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )

@@ -73,3 +73,18 @@ def test_n4_compaction_reduces_file_count(spark):
     comp = glob.glob(os.path.join(scratch, "n4_compact", "*.parquet"))
     assert len(frag) == 64
     assert len(comp) == 4
+
+
+def test_n5_zorder_bounds_both_dimensions(spark):
+    from ma_anonymization_etl_spark.registry import load_all
+
+    rows = load_all()["n5_zorder_layout"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 16
+    gx = max(r["max_cust"] for r in rows) - min(r["min_cust"] for r in rows)
+    gy = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    avg_x = sum(r["max_cust"] - r["min_cust"] for r in rows) / 16
+    avg_y = sum(r["max_day"] - r["min_day"] for r in rows) / 16
+    # Z-order prunes on BOTH keys: average bucket range well under
+    # global on each (a single-key sort leaves the other at ~100%).
+    assert avg_x < 0.5 * gx
+    assert avg_y < 0.5 * gy
