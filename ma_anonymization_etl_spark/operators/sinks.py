@@ -147,3 +147,40 @@ def n4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "a9_schema_evolution",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, COUNT(note) AS n_with_note
+FROM (
+  SELECT o_orderkey, o_orderstatus, NULL AS note
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderpriority AS note
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+""",
+)
+def a9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a9: schema evolution across parquet file generations — v1 files
+    lack the ``note`` column a later writer added; reading both
+    generations with mergeSchema=true reconciles footers into the union
+    schema, old files surfacing NULL for the new column.  At 100 TB
+    this is the norm, not the exception: tables accrete columns over
+    years of writers, and per-file footer schemas + union-by-name is
+    what makes old data readable without a rewrite."""
+    v1 = _scratch("a9_v1")
+    v2 = _scratch("a9_v2")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(v1)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", F.col("o_orderpriority").alias("note")
+    ).write.mode("overwrite").parquet(v2)
+    back = spark.read.option("mergeSchema", True).parquet(v1, v2)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.count("note").alias("n_with_note")
+    )
