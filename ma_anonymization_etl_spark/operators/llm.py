@@ -746,3 +746,37 @@ def j16c_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("h", F.expr(_RK_HASHES_SPARK))
         .select("doc_id", F.expr(_RK_WINNOW_SPARK).alias("fingerprint"))
     )
+
+
+@register(
+    "j22_heavy_hitters",
+    oracle="""
+SELECT word, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM (
+         SELECT unnest(string_split(lower(text), ' ')) FROM documents)), 6) AS share
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+GROUP BY word
+HAVING COUNT(*) >= 0.005 * (SELECT COUNT(*) FROM (
+         SELECT unnest(string_split(lower(text), ' ')) FROM documents))
+""",
+)
+def j22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j22: heavy hitters — terms with >= 0.5% corpus support, with
+    their support share (corpus profiling / stopword discovery).  The
+    total is a 1-row aggregate broadcast into the filter, so the plan
+    is scan → partial/final count per term → broadcast-joined HAVING:
+    no second corpus pass, no driver-side scalar.  At 100 TB the same
+    shape holds; if the term dictionary itself outgrows memory, swap
+    the exact groupBy for a space-saving sketch per partition merged by
+    key (the counts stay exact for everything above the threshold)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_of()).alias("word"))
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__n"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.005 * F.col("__n"))
+        .select(
+            "word", "cnt", F.round(F.col("cnt") / F.col("__n"), 6).alias("share")
+        )
+    )
