@@ -295,3 +295,47 @@ def k11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_click_24h"),
         F.count("t2").alias("n_purchase_24h"),
     )
+
+
+@register(
+    "k12_date_spine_densify",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, s.day, COALESCE(p.n, 0) AS n_events
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN spine s
+LEFT JOIN per_day p ON p.user_id = u.user_id AND p.day = s.day
+""",
+)
+def k12_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k12: date-spine densification — every (user, day) cell of the
+    observed date range, zero-filled where no events landed (the
+    gap-filling step before rolling averages or retention curves can be
+    computed honestly).  The spine derives from ONE 1-row min/max
+    aggregate exploded into days and broadcast against the distinct
+    users; the only corpus-sized shuffle is the per-(user, day)
+    pre-aggregate, so the grid never touches raw events.  At 100 TB the
+    grid is users × days rows — generate it bucketed by user if it must
+    be materialized."""
+    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    per_day = e.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    return (
+        users.crossJoin(F.broadcast(spine))
+        .join(per_day, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+        )
+    )
