@@ -339,3 +339,40 @@ def k12_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
         )
     )
+
+
+@register(
+    "k13_retention_cohorts",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort FROM act GROUP BY user_id
+)
+SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+       COUNT(*) AS n_active
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def k13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k13: retention cohort matrix — users grouped by first-seen day,
+    activity counted per (cohort, day offset): the classic retention
+    triangle.  One pass builds the distinct (user, day) activity set;
+    the cohort table derives from it (min per user) and joins back on
+    user_id — both sides are already keyed by user, so AQE plans one
+    shuffle each and the matrix aggregate runs on the compact activity
+    set, never raw events."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", F.datediff(F.col("day"), F.col("cohort")).alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
