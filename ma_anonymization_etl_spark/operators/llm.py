@@ -780,3 +780,71 @@ def j22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "cnt", F.round(F.col("cnt") / F.col("__n"), 6).alias("share")
         )
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation: every node starts
+    as its own component; each round a node adopts the smallest
+    component id among itself and its neighbours, until a round changes
+    nothing.  Rounds = graph diameter (near-dup graphs are shallow —
+    clusters of rewrites of one source), each round is one self-join +
+    groupBy-min on the EDGE list, never the corpus; lineage is cut per
+    round (localCheckpoint; reliable checkpoint on a real cluster)
+    exactly like the Mondrian driver loop.
+
+    ``edges`` must have columns (a, b); returns (node, component) with
+    component = min node id reachable."""
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nc"))
+        )
+        updated = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+                (F.col("nc") < F.col("component")).alias("__chg"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@register("j23_dedup_clusters")  # iterative fixpoint → rows-only + property tests
+def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j23: near-duplicate CLUSTERS — the step after pair generation
+    that dedup actually needs: connected components over the verified
+    j3c pair graph, one survivor (min doc_id) per component.  Returns
+    (component, doc_id, cluster_size, is_survivor); property tests pin
+    transitive chains (a-b, b-c, c-d → one 4-cluster) and the planted
+    corpus (every cluster pairs a doc with its perturbed twin)."""
+    from pyspark.sql import Window
+
+    pairs = j3c_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    comp = connected_components(pairs)
+    w = F.count("*").over(Window.partitionBy("component"))
+    return (
+        comp.withColumn("cluster_size", w)
+        .select(
+            "component",
+            F.col("node").alias("doc_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+    )

@@ -190,3 +190,28 @@ def test_winnow_shared_substring_guarantee(spark):
     }
     assert fp[1] & fp[2]
     assert not (fp[1] & fp[3])
+
+
+def test_connected_components_transitive_chain(spark):
+    from ma_anonymization_etl_spark.operators.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], "a LONG, b LONG"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_j23_clusters_planted(spark):
+    from ma_anonymization_etl_spark.operators.llm import j23_dedup_clusters
+
+    rows = j23_dedup_clusters(spark, SF_ORACLE).collect()
+    assert rows
+    # Every cluster has exactly one survivor, and it is the min doc_id.
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m["is_survivor"] for m in members) == 1
+        assert min(m["doc_id"] for m in members) == comp
+        assert all(m["cluster_size"] == len(members) for m in members)
