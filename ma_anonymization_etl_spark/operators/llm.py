@@ -651,10 +651,10 @@ def j19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j16_fingerprint",
     oracle="""
 SELECT doc_id,
-       list_sort(list_transform(
+       array_to_string(list_sort(list_transform(
          list_distinct(list_transform(range(len(w) - 2),
                                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
-         g -> md5(g)))[1:4] AS fingerprint
+         g -> md5(g)))[1:4], ',') AS fingerprint
 FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
 """,
 )
@@ -662,12 +662,13 @@ def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: bottom-4 sketch of md5'd word-3-gram
     shingles (a deterministic min-k sketch — two docs share fingerprint
     entries iff they share shingles; engine-portable because it stays
-    in hex-string space)."""
+    in hex-string space).  Serialized ','-joined — oracle-checked
+    projections must stay ARRAY-free (driver hasher)."""
     d = load(spark, sf_dir, "documents")
     fp = F.slice(
         F.array_sort(F.transform(word_shingles("text", 3), lambda g: F.md5(g))), 1, 4
     )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    return d.select("doc_id", F.array_join(fp, ",").alias("fingerprint"))
 
 
 _RK_K, _RK_B, _RK_M, _RK_W = 8, 257, 2147483647, 4
@@ -699,7 +700,8 @@ _RK_HASHES_DUCK = f"""list_transform(
     "j16b_fingerprint_rolling",
     oracle=f"""
 SELECT doc_id,
-  list_sort(list_distinct({_RK_HASHES_DUCK}))[1:4] AS fingerprint
+  array_to_string(list_transform(list_sort(list_distinct({_RK_HASHES_DUCK}))[1:4],
+                                 x -> x::VARCHAR), ',') AS fingerprint
 FROM (SELECT doc_id, lower(text) AS t FROM documents)
 """,
 )
@@ -715,7 +717,9 @@ def j16b_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.col("text")).alias("t")
     )
     fp = F.expr(
-        f"slice(array_sort(array_distinct({_RK_HASHES_SPARK})), 1, 4)"
+        "array_join(transform("
+        f"slice(array_sort(array_distinct({_RK_HASHES_SPARK})), 1, 4), "
+        "x -> cast(x as string)), ',')"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
 
@@ -723,9 +727,9 @@ def j16b_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j16c_fingerprint_winnow",
     oracle=f"""
-SELECT doc_id, list_sort(list_distinct(list_transform(
+SELECT doc_id, array_to_string(list_transform(list_sort(list_distinct(list_transform(
     range(1, CASE WHEN len(h) >= {_RK_W} THEN len(h) - {_RK_W} + 2 ELSE 1 END),
-    i -> list_min(h[i:i+{_RK_W}-1])))) AS fingerprint
+    i -> list_min(h[i:i+{_RK_W}-1])))), x -> x::VARCHAR), ',') AS fingerprint
 FROM (SELECT doc_id, {_RK_HASHES_DUCK} AS h
       FROM (SELECT doc_id, lower(text) AS t FROM documents))
 """,

@@ -591,20 +591,23 @@ def d8_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d9_collect_sorted",
     oracle="""
-SELECT r_regionkey, list(n_name ORDER BY n_name) AS nations
+SELECT r_regionkey, array_to_string(list(n_name ORDER BY n_name), ',') AS nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_regionkey
 """,
 )
 def d9_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d9: per-group list, sorted for determinism (collect_list order is
-    otherwise partition-dependent — never emit unsorted lists)."""
+    otherwise partition-dependent — never emit unsorted lists), then
+    serialized to a ','-joined scalar: oracle-checked projections must
+    stay ARRAY-free (the driver canonicalizes rows through pandas, which
+    cannot hash list cells — see tests/test_plans.py guard)."""
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
     )
 
 

@@ -183,10 +183,11 @@ def h3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_words,
-       string_split(text, ' ')[1:3] AS first3,
-       list_transform(string_split(text, ' ')[1:3], w -> upper(w)) AS first3_upper,
+       array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+       array_to_string(list_transform(string_split(text, ' ')[1:3], w -> upper(w)), '|')
+         AS first3_upper,
        len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_words,
-       list_sort(string_split(text, ' ')[1:3]) AS first3_sorted,
+       array_to_string(list_sort(string_split(text, ' ')[1:3]), '|') AS first3_sorted,
        list_reduce(list_transform(string_split(text, ' '), w -> length(w)),
                    (a, b) -> a + b) AS total_word_chars
 FROM documents
@@ -195,17 +196,19 @@ FROM documents
 def h4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """h4: array + higher-order family over tokenized document text —
     size/slice/transform/filter/sort_array/aggregate.  Int reduction is
-    exact so no rounding."""
+    exact so no rounding.  Array-valued results are serialized with
+    '|' joins: oracle-checked projections must stay ARRAY-free (the
+    driver's pandas canonicalizer cannot hash list cells)."""
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     first3 = F.slice(words, 1, 3)
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        first3.alias("first3"),
-        F.transform(first3, lambda w: F.upper(w)).alias("first3_upper"),
+        F.array_join(first3, "|").alias("first3"),
+        F.array_join(F.transform(first3, lambda w: F.upper(w)), "|").alias("first3_upper"),
         F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
-        F.sort_array(first3).alias("first3_sorted"),
+        F.array_join(F.sort_array(first3), "|").alias("first3_sorted"),
         F.aggregate(
             F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
         ).alias("total_word_chars"),

@@ -15,7 +15,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ma_anonymization_etl_spark.functions.vectors import as_double, cosine, dot, l2_normalize
+from ma_anonymization_etl_spark.functions.vectors import as_double, cosine, dot, norm
 from ma_anonymization_etl_spark.registry import register
 from ma_anonymization_etl_spark.sources.io import load
 
@@ -146,7 +146,9 @@ def j10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j11_label_centroids",
     oracle="""
-SELECT label, list(ROUND(avg_v, 6) ORDER BY pos) AS centroid
+SELECT label,
+       array_to_string(list(CAST(CAST(ROUND(avg_v * 1000000) AS BIGINT) AS VARCHAR)
+                            ORDER BY pos), ',') AS centroid
 FROM (
   SELECT label, pos, AVG(v) AS avg_v
   FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -160,16 +162,24 @@ GROUP BY label
 def j11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j11: mean vector per label — posexplode → per-(label,dim) avg →
     re-assemble ordered by position.  This is the reduce-side of
-    k-means/IVF coarse quantizers; shuffle is (labels × dims) rows."""
+    k-means/IVF coarse quantizers; shuffle is (labels × dims) rows.
+    The centroid is serialized as ','-joined 1e-6-scaled int64s —
+    oracle-checked projections must stay ARRAY-free (driver hasher),
+    and integer rendering is engine-identical where double→string
+    is not."""
     e = load(spark, sf_dir, "embeddings")
     per_dim = (
         e.select("label", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg("v"), 6).alias("avg_v"))
+        .agg(F.round(F.avg("v") * 1e6).cast("long").alias("sv"))
     )
     return per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "avg_v"))), lambda s: s.avg_v
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+                lambda s: s.sv.cast("string"),
+            ),
+            ",",
         ).alias("centroid")
     )
 
@@ -178,19 +188,33 @@ def j11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j12_vec_normalize",
     oracle="""
 SELECT vec_id,
-       list_transform(embedding::DOUBLE[],
-                      x -> ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                           embedding::DOUBLE[])), 6))
+       array_to_string(list_transform(embedding::DOUBLE[],
+                      x -> CAST(CAST(ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                                     embedding::DOUBLE[]))
+                                           * 1000000) AS BIGINT) AS VARCHAR)), ',')
          AS unit_vec
 FROM embeddings
 """,
 )
 def j12_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j12: L2-normalize the embedding column (then cosine ≡ dot —
-    normalize once, reuse everywhere)."""
+    normalize once, reuse everywhere).  Output is serialized as
+    ','-joined 1e-6-scaled int64s — oracle-checked projections must
+    stay ARRAY-free (driver hasher), and integer rendering is
+    engine-identical where double→string is not."""
     e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id", l2_normalize(as_double(F.col("embedding")), nd=6).alias("unit_vec")
+    v = as_double(F.col("embedding"))
+    return (
+        e.withColumn("nrm", norm(v))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform(
+                    v, lambda x: F.round(x / F.col("nrm") * 1e6).cast("long").cast("string")
+                ),
+                ",",
+            ).alias("unit_vec"),
+        )
     )
 
 
