@@ -746,9 +746,12 @@ def j16c_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
+    fp = F.expr(
+        f"array_join(transform({_RK_WINNOW_SPARK}, x -> cast(x as string)), ',')"
+    )
     return (
         d.withColumn("h", F.expr(_RK_HASHES_SPARK))
-        .select("doc_id", F.expr(_RK_WINNOW_SPARK).alias("fingerprint"))
+        .select("doc_id", fp.alias("fingerprint"))
     )
 
 

@@ -22,9 +22,10 @@ _RUNTIME_CONF = {
     # the 100 TB story relies on this (SURVEY.md §4).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # events.parquet stores ts as TIMESTAMP(NANOS) which Spark 4 refuses
-    # to read (PARQUET_TYPE_ILLEGAL).  Read as BIGINT ns; sources.io.load
-    # converts to a µs timestamp with DuckDB-identical truncation.
+    # events.parquet stores ts as TIMESTAMP(NANOS).  Best-effort only:
+    # some Spark 4 builds honor this (BIGINT ns), PySpark >= 4.1.2
+    # ignores it and reads TIMESTAMP_NTZ.  sources.io.normalize_events_ts
+    # branches on the observed dtype, so either behavior is handled.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -27,20 +27,39 @@ def table_path(sf_dir: str, table: str) -> str:
     return f"{sf_dir.rstrip('/')}/{table}.parquet"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` (parquet TIMESTAMP(NANOS)) to a µs
+    ``TIMESTAMP``, whatever type this Spark build surfaced it as.
+
+    Spark builds differ: with ``spark.sql.legacy.parquet.nanosAsLong``
+    honored the column arrives as BIGINT ns (truncate to µs); on
+    PySpark ≥ 4.1.2 that conf is inert and the column arrives as
+    TIMESTAMP_NTZ already truncated to µs (cast to TIMESTAMP is an
+    identity on the wall-clock value under the pinned UTC session tz).
+    Both paths are verified byte-identical to DuckDB's read_parquet
+    conversion on all rows at sf0.01 (tests/test_sources.py).
+    Downstream code always sees ``ts TIMESTAMP``.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type is not None and ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """a1: columnar parquet scan; schema trusted from footers (SURVEY §1.3).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
-    its µs TimestampType directly — with ``nanosAsLong`` (set in
-    ``configure``) it arrives as BIGINT ns and we truncate to µs here,
-    byte-identically to DuckDB's read_parquet conversion (verified on
-    sub-µs values).  Downstream code always sees ``ts TIMESTAMP``.
+    ``events.ts`` is normalized to a µs TIMESTAMP — see
+    :func:`normalize_events_ts` for the schema-adaptive rules.
     """
-    configure(spark)  # UTC + AQE + nanosAsLong regardless of who built the session
+    configure(spark)  # UTC + AQE regardless of who built the session
     df = spark.read.parquet(table_path(sf_dir, table))
     if table == "events":
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

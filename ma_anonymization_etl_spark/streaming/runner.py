@@ -23,18 +23,8 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.session import configure
-
-# Explicit schema: streaming file sources never infer.  ts arrives as
-# BIGINT ns (nanosAsLong, same as the batch path) and is truncated to a
-# µs timestamp identically to sources.io.load.
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> DataFrame:
     """a5: event-stream source (file source standing in for Kafka).
@@ -42,7 +32,17 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
     The file source requires a *directory*; the corpus ships one file
     per table, so it is staged (copied once) into a scratch dir keyed
     by sf_dir.
+
+    Streaming file sources never infer a schema, and forcing a wrong
+    one over the nanos ``ts`` column silently mis-reads values on
+    builds where ``nanosAsLong`` is inert — so the schema is probed
+    from one cheap batch footer read of the same directory, then the
+    stream applies the identical ``normalize_events_ts`` the batch
+    path uses.  Batch ≡ stream equality is pinned in
+    tests/test_streaming.py.
     """
+    from ma_anonymization_etl_spark.sources.io import normalize_events_ts
+
     configure(spark)
     if path is None:
         src_file = f"{sf_dir.rstrip('/')}/events.parquet"
@@ -52,8 +52,9 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
         if not os.path.exists(staged):
             os.makedirs(path, exist_ok=True)
             shutil.copy(src_file, staged)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(path).schema  # footer-only, no data scan
+    raw = spark.readStream.schema(schema).parquet(path)
+    return normalize_events_ts(raw)
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
