@@ -39,20 +39,30 @@ from ma_anonymization_etl_spark.sources.io import load, write_parquet
 
 
 def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) -> None:
+    """Refuse routes where a direct identifier survives to the output.
+
+    A DI is covered only if (a) some step rewrites it IN PLACE (no
+    ``out``, or ``out`` equal to the column — writing a token to a
+    *different* column leaves the raw DI intact), (b) it is dropped by
+    ``suppress_columns``, or (c) the final ``select`` projection
+    excludes it.  Merely referencing the DI as a step input is not
+    coverage.
+    """
     roles = classify_columns(cfg)
-    touched: set[str] = set()
+    transformed: set[str] = set()
     for s in steps:
-        if "col" in s:
-            touched.add(s["col"])
-        touched.update(s.get("cols", []))
+        col = s.get("col")
+        if col is not None and s.get("out", col) == col:
+            transformed.add(col)
     dropped = {c for s in steps if s.get("op") == "suppress_columns" for c in s["cols"]}
-    selected_away = set()
+    kept: set[str] | None = None  # None = no select step, everything survives
     for s in steps:
         if s.get("op") == "select":
-            selected_away = set(cfg) - set(s["cols"])
+            kept = set(s["cols"])  # last projection decides the output
     uncovered = [
         c for c in roles["di"]
-        if c not in touched and c not in dropped and c not in selected_away
+        if c not in transformed and c not in dropped
+        and (kept is None or c in kept)
     ]
     if uncovered:
         raise SystemExit(

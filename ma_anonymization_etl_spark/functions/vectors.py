@@ -29,10 +29,3 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def l2_normalize(a: Column, nd: int | None = None) -> Column:
-    n = norm(a)
-    if nd is None:
-        return F.transform(a, lambda x: x / n)
-    return F.transform(a, lambda x: F.round(x / n, nd))

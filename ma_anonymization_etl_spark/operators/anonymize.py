@@ -163,12 +163,22 @@ def perturb_uniform(col: Column | str, scale: float, seed: int) -> Column:
     return c + (F.rand(seed) - 0.5) * scale
 
 
-def perturb_laplace(col: Column | str, epsilon: float, sensitivity: float, seed: int) -> Column:
+def perturb_laplace(col: Column | str, epsilon: float, sensitivity: float, seed: int,
+                    uniform: Column | None = None) -> Column:
     """i14: Laplace(b = sensitivity/epsilon) noise via inverse-CDF over a
-    seeded uniform — closed form, no UDF (Dwork 2006 DP mechanism)."""
+    seeded uniform — closed form, no UDF (Dwork 2006 DP mechanism).
+
+    ``uniform`` overrides the seeded U[0,1) draw (tests inject boundary
+    values; production callers leave it None).
+    """
     c = F.col(col) if isinstance(col, str) else col
     b = sensitivity / epsilon
-    u = F.rand(seed) - 0.5
+    # Clamp the uniform away from the tails: u = ±0.5 would make the
+    # log argument 0 and the noise ±inf.  1e-12 bounds |noise| at ~27.6b.
+    u = F.greatest(
+        F.lit(-0.5 + 1e-12),
+        F.least(F.lit(0.5 - 1e-12), (uniform if uniform is not None else F.rand(seed)) - 0.5),
+    )
     noise = -b * F.signum(u) * F.log(1 - 2 * F.abs(u))
     return c + noise
 
@@ -276,12 +286,19 @@ def t_closeness_metric(df: DataFrame, qis: Sequence[str], sa: str) -> DataFrame:
     Li 2007).  Three aggregates + one join, all on small grouped data."""
     gcols = list(qis)
     total = df.count()
-    global_dist = df.groupBy(sa).agg((F.count("*") / total).alias("p_global"))
+    # NULL is a legitimate SA value: join null-safely so NULL-SA cells
+    # keep their global mass instead of silently dropping out (they are
+    # counted in n_class either way, so an equi-join understates TVD).
+    global_dist = (
+        df.groupBy(sa).agg((F.count("*") / total).alias("p_global"))
+        .withColumnRenamed(sa, "__sa_g")
+    )
     cls_tot = df.groupBy(*gcols).agg(F.count("*").alias("n_class"))
     cls_dist = df.groupBy(*gcols, sa).agg(F.count("*").alias("n_cell"))
     joined = (
         cls_dist.join(cls_tot, on=gcols)
-        .join(global_dist, on=sa)
+        .join(global_dist, on=F.col(sa).eqNullSafe(F.col("__sa_g")))
+        .drop("__sa_g")
         .withColumn("p_class", F.col("n_cell") / F.col("n_class"))
     )
     # NB: SA values absent from a class contribute p_global/2 each; the
@@ -567,6 +584,16 @@ def mondrian_kanon_hybrid(
     relaxed windows to parallelize.
     """
     qis = list(qis)
+    # (coarse, local) pid packing: coarse heap ids need strict_levels+1
+    # bits, local heap ids after max_depth relaxed levels need
+    # max_depth+1 bits — both must fit one signed int64 without the
+    # local slot bleeding into the coarse slot.
+    local_bits = max_depth + 1
+    if (strict_levels + 1) + local_bits > 63:
+        raise ValueError(
+            f"strict_levels={strict_levels} + max_depth={max_depth} "
+            "exceeds the 63-bit pid budget"
+        )
     coarse = mondrian_kanon(df, qis, k, max_depth=strict_levels)
     coarse = coarse.drop(*[c for c in coarse.columns if c.endswith(("_lo", "_hi"))])
     coarse = coarse.withColumnRenamed("mondrian_pid", "__coarse_pid")
@@ -602,8 +629,11 @@ def mondrian_kanon_hybrid(
             else:
                 nxt[(c, p)] = n
         local_sizes = nxt
-        live_keys = [c * (1 << 32) + p for c, ps in live_local_by_coarse.items() for p in ps]
-        key_col = F.col("__coarse_pid") * (1 << 32) + F.col("__local")
+        live_keys = [
+            c * (1 << local_bits) + p
+            for c, ps in live_local_by_coarse.items() for p in ps
+        ]
+        key_col = F.col("__coarse_pid") * (1 << local_bits) + F.col("__local")
         w = Window.partitionBy("__coarse_pid", "__local").orderBy(F.col(dim), F.col("__tb"))
         wp = Window.partitionBy("__coarse_pid", "__local")
         out = (
@@ -618,7 +648,7 @@ def mondrian_kanon_hybrid(
             .drop("__rn", "__n")
         )
     out = out.withColumn(
-        "mondrian_pid", F.col("__coarse_pid") * (1 << 32) + F.col("__local")
+        "mondrian_pid", F.col("__coarse_pid") * (1 << local_bits) + F.col("__local")
     ).drop("__coarse_pid", "__local", "__tb")
     return _attach_ranges(out, qis)
 

@@ -497,15 +497,37 @@ def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d4_approx_count_distinct")  # HLL sketches differ per engine → rows-only
+@register(
+    "d4_approx_count_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
 def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d4: HyperLogLog distinct estimate — the scale path when exact
-    distinct would shuffle too much.  Accuracy (±5% of exact) is asserted
-    in unit tests instead of the oracle (sketches are engine-specific)."""
+    distinct would shuffle too much.  HLL sketch values are
+    engine-specific, so the oracle-checkable projection is the i18
+    pattern: the exact count plus a boolean asserting the estimate
+    landed within ±5% of it (the oracle emits TRUE).  The sketch is
+    still exercised — a drifting estimate flips the boolean and fails
+    the hash check."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -601,7 +623,8 @@ def d9_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise partition-dependent — never emit unsorted lists), then
     serialized to a ','-joined scalar: oracle-checked projections must
     stay ARRAY-free (the driver canonicalizes rows through pandas, which
-    cannot hash list cells — see tests/test_plans.py guard)."""
+    cannot hash list cells — enforced for every oracle-checked query by
+    the ARRAY-free assertion in tests/conftest.py::compare_query)."""
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
@@ -677,18 +700,41 @@ def d11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d13_approx_percentile")  # sketch values are engine-specific → rows-only
+@register(
+    "d13_approx_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+       TRUE AS approx_within_1pct
+FROM orders GROUP BY o_orderstatus
+""",
+)
 def d13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d13 (extension): approximate percentiles via the KLL/GK sketch —
-    the 100 TB replacement for exact d11 (no per-group sort; mergeable
-    sketches, single pass).  Accuracy vs exact is asserted in unit
-    tests; sketch outputs are engine-specific so no oracle."""
+    """d13 (extension): approximate percentiles via the GK sketch — the
+    100 TB replacement for exact d11 (no per-group sort; mergeable
+    sketches, single pass).  Sketch outputs are engine-specific, so the
+    oracle-checkable projection is the i18 pattern: exact percentiles
+    plus a boolean asserting both estimates landed within 1% relative
+    error (the oracle emits TRUE)."""
+    rel_err = lambda approx, exact: F.abs(approx - exact) <= 0.01 * F.abs(exact)  # noqa: E731
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("exact_median"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("exact_p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("__a90"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_median",
+            "exact_p90",
+            (
+                rel_err(F.col("__a50"), F.col("exact_median"))
+                & rel_err(F.col("__a90"), F.col("exact_p90"))
+            ).alias("approx_within_1pct"),
         )
     )
 

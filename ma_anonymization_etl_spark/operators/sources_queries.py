@@ -98,10 +98,21 @@ CUSTOMER_ROLES = {
 }
 
 
-@register("i1_classify_columns")  # config-derived, not table-derived → rows-only
+@register(
+    "i1_classify_columns",
+    oracle="""
+SELECT * FROM (VALUES
+  ('c_name', 'di'), ('c_custkey', 'keep'),
+  ('c_mktsegment', 'qi'), ('c_nationkey', 'qi'),
+  ('c_acctbal', 'sa')) AS t(column_name, role)
+""",
+)
 def i1_classify_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i1: materialize the validated DI/QI/SA classification that drives
-    the pipeline (the config is data too — auditable, joinable)."""
+    the pipeline (the config is data too — auditable, joinable).  The
+    classification is a deterministic function of the fixture config, so
+    the oracle is simply its expected VALUES literal — validation bugs
+    (role typos, dropped columns) flip the hash."""
     roles = classify_columns(CUSTOMER_ROLES)
     rows = [(col, role) for role in sorted(roles) for col in sorted(roles[role])]
     return spark.createDataFrame(rows, "column_name STRING, role STRING")

@@ -104,6 +104,15 @@ def compare_query(spark, duck, fn, oracle: str, sf_dir: str = SF_ORACLE) -> None
     d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    # Oracle-checked projections must stay ARRAY-free: the driver's pandas
+    # canonicalizer cannot hash list cells, so an array output is a
+    # guaranteed driver MISMATCH even when values agree (j16c regressed
+    # this once — serialize with array_join instead).
+    for c, t in s_types.items():
+        assert "array" not in t.lower(), (
+            f"oracle-checked projection has ARRAY column {c}: {t} — "
+            "serialize (array_join) before returning"
+        )
     for c in s_cols:
         sf_, df_ = _type_family(s_types[c]), _type_family(d_types[c])
         assert sf_ == df_, f"type family differs for {c}: spark {s_types[c]} vs duckdb {d_types[c]}"

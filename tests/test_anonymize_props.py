@@ -112,10 +112,46 @@ def test_l_diversity_guarantee(spark, customer):
     assert min_l >= 3
 
 
+def test_perturb_laplace_finite_at_uniform_extremes(spark):
+    # ADVICE r1: u -> ±0.5 made log(1-2|u|) = -inf.  Inject the exact
+    # boundary draws and check the clamp keeps the noise finite.
+    df = spark.createDataFrame([(0.0,), (0.5,), (1.0 - 2**-53,)], "u double")
+    out = df.select(
+        A.perturb_laplace(F.lit(0.0), 1.0, 100.0, seed=0, uniform=F.col("u")).alias("n")
+    )
+    vals = [r["n"] for r in out.collect()]
+    assert all(math.isfinite(x) for x in vals)
+    # Bounded by b * -log(2e-12) ~ 27.6b.
+    assert all(abs(x) < 30 * 100.0 for x in vals)
+
+
 def test_t_closeness_range(spark, customer):
     out = A.t_closeness_metric(customer, ["c_nationkey"], "c_mktsegment").collect()
     assert len(out) == 25
     assert all(0.0 <= r["t_closeness"] <= 1.0 for r in out)
+
+
+def test_t_closeness_counts_null_sa(spark):
+    # ADVICE r1: NULL SA rows were dropped by the equi-join but counted
+    # in n_class, understating TVD.  Class "a" is all-NULL SA, class "b"
+    # all-"x": with null-safe joins each class TVD = the other class's
+    # global mass = 0.5.
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "x"), ("b", "x")],
+        "qi string, sa string",
+    )
+    out = {r["qi"]: r["t_closeness"]
+           for r in A.t_closeness_metric(df, ["qi"], "sa").collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_mondrian_hybrid_rejects_pid_overflow(spark, customer):
+    # (strict_levels+1) + (max_depth+1) bits must fit a signed int64.
+    with pytest.raises(ValueError, match="63-bit"):
+        A.mondrian_kanon_hybrid(
+            customer, ["c_acctbal", "c_nationkey"], k=8,
+            strict_levels=4, max_depth=60,
+        )
 
 
 def test_mondrian_k_guarantee(spark, customer):

@@ -40,3 +40,56 @@ def test_route_refuses_di_leak(spark):
     }
     with pytest.raises(SystemExit, match="c_name"):
         run_route(spark, route)
+
+
+def test_route_refuses_out_renamed_di(spark):
+    # Writing the token to a DIFFERENT column leaves the raw DI column in
+    # the output — referencing the DI as step input is not coverage
+    # (ADVICE r1: the old guard passed this leaking route).
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [
+            {"op": "pseudonymize_sha2", "col": "c_name", "salt": "s|",
+             "out": "name_token"},
+        ],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
+
+
+def test_route_accepts_out_renamed_di_when_selected_away(spark):
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [
+            {"op": "pseudonymize_sha2", "col": "c_name", "salt": "s|",
+             "out": "name_token"},
+            {"op": "select", "cols": ["name_token", "c_nationkey"]},
+        ],
+    }
+    out = run_route(spark, route)
+    assert "c_name" not in out.columns
+    assert out.count() > 0
+
+
+def test_route_refuses_select_that_keeps_raw_di(spark):
+    # A select listing the raw DI keeps it — must still be refused even
+    # though the DI appears in a step's `cols`.
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [{"op": "select", "cols": ["c_name", "c_nationkey"]}],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
+
+
+def test_route_accepts_in_place_transform(spark):
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [{"op": "pseudonymize_sha2", "col": "c_name", "salt": "s|"}],
+    }
+    out = run_route(spark, route)
+    assert out.filter(F.length("c_name") != 64).count() == 0
