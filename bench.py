@@ -40,6 +40,13 @@ HEADLINE = [
     "j6_tf_idf",
     "j8_sim_topk",
     "j10_knn_classify",
+    # Production-path twins and the LSH-composed pair search: j8/j10
+    # keep the sequential fold for bit-exact oracle parity; j21/j10b are
+    # the Arrow-matmul plans a 100 TB deployment would run, and belong
+    # in the headline so the bench reflects the real path.
+    "j21_sim_topk_vectorized",
+    "j10b_knn_vectorized",
+    "j9b_sim_pair_lsh",
 ]
 
 

@@ -70,9 +70,14 @@ WHERE {_sql_cos('a.v', 'b.v')} >= 0.4
 """,
 )
 def j9_sim_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """j9: all pairs with cosine ≥ 0.4 (embedding-space near-dup
-    detection).  Exhaustive self-join at test SFs; at 100 TB run the
-    LSH bucketing (j17) first and verify only same-bucket candidates."""
+    """j9: all pairs with cosine ≥ 0.4.  Exhaustive self-join — the
+    CORRECTNESS baseline, and at τ=0.4 over an isotropic corpus also the
+    honest plan: random-hyperplane bands at that angle (66°) collide
+    with P≈0.16 per 4-bit band, so OR-amplification to 100% recall
+    admits nearly every pair and prunes nothing.  Sub-quadratic pair
+    search needs a high threshold; that composition (LSH candidates →
+    exact verify, equality-checked against the exhaustive join) is
+    ``j9b_sim_pair_lsh`` below — route near-dup workloads there."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -86,6 +91,129 @@ def j9_sim_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("b_id"),
             F.round(cos, 5).alias("cos_sim"),
         )
+    )
+
+
+# --- j9b: LSH-bucketed pair search, exact-verified ------------------------
+#
+# The embeddings corpus is isotropic (no organic pair above cos 0.6), so
+# the near-dup regime is demonstrated on a derived corpus: every vector
+# plus a deterministically jittered copy (per-element multiplicative
+# sin-noise, cos(v, v') ≈ 0.997).  Both engines derive the same corpus,
+# so the oracle's exhaustive pair join IS the equality-with-exhaustive
+# check for the LSH-composed plan.
+_J9B_OFF = 100000          # id offset for jittered copies
+_J9B_TAU = 0.9             # near-dup threshold
+# OR of 16 AND-bands of 12 hyperplane bits: a planted pair (cos ≥ 0.996,
+# θ ≤ 4.9°) collides in ≥1 band with P ≈ 1−1.5e-9, while a random pair
+# (cos ≈ 0, P(bit)=0.5) is a candidate with P ≈ 16/4096 ≈ 0.4% — the
+# exact verify touches ~0.4% of all pairs.  The corpus gap is wide
+# (max non-planted cos 0.60 at sf0.1), so band recall is not marginal.
+_J9B_BANDS, _J9B_BITS = 16, 12
+
+
+def _j9b_planes() -> list[list[float]]:
+    rng = random.Random(43)
+    return [
+        [round(rng.gauss(0, 1), 6) for _ in range(_LSH_DIM)]
+        for _ in range(_J9B_BANDS * _J9B_BITS)
+    ]
+
+
+@register(
+    "j9b_sim_pair_lsh",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS orig_id, {_SQL_E} AS v FROM embeddings),
+corpus AS (
+  SELECT orig_id AS vec_id, v FROM e
+  UNION ALL
+  SELECT orig_id + {_J9B_OFF} AS vec_id,
+         list_transform(v, x -> x * (1 + 0.1 * sin(orig_id + x * 1000)))
+  FROM e
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_sql_cos('a.v', 'b.v')}, 5) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= {_J9B_TAU}
+""",
+)
+def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9b: the j17∘j9 composition — sub-quadratic near-dup pair search.
+    Candidates come from banded random-hyperplane LSH (16 OR-bands of
+    12 bits — see the constants above for the collision math); every
+    candidate is then verified with the exact cosine, so
+    false positives are impossible and the oracle's EXHAUSTIVE pair
+    join over the same derived corpus doubles as the recall check —
+    a missed band collision would show up as a missing row.
+
+    100 TB shape: signatures are a map-side Arrow-batched matmul (one
+    BLAS (batch × 64) @ (64 × 128) per batch, no shuffle — 128
+    declarative fold expressions would be the same FLOPs at ~10× the
+    constant and a pathological codegen tree), the candidate self-join
+    shuffles on band key (bounded buckets, AQE handles skew), and the
+    verify join carries only candidate ids plus two vector lookups.
+    The verify cosine itself is the declarative fold, bit-identical to
+    the oracle.  Nothing is O(n²) except the provably-pruned verify
+    set."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("orig_id"), as_double(F.col("embedding")).alias("v")
+    )
+    # NB: the jitter must key on the ORIGINAL id.  Keep the source id
+    # under a distinct name (orig_id) so Spark's lateral column alias
+    # resolution cannot capture the `vec_id` projection built in the
+    # same select (it silently did, shifting every sin argument by OFF).
+    pert = e.select(
+        (F.col("orig_id") + _J9B_OFF).alias("vec_id"),
+        F.transform(
+            F.col("v"),
+            lambda x: x * (F.lit(1.0) + F.lit(0.1) * F.sin(F.col("orig_id") + x * F.lit(1000.0))),
+        ).alias("v"),
+    )
+    corpus = e.select(F.col("orig_id").alias("vec_id"), "v").unionByName(pert)
+    bplanes = spark.sparkContext.broadcast(
+        np.array(_j9b_planes(), dtype=np.float64)  # (bands*bits, 64)
+    )
+
+    def signatures(batches):
+        pm = bplanes.value
+        band_base = np.arange(_J9B_BANDS, dtype=np.int64) * (1 << _J9B_BITS)
+        bit_w = (1 << np.arange(_J9B_BITS, dtype=np.int64))
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (m @ pm.T) > 0  # (n, bands*bits)
+            keys = (
+                bits.reshape(len(m), _J9B_BANDS, _J9B_BITS) * bit_w
+            ).sum(axis=2) + band_base  # (n, bands)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _J9B_BANDS),
+                    "band": keys.reshape(-1),
+                }
+            )
+
+    sig = corpus.mapInPandas(signatures, "vec_id BIGINT, band BIGINT")
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(cos >= _J9B_TAU)
+        .select("a_id", "b_id", F.round(cos, 5).alias("cos_sim"))
     )
 
 

@@ -23,6 +23,7 @@ PYTHON_OK = {
     "m2_decode_features", "m3_frame_sample", "m4_resize", "m5_audio_energy",
     "j21_sim_topk_vectorized",  # deliberate Arrow/numpy perf twin of j8
     "j10b_knn_vectorized",  # deliberate Arrow/numpy perf twin of j10
+    "j9b_sim_pair_lsh",  # LSH signatures via Arrow matmul; verify is declarative
 }
 
 # Streaming queries execute eagerly (memory sink) — skip plan text checks.
