@@ -3,7 +3,12 @@ confs — the driver builds its own), entry() smoke at sf0.001, every
 queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 with
 row-count + column-name + order-insensitive value comparison.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--window N]
+
+--window N restricts the run to the FIRST N queries in registration
+order — the driver's own sampled gate checks exactly that window, so
+``python scripts/driver_sim.py --window 50`` is the one-command
+pre-snapshot check that the gated window is green.
 """
 
 from __future__ import annotations
@@ -18,7 +23,13 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from tests.conftest import canon_rows  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+WINDOW = (
+    int(sys.argv[sys.argv.index("--window") + 1])
+    if "--window" in sys.argv
+    else None
+)
 
 
 def main() -> int:
@@ -41,8 +52,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    items = list(qs.items())  # registration order — the order the driver samples in
+    if WINDOW is not None:
+        items = items[:WINDOW]
+        print(f"window: first {len(items)} queries in registration order")
     n_ok = n_fail = n_rows_only = 0
-    for name, fn in sorted(qs.items()):
+    for name, fn in items:
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR)
@@ -66,7 +81,7 @@ def main() -> int:
         except Exception as exc:  # driver records errors per query
             print(f"  ERROR {name}: {type(exc).__name__}: {exc}")
             n_fail += 1
-    print(f"TOTAL: {n_ok} match, {n_rows_only} rows-only, {n_fail} fail / {len(qs)}")
+    print(f"TOTAL: {n_ok} match, {n_rows_only} rows-only, {n_fail} fail / {len(items)}")
     spark.stop()
     return 1 if n_fail else 0
 
