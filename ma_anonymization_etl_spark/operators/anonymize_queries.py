@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ma_anonymization_etl_spark.functions.numeric import dsum, sql_dsum
 from ma_anonymization_etl_spark.operators import anonymize as A
 from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
 from ma_anonymization_etl_spark.registry import register
@@ -191,32 +192,79 @@ def i12_top_bottom_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select("c_custkey", F.round("bal_coded", 4).alias("bal_coded"))
 
 
-@register("i13_perturb_uniform")  # RNG differs per engine → rows-only + property tests
+@register(
+    "i13_perturb_uniform",
+    # Spark's seeded RNG stream is engine-specific, so the checkable
+    # projection is the i18 pattern: exact row count + seed-stable bounds
+    # booleans the oracle emits as TRUE.  The raw per-row release is the
+    # same expression (property-tested in tests/test_anonymize_props.py).
+    oracle="""
+SELECT COUNT(*) AS n_rows, TRUE AS dev_bounded, TRUE AS mean_centered
+FROM customer
+""",
+)
 def i13_perturb_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i13: seeded additive uniform noise on the sensitive attribute."""
+    """i13: seeded additive uniform noise (scale 100) on the sensitive
+    attribute — verified via its invariants: every deviation within
+    ±scale/2, empirical mean-deviation near 0."""
     c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey", A.perturb_uniform("c_acctbal", scale=100.0, seed=42).alias("bal_noised")
+    dev = A.perturb_uniform("c_acctbal", scale=100.0, seed=42) - F.col("c_acctbal")
+    return c.select(dev.alias("dev")).agg(
+        F.count("*").alias("n_rows"),
+        (F.max(F.abs(F.col("dev"))) <= F.lit(50.0)).alias("dev_bounded"),
+        (F.abs(F.avg("dev")) < F.lit(10.0)).alias("mean_centered"),
     )
 
 
-@register("i14_perturb_laplace")  # rows-only + property tests
+@register(
+    "i14_perturb_laplace",
+    oracle="""
+SELECT COUNT(*) AS n_rows, TRUE AS all_finite, TRUE AS roughly_symmetric,
+       TRUE AS scale_plausible
+FROM customer
+""",
+)
 def i14_perturb_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i14: DP-style Laplace noise (ε=1, sensitivity=100), closed-form."""
+    """i14: DP-style Laplace noise (ε=1, sensitivity=100), closed-form
+    inverse-CDF — verified via its invariants: all draws finite (the
+    clamped tail), sign roughly balanced, mean |noise| near b=100."""
     c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        A.perturb_laplace("c_acctbal", epsilon=1.0, sensitivity=100.0, seed=7).alias(
-            "bal_dp"
-        ),
+    noise = A.perturb_laplace(
+        "c_acctbal", epsilon=1.0, sensitivity=100.0, seed=7
+    ) - F.col("c_acctbal")
+    frac_neg = F.avg((F.col("noise") < 0).cast("double"))
+    return c.select(noise.alias("noise")).agg(
+        F.count("*").alias("n_rows"),
+        (F.max(F.abs(F.col("noise"))) < F.lit(1e6)).alias("all_finite"),
+        ((frac_neg > 0.4) & (frac_neg < 0.6)).alias("roughly_symmetric"),
+        F.avg(F.abs(F.col("noise"))).between(60.0, 160.0).alias("scale_plausible"),
     )
 
 
-@register("i15_swap_within_group")  # rows-only + property tests
+@register(
+    "i15_swap_within_group",
+    # A within-group permutation preserves each group's value multiset
+    # exactly, so the per-group exact sum/count/min/max of the SWAPPED
+    # column must equal the oracle's over the ORIGINAL column — a swap
+    # that drops, duplicates, or leaks rows across groups breaks it.
+    oracle=f"""
+SELECT c_nationkey, COUNT(*) AS n,
+       {sql_dsum('c_acctbal', 'sum_bal')},
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM customer GROUP BY c_nationkey
+""",
+)
 def i15_swap_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i15: permute balances among same-nation rows (rank-matching)."""
+    """i15: permute balances among same-nation rows (rank-matching two
+    seeded shuffles) — verified via multiset preservation per group."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    return A.swap_within_group(c, "c_acctbal", ["c_nationkey"], seed=42)
+    swapped = A.swap_within_group(c, "c_acctbal", ["c_nationkey"], seed=42)
+    return swapped.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        dsum("c_acctbal", "sum_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
 
 
 @register(
@@ -380,46 +428,98 @@ def i24_utility_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.utility_metrics(c, ["c_nationkey", "c_mktsegment"], k=10)
 
 
-@register("i22_mondrian_kanon")  # adaptive recursion → rows-only + property tests
-def i22_mondrian_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i22: Mondrian multidimensional k-anonymity (k=25) over
-    (c_acctbal, c_nationkey) — recursive median splits, stats-only to
-    driver, split decisions re-broadcast."""
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    return A.mondrian_kanon(c, ["c_acctbal", "c_nationkey"], k=25)
+# Mondrian partitions are algorithm-specific (pid layout, cut points),
+# but the RELEASE INVARIANTS are not: every input row is in exactly one
+# class, every class has ≥ k rows, and every row's QI values sit inside
+# its class's published [lo, hi] ranges.  The registered queries project
+# those invariants (exact row count + booleans the oracle emits as TRUE)
+# — the i18 pattern; the raw releases stay property-tested in
+# tests/test_anonymize_props.py.
+_MONDRIAN_ORACLE = """
+SELECT COUNT(*) AS n_rows, TRUE AS k_satisfied, TRUE AS rows_within_ranges
+FROM customer
+"""
 
 
-@register("i22b_mondrian_relaxed")  # rank-balanced splits → rows-only + property tests
-def i22b_mondrian_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i22 (relaxed variant): rank-balanced Mondrian — zero per-level
-    stats jobs (sizes evolve ⌊n/2⌋/⌈n/2⌉ driver-side from one count),
-    class sizes land in [k, 2k-1], published with closed-form i9-style
-    range labels."""
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    out = A.mondrian_kanon_relaxed(c, ["c_acctbal", "c_nationkey"], k=25)
-    return A.mondrian_range_labels(out, ["c_acctbal", "c_nationkey"]).select(
-        "c_custkey", "mondrian_pid", "c_acctbal_range", "c_nationkey_range"
+def _mondrian_invariants(out: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    sizes = F.count("*").over(Window.partitionBy("mondrian_pid"))
+    within = (
+        F.col("c_acctbal").between(F.col("c_acctbal_lo"), F.col("c_acctbal_hi"))
+        & F.col("c_nationkey").between(
+            F.col("c_nationkey_lo"), F.col("c_nationkey_hi")
+        )
+    )
+    return out.select(
+        sizes.alias("cls_n"), within.alias("within")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        (F.min("cls_n") >= k).alias("k_satisfied"),
+        F.min("within").alias("rows_within_ranges"),
     )
 
 
-@register("i22c_mondrian_hybrid")  # adaptive recursion → rows-only + property tests
+@register("i22_mondrian_kanon", oracle=_MONDRIAN_ORACLE)
+def i22_mondrian_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i22: Mondrian multidimensional k-anonymity (k=25) over
+    (c_acctbal, c_nationkey) — recursive median splits, stats-only to
+    driver, split decisions re-broadcast.  Checked via release
+    invariants (see _MONDRIAN_ORACLE comment)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return _mondrian_invariants(
+        A.mondrian_kanon(c, ["c_acctbal", "c_nationkey"], k=25), k=25
+    )
+
+
+@register("i22b_mondrian_relaxed", oracle=_MONDRIAN_ORACLE)
+def i22b_mondrian_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i22 (relaxed variant): rank-balanced Mondrian — zero per-level
+    stats jobs (sizes evolve ⌊n/2⌋/⌈n/2⌉ driver-side from one count),
+    class sizes land in [k, 2k-1].  Checked via release invariants."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return _mondrian_invariants(
+        A.mondrian_kanon_relaxed(c, ["c_acctbal", "c_nationkey"], k=25), k=25
+    )
+
+
+@register("i22c_mondrian_hybrid", oracle=_MONDRIAN_ORACLE)
 def i22c_mondrian_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i22c: hybrid Mondrian — strict median splits for the top levels
     (fully parallel broadcast decisions), relaxed rank-balanced inside
     each coarse partition (windows keyed on many pids).  The shape that
-    runs at 100 TB: no single-partition window ever sees the full table."""
+    runs at 100 TB: no single-partition window ever sees the full table.
+    Checked via release invariants."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    return A.mondrian_kanon_hybrid(c, ["c_acctbal", "c_nationkey"], k=25, strict_levels=3)
+    return _mondrian_invariants(
+        A.mondrian_kanon_hybrid(c, ["c_acctbal", "c_nationkey"], k=25, strict_levels=3),
+        k=25,
+    )
 
 
-@register("i25_mondrian_utility_compare")  # two adaptive recursions → rows-only + property tests
+@register(
+    "i25_mondrian_utility_compare",
+    oracle="""
+SELECT mode, (SELECT COUNT(*) FROM customer) AS n_rows,
+       TRUE AS k_satisfied, TRUE AS ncp_valid
+FROM (VALUES ('strict'), ('relaxed')) AS t(mode)
+""",
+)
 def i25_mondrian_utility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i25: strict-vs-relaxed Mondrian information loss on the same QIs —
-    class stats + per-tuple NCP (Xu et al. KDD 2006).  The judge-facing
-    artifact for the privacy/utility trade-off between the two
-    partitioners."""
+    class stats + per-tuple NCP (Xu et al. KDD 2006).  NCP values are
+    partitioner-specific, so the checkable projection is per-mode row
+    accounting (classes × avg size re-totals the input) plus k and
+    NCP-range booleans; the full comparison table remains available via
+    ``A.mondrian_utility_compare`` and is asserted in property tests."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    return A.mondrian_utility_compare(c, ["c_acctbal", "c_nationkey"], k=25)
+    cmp_ = A.mondrian_utility_compare(c, ["c_acctbal", "c_nationkey"], k=25)
+    return cmp_.select(
+        "mode",
+        F.round(F.col("n_classes") * F.col("avg_class_size")).cast("long").alias("n_rows"),
+        (F.col("min_class_size") >= 25).alias("k_satisfied"),
+        F.col("avg_ncp").between(0.0, 1.0).alias("ncp_valid"),
+    )
 
 
 @register(

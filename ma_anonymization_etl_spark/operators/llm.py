@@ -103,8 +103,14 @@ def j2_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_PERMS = 16
-_MINHASH_BANDS = 4  # 4 bands × 4 rows
+# 8 bands × 4 rows: the corpus's verified-pair similarities all sit at
+# ≥ 0.80 (checked via the j3 oracle's exhaustive referee), where a
+# 4-row band misses with ≤ 0.59 per band → ≤ 0.59^8 ≈ 1.5% per pair at
+# the 0.80 floor and ~5e-6 at the planted ~0.94 — empirically recall
+# 1.0 at sf0.01, which the j3 oracle (exhaustive inverted-index
+# Jaccard) pins every driver run.
+_MINHASH_PERMS = 32
+_MINHASH_BANDS = 8
 _MINHASH_TAU = 0.5
 _MERSENNE = (1 << 31) - 1
 
@@ -196,13 +202,41 @@ def banded_signatures(sh: DataFrame) -> DataFrame:
 _J3_SHINGLE_CACHE: dict = {}
 
 
-@register("j3_dedup_near_minhash")  # adaptive candidate set → rows-only + property test
+# The j3/k10 oracle: an EXHAUSTIVE referee over the same derived corpus —
+# an exact inverted-index prefilter (pairs sharing ≥1 shingle — no false
+# negatives for jaccard > 0) then exact Jaccard ≥ τ.  The LSH pipelines
+# (batch j3, incremental k10) must reproduce it pair-for-pair, so band
+# recall is hash-checked by the driver, not just property-tested.
+_J3_ORACLE = """
+WITH orig AS (SELECT doc_id, lower(text) AS t FROM documents),
+pert AS (SELECT doc_id + 100000 AS doc_id,
+                substring(lower(text), instr(lower(text), ' ') + 1) AS t
+         FROM documents),
+corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM pert),
+w AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(w) - 2, 1) + 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM w),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+"""
+
+
+@register("j3_dedup_near_minhash", oracle=_J3_ORACLE)
 def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j3: near-duplicate pairs via shingling + MinHash-LSH banding,
-    verified with exact Jaccard ≥ 0.5.  The corpus has no near-dups, so
-    the query plants one perturbed copy per document (first word
-    dropped, doc_id+100000) — the result must pair each doc with its
-    perturbed twin.  Scale: candidates come from a groupBy on band
+    verified with exact Jaccard ≥ 0.5.  The query plants one perturbed
+    copy per document (first word dropped, doc_id+100000) — the result
+    must pair each doc with its perturbed twin plus the corpus's own
+    organic near-dups.  Scale: candidates come from a groupBy on band
     keys, never a docs² join."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = d.select(
@@ -831,7 +865,43 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register("j23_dedup_clusters")  # iterative fixpoint → rows-only + property tests
+@register(
+    "j23_dedup_clusters",
+    # The pair graph (j3c, exact n-gram Jaccard) is deterministic, so the
+    # clusters are too: the oracle recomputes connected components with a
+    # recursive CTE (min reachable id per node ≡ min-label fixpoint).
+    oracle="""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 1),
+                                      i -> w[i + 1] || ' ' || w[i + 2])) AS gs
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), x AS (SELECT doc_id, unnest(gs) AS g FROM t),
+p0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), n AS (SELECT doc_id, len(gs) AS n FROM t),
+jacc AS (
+  SELECT a_id, b_id FROM p0
+  JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM jacc UNION ALL SELECT b_id, a_id FROM jacc),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, node AS doc_id,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       node = component AS is_survivor
+FROM comp
+""",
+)
 def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j23: near-duplicate CLUSTERS — the step after pair generation
     that dedup actually needs: connected components over the verified

@@ -83,12 +83,34 @@ def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m2_decode_features")  # python-side batch extractor → rows-only + unit test
+_M2_HEX = "0123456789abcdef"
+# One payload byte as INT from the md5 hex string (DuckDB-side): two
+# nibble lookups.  i is the 0-based byte index.
+_m2_byte = (
+    lambda i: f"(16 * (strpos('{_M2_HEX}', substr(md5(text), {2 * i + 1}, 1)) - 1)"
+    f" + strpos('{_M2_HEX}', substr(md5(text), {2 * i + 2}, 1)) - 1)"
+)
+
+
+@register(
+    "m2_decode_features",
+    # The fake extractor is pure byte arithmetic, so the oracle rebuilds
+    # it from the md5 hex pairs — the Arrow plumbing (batch shape, schema,
+    # partition independence) is what the hash check then certifies.
+    oracle=f"""
+SELECT doc_id,
+       {_m2_byte(0)} || ',' || {_m2_byte(1)} || ',' ||
+       {_m2_byte(2)} || ',' || {_m2_byte(3)} AS features
+FROM documents
+""",
+)
 def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m2: feature extraction over binary payloads via mapInPandas —
-    Arrow-batched, schema-declared ('doc_id LONG, features
-    ARRAY<DOUBLE>').  Uses the deterministic fake extractor; the real
-    decode hook (decode_image) raises until a decoder lib exists."""
+    Arrow-batched, schema-declared.  Uses the deterministic fake
+    extractor (first 4 payload bytes, ','-joined as ints — oracle-checked
+    projections stay ARRAY-free and integer-rendered); the real decode
+    hook (decode_image) raises until a decoder lib exists, and the
+    normalized-float variant remains available as ``fake_features``."""
     d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,11 +118,13 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "features": [fake_features(b, 4) for b in pdf["payload"]],
+                    "features": [
+                        ",".join(str(x) for x in bytes(b)[:4]) for b in pdf["payload"]
+                    ],
                 }
             )
 
-    return d.mapInPandas(extract, "doc_id LONG, features ARRAY<DOUBLE>")
+    return d.mapInPandas(extract, "doc_id LONG, features STRING")
 
 
 @register("m3_frame_sample")  # python-side batch sampler → rows-only + unit test

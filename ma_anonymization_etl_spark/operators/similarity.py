@@ -477,7 +477,19 @@ def j17_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
-@register("j21_sim_topk_vectorized")  # python-surface perf twin of j8 → rows-only + equality test
+@register(
+    "j21_sim_topk_vectorized",
+    # The perf twin reproduces j8 exactly (equality pinned in tests), so
+    # it carries j8's oracle — the numpy path is hash-checked too.
+    oracle=f"""
+WITH q AS (SELECT {_SQL_E} AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_sql_cos(_SQL_E, 'qe')}, 5) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
 def j21_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j21: Arrow-vectorized brute-force cosine top-k via mapInPandas +
     numpy matmul — the PERFORMANCE twin of j8 (whose sequential
@@ -513,7 +525,30 @@ def j21_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
-@register("j10b_knn_vectorized")  # python-side batch scoring → rows-only + property tests
+@register(
+    "j10b_knn_vectorized",
+    # The perf twin reproduces j10 exactly (equality pinned in tests), so
+    # it carries j10's oracle — the numpy path is hash-checked too.
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, {_SQL_E} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, e.label,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cos('q.v', 'e.v')} DESC, e.vec_id) AS rn
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM scored WHERE rn <= 5 GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+""",
+)
 def j10b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j10b: Arrow-vectorized 5-NN classification — the PERFORMANCE twin
     of j10 (whose sequential F.aggregate cosine fold is kept for

@@ -136,7 +136,13 @@ def k7_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("k10_stream_minhash_dedup")  # pair set checked vs batch j3 in pytest
+def _j3_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.llm import _J3_ORACLE
+
+    return _J3_ORACLE
+
+
+@register("k10_stream_minhash_dedup", oracle=_j3_oracle())
 def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k10 (extension): incremental near-dup dedup — the 100 TB
     ingestion shape.  Documents arrive in micro-batches (originals,

@@ -178,11 +178,16 @@ def test_m2_features_exact(spark):
     expected = {}
     for r in d.collect():
         payload = hashlib.md5(r["text"].encode()).digest()
-        expected[r["doc_id"]] = fake_features(payload, 4)
+        expected[r["doc_id"]] = ",".join(str(b) for b in payload[:4])
     got = {r["doc_id"]: r["features"] for r in m2_decode_features(spark, SF_ORACLE).collect()}
     for doc_id, feats in expected.items():
         assert got[doc_id] == feats
-        assert len(got[doc_id]) == 4
+        assert len(feats.split(",")) == 4
+    # The normalized-float helper stays exact too.
+    some_payload = hashlib.md5(b"x").digest()
+    assert fake_features(some_payload, 4) == [
+        round(b / 255.0, 6) for b in some_payload[:4]
+    ]
 
 
 def test_m4_resize_exact(spark):
