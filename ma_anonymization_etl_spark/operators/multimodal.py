@@ -127,64 +127,131 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(extract, "doc_id LONG, features STRING")
 
 
-@register("m3_frame_sample")  # python-side batch sampler → rows-only + unit test
+@register(
+    "m3_frame_sample",
+    # Stride 17 over the 16-byte-periodic payload visits bytes
+    # (17i mod 16) = i — the sampled frames are the first 8 payload
+    # bytes, which the oracle rebuilds from the md5 hex pairs.
+    oracle=f"""
+SELECT doc_id,
+       {" || ',' || ".join(_m2_byte(i) for i in range(8))} AS frames
+FROM documents
+""",
+)
 def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m3: frame sampling over a fake 'video' (payload ×8 = 128 bytes;
-    every 16th byte is a 'frame') via mapInPandas — the uniform-stride
-    sampling shape used for real video, minus the codec."""
+    """m3: frame sampling over a fake 'video' (payload ×9 = 144 bytes;
+    every 17th byte is a 'frame') via mapInPandas — the uniform-stride
+    sampling shape used for real video, minus the codec.  Stride 17 is
+    coprime to the 16-byte payload period, so the 8 frames are distinct
+    payload positions (a 16-aligned stride would sample byte 0 eight
+    times).  ','-joined ints — oracle-checked projections stay
+    ARRAY-free and integer-rendered."""
     d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = [[(b * 8)[i] for i in range(0, 128, 16)] for b in pdf["payload"]]
+            frames = [
+                ",".join(str((bytes(b) * 9)[i]) for i in range(0, 136, 17))
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "frames": frames})
 
-    return d.mapInPandas(sample, "doc_id LONG, frames ARRAY<INT>")
+    return d.mapInPandas(sample, "doc_id LONG, frames STRING")
 
 
-@register("m4_resize")  # python-side batch resize → rows-only + unit test
+# One payload byte as INT with a DYNAMIC (lambda-variable) index
+# expression `j` (0-based, already reduced mod 16) — m4/m5 oracles.
+_m2_byte_dyn = (
+    lambda j: f"(16 * (strpos('{_M2_HEX}', substr(md5(text), 2 * ({j}) + 1, 1)) - 1)"
+    f" + strpos('{_M2_HEX}', substr(md5(text), 2 * ({j}) + 2, 1)) - 1)"
+)
+
+# m4 block (R=i//8, C=i%8) sums raster values img(r,c) = payload[(r+c)%16]
+# over its 4×4 block: diagonals s = 4R+4C+k, k = 0..6, weights 1,2,3,4,3,2,1.
+_M4_W = [1, 2, 3, 4, 3, 2, 1]
+_m4_block = " + ".join(
+    f"{w} * {_m2_byte_dyn(f'(4 * (i // 8) + 4 * (i % 8) + {k}) % 16')}"
+    for k, w in enumerate(_M4_W)
+)
+
+
+@register(
+    "m4_resize",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_transform(range(0, 64),
+         i -> CAST({_m4_block} AS VARCHAR)), ',') AS pixel_sums
+FROM documents
+""",
+)
 def m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m4: image resize over fake raster payloads via mapInPandas +
-    numpy — payload ×64 = 1024 bytes read as a 32×32 uint8 raster,
-    block-mean pooled to 8×8 (the antialiased-downsample shape; swap in
-    PIL.Image.resize when a codec exists).  Exact float64 means of
-    integer blocks, so results are deterministic across partitionings."""
+    numpy — a 32×32 uint8 raster img(r,c) = payload[(r+c) mod 16]
+    (diagonal tiling, so rows differ — a row-aligned tiling collapses
+    every block to the same values), block-SUM pooled to 8×8 (sum =
+    16 × the block mean, exact over integers; swap in PIL.Image.resize
+    when a codec exists).  ','-joined int sums — oracle-checked
+    projections stay ARRAY-free and integer-rendered; the oracle
+    rebuilds each block sum from the md5 hex pairs."""
     import numpy as np
 
     d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    idx = (np.arange(32)[:, None] + np.arange(32)[None, :]) % 16
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels = []
             for b in pdf["payload"]:
-                img = np.frombuffer(bytes(b) * 64, dtype=np.uint8)[:1024].reshape(32, 32)
-                small = img.reshape(8, 4, 8, 4).mean(axis=(1, 3))
-                pixels.append([float(x) for x in small.ravel()])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
+                img = np.frombuffer(bytes(b), dtype=np.uint8)[idx].astype(np.int64)
+                sums = img.reshape(8, 4, 8, 4).sum(axis=(1, 3))
+                pixels.append(",".join(str(int(x)) for x in sums.ravel()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixel_sums": pixels})
 
-    return d.mapInPandas(resize, "doc_id LONG, pixels ARRAY<DOUBLE>")
+    return d.mapInPandas(resize, "doc_id LONG, pixel_sums STRING")
 
 
-@register("m5_audio_energy")  # python-side frame DSP → rows-only + unit test
+# m5 synthetic PCM: sample i = (payload[i mod 16] * (i+1)) mod 65536
+# − 32768 — the (i+1) ramp breaks the payload's 16-byte periodicity so
+# the 4 frames genuinely differ (a byte-periodic buffer makes every
+# frame identical).  Frame energy = Σ sample², exact in int64.
+_m5_sample = f"(({_m2_byte_dyn('i % 16')}::BIGINT * (i + 1)) % 65536) - 32768"
+_m5_frame = (
+    lambda f: f"CAST((SELECT SUM(s * s) FROM ("
+    f"SELECT {_m5_sample} AS s FROM range({64 * f}, {64 * (f + 1)}) AS t(i)"
+    f")) AS VARCHAR)"
+)
+
+
+@register(
+    "m5_audio_energy",
+    oracle=f"""
+SELECT doc_id,
+       {" || ',' || ".join(_m5_frame(f) for f in range(4))} AS frame_energy
+FROM documents
+""",
+)
 def m5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m5: per-frame audio energy over fake PCM payloads via mapInPandas
-    + numpy — payload ×32 = 512 bytes read as 256 little-endian int16
-    samples, framed into 4 windows of 64, RMS per frame (swap in a
-    librosa/scipy STFT when an audio stack exists).  Exact float64 over
-    integer samples, so results are deterministic across partitionings;
-    frames of a long stream would map to (doc_id, frame_no) rows and
-    repartition by doc for windowed DSP at scale."""
+    + numpy — 256 synthetic int16 samples (see _m5_sample: payload bytes
+    on an index ramp, so frames differ), framed into 4 windows of 64,
+    energy = Σ sample² per frame (exact int64; RMS = sqrt(energy/64)
+    derivable — kept integral for engine-identical rendering; swap in a
+    librosa/scipy STFT when an audio stack exists).  Frames of a long
+    stream would map to (doc_id, frame_no) rows and repartition by doc
+    for windowed DSP at scale."""
     import numpy as np
 
     d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    ramp = np.arange(256, dtype=np.int64) + 1
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
-                pcm = np.frombuffer(bytes(b) * 32, dtype="<i2")[:256].astype(np.float64)
+                base = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                pcm = (base[np.arange(256) % 16] * ramp) % 65536 - 32768
                 frames = pcm.reshape(4, 64)
-                out.append([float(x) for x in np.sqrt((frames**2).mean(axis=1))])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "frame_rms": out})
+                out.append(",".join(str(int(x)) for x in (frames**2).sum(axis=1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "frame_energy": out})
 
-    return d.mapInPandas(energy, "doc_id LONG, frame_rms ARRAY<DOUBLE>")
+    return d.mapInPandas(energy, "doc_id LONG, frame_energy STRING")

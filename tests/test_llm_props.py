@@ -198,15 +198,20 @@ def test_m4_resize_exact(spark):
     d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(5)
     expected = {}
     for r in d.collect():
-        img = np.frombuffer(
-            hashlib.md5(r["text"].encode()).digest() * 64, dtype=np.uint8
-        )[:1024].reshape(32, 32)
-        expected[r["doc_id"]] = list(img.reshape(8, 4, 8, 4).mean(axis=(1, 3)).ravel())
-    got = {r["doc_id"]: r["pixels"] for r in m4_resize(spark, SF_ORACLE).collect()}
+        payload = np.frombuffer(
+            hashlib.md5(r["text"].encode()).digest(), dtype=np.uint8
+        ).astype(np.int64)
+        idx = (np.arange(32)[:, None] + np.arange(32)[None, :]) % 16
+        sums = payload[idx].reshape(8, 4, 8, 4).sum(axis=(1, 3))
+        expected[r["doc_id"]] = ",".join(str(int(x)) for x in sums.ravel())
+    got = {r["doc_id"]: r["pixel_sums"] for r in m4_resize(spark, SF_ORACLE).collect()}
     for doc_id, pix in expected.items():
         assert got[doc_id] == pix
-        assert len(got[doc_id]) == 64
-        assert all(0.0 <= p <= 255.0 for p in got[doc_id])
+        vals = [int(x) for x in got[doc_id].split(",")]
+        assert len(vals) == 64
+        assert all(0 <= p <= 255 * 16 for p in vals)
+        # Diagonal tiling: blocks must NOT all be identical.
+        assert len(set(vals)) > 1
 
 
 def test_m5_audio_energy_exact(spark):
@@ -217,26 +222,41 @@ def test_m5_audio_energy_exact(spark):
     d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(5)
     expected = {}
     for r in d.collect():
-        pcm = np.frombuffer(
-            hashlib.md5(r["text"].encode()).digest() * 32, dtype="<i2"
-        )[:256].astype(np.float64)
-        expected[r["doc_id"]] = list(np.sqrt((pcm.reshape(4, 64) ** 2).mean(axis=1)))
-    got = {r["doc_id"]: r["frame_rms"] for r in m5_audio_energy(spark, SF_ORACLE).collect()}
-    for doc_id, rms in expected.items():
-        assert got[doc_id] == rms
-        assert len(got[doc_id]) == 4
-        assert all(x >= 0.0 for x in got[doc_id])
+        base = np.frombuffer(
+            hashlib.md5(r["text"].encode()).digest(), dtype=np.uint8
+        ).astype(np.int64)
+        ramp = np.arange(256, dtype=np.int64) + 1
+        pcm = (base[np.arange(256) % 16] * ramp) % 65536 - 32768
+        e = (pcm.reshape(4, 64) ** 2).sum(axis=1)
+        expected[r["doc_id"]] = ",".join(str(int(x)) for x in e)
+    got = {r["doc_id"]: r["frame_energy"] for r in m5_audio_energy(spark, SF_ORACLE).collect()}
+    for doc_id, en in expected.items():
+        assert got[doc_id] == en
+        vals = [int(x) for x in en.split(",")]
+        assert len(vals) == 4
+        assert all(x >= 0 for x in vals)
+        # Index ramp breaks payload periodicity: frames must differ.
+        assert len(set(vals)) > 1
 
 
 def test_m3_frames_exact(spark):
     d = load(spark, SF_ORACLE, "documents").select("doc_id", "text").limit(10)
     expected = {}
     for r in d.collect():
-        payload = hashlib.md5(r["text"].encode()).digest() * 8
-        expected[r["doc_id"]] = [payload[i] for i in range(0, 128, 16)]
+        payload = hashlib.md5(r["text"].encode()).digest() * 9
+        expected[r["doc_id"]] = ",".join(
+            str(payload[i]) for i in range(0, 136, 17)
+        )
     got = {r["doc_id"]: r["frames"] for r in m3_frame_sample(spark, SF_ORACLE).collect()}
     for doc_id, frames in expected.items():
         assert got[doc_id] == frames
+        # Stride 17 is coprime to the 16-byte period: frames are the
+        # first 8 distinct payload positions, not byte 0 repeated.
+        assert frames.split(",") == [
+            str(hashlib.md5(
+                d.filter(F.col("doc_id") == doc_id).first()["text"].encode()
+            ).digest()[i]) for i in range(8)
+        ]
 
 
 def test_winnow_shared_substring_guarantee(spark):
