@@ -78,13 +78,27 @@ def a6_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("k5_watermark_late_drop")  # batch-split-dependent → rows-only + pytest
+@register(
+    "k5_watermark_late_drop",
+    # The staged source is ONE parquet file → one availableNow
+    # micro-batch, so append-mode emission is deterministic: exactly the
+    # hourly windows closed under the final watermark (max ts − 10 min)
+    # emit.  The oracle encodes that emission rule in batch SQL; the
+    # multi-batch LATE-ARRIVAL semantics (a second batch older than the
+    # watermark is dropped) stay pinned by test_streaming.py's crafted
+    # two-batch scenario, which no single-batch oracle can express.
+    oracle="""
+WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, COUNT(*) AS n
+FROM events, m
+GROUP BY ws, event_type, wm
+HAVING ws + INTERVAL 1 HOUR <= wm
+""",
+)
 def k5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k5: watermarked tumbling aggregate — events later than 10 min
-    behind max event-time are dropped from closed windows.  Append-mode
-    emissions depend on how files split into micro-batches, so the
-    hash-oracle doesn't apply; test_streaming.py pins the semantics
-    with a crafted two-batch late arrival."""
+    behind max event-time are dropped from closed windows.  See the
+    oracle comment for what the hash check covers vs the pytest."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
