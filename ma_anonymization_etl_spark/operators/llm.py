@@ -925,3 +925,174 @@ def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("component")).alias("is_survivor"),
         )
     )
+
+
+# --- j24: the end-to-end training-data funnel -----------------------------
+
+_J24_STAGES_SQL = """
+WITH RECURSIVE
+base AS (SELECT doc_id, text, lang FROM documents),
+raw AS (
+  SELECT doc_id, text, lang FROM base
+  UNION ALL SELECT doc_id + 200000, text, lang FROM base
+  UNION ALL SELECT doc_id + 100000,
+                   substring(text, instr(text, ' ') + 1), lang FROM base
+),
+quality AS (SELECT * FROM raw WHERE len(string_split(lower(text), ' ')) >= 30),
+langf AS (SELECT * FROM quality WHERE lang = 'en'),
+exactd AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM langf)
+  WHERE doc_id = keep
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exactd)
+),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT a_id, b_id FROM shared
+  JOIN nsz na ON na.doc_id = a_id JOIN nsz nb ON nb.doc_id = b_id
+  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+nond AS (
+  SELECT node AS doc_id FROM (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+  WHERE node <> component
+),
+neard AS (SELECT * FROM exactd WHERE doc_id NOT IN (SELECT doc_id FROM nond))
+"""
+
+_J24_ORACLE = _J24_STAGES_SQL + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS stage, COUNT(*) AS n_docs,\n"
+    f"       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+    f" AS n_ws_tokens FROM {cte}"
+    for name, cte in [
+        ("1_raw", "raw"), ("2_quality", "quality"), ("3_lang", "langf"),
+        ("4_exact_dedup", "exactd"), ("5_near_dedup", "neard"),
+    ]
+)
+
+
+@register("j24_training_funnel", oracle=_J24_ORACLE)
+def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j24: the END-TO-END training-data curation funnel as ONE lazy
+    plan — quality filter → language filter → exact dedup → near-dup
+    dedup — reporting (docs, whitespace tokens) surviving each stage.
+    The corpus plants one exact copy (doc_id+200000) and one perturbed
+    copy (doc_id+100000, first word dropped) per document, so every
+    stage provably removes something: short docs fail the n_words ≥ 30
+    gate, non-'en' docs the language gate, planted copies the md5
+    min-id dedup, and perturbed twins the exact-Jaccard (3-gram ≥ 0.5)
+    connected-components dedup, which keeps only each cluster's min-id
+    survivor.  The oracle replays the identical funnel in DuckDB
+    (recursive CTE for the components), so all five stage counts and
+    token totals are hash-checked.
+
+    100 TB shape: stages 1-3 are map-side predicates folded into ONE
+    scan as per-doc survival flags (no per-stage recompute); exact
+    dedup is one hash-partitioned window on the content hash; the pair
+    graph comes from an inverted shingle index (shuffle on shingle,
+    never docs²) — swap in the j3 MinHash bands when even the index is
+    too hot; components iterate over the EDGE list only, and the final
+    report is a single conditional aggregation unpivoted to funnel
+    rows."""
+    from pyspark.sql import Window
+
+    key = (id(spark), sf_dir, "j24_flags")
+    flags = _J3_SHINGLE_CACHE.get(key)
+    if flags is None:
+        d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        exact_copy = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+        pert_copy = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            "lang",
+        )
+        raw = d.unionByName(exact_copy).unionByName(pert_copy)
+
+        n_words = F.size(F.split(F.lower(F.col("text")), " "))
+        w_hash = Window.partitionBy(F.md5("text"))
+        flags = (
+            raw.withColumn("q", n_words >= 30)
+            .withColumn("l", F.col("q") & (F.col("lang") == "en"))
+            # min doc_id among lang-surviving copies of this content; a
+            # doc survives exact dedup iff it is that minimum.
+            .withColumn(
+                "e",
+                F.col("l")
+                & (
+                    F.min(F.when(F.col("l"), F.col("doc_id"))).over(w_hash)
+                    == F.col("doc_id")
+                ),
+            )
+            .persist()
+        )
+        _J3_SHINGLE_CACHE[key] = flags
+
+    exactd = flags.filter(F.col("e"))
+    sh = exactd.select("doc_id", word_shingles("text", 3).alias("s"))
+    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    shared = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    pairs = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.5
+        )
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    )
+    non_survivors = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("__dup"))
+    )
+
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    doc = (
+        flags.join(non_survivors, "doc_id", "left")
+        .withColumn("n", F.col("e") & F.col("__dup").isNull())
+        .withColumn("__ws", ws_tokens)
+    )
+    wide = doc.agg(
+        F.count("*").alias("c1"),
+        F.sum("__ws").alias("t1"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("q"), F.col("__ws"))).alias("t2"),
+        F.sum(F.when(F.col("l"), 1).otherwise(0)).alias("c3"),
+        F.sum(F.when(F.col("l"), F.col("__ws"))).alias("t3"),
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).alias("c4"),
+        F.sum(F.when(F.col("e"), F.col("__ws"))).alias("t4"),
+        F.sum(F.when(F.col("n"), 1).otherwise(0)).alias("c5"),
+        F.sum(F.when(F.col("n"), F.col("__ws"))).alias("t5"),
+    )
+    return wide.selectExpr(
+        "stack(5, '1_raw', c1, t1, '2_quality', c2, t2, '3_lang', c3, t3, "
+        "'4_exact_dedup', c4, t4, '5_near_dedup', c5, t5) "
+        "AS (stage, n_docs, n_ws_tokens)"
+    )
