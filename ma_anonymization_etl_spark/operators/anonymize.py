@@ -684,6 +684,7 @@ def mondrian_utility_compare(
         return per_class.agg(
             F.lit(mode).alias("mode"),
             F.count("*").alias("n_classes"),
+            F.sum("n").alias("n_rows"),
             F.min("n").alias("min_class_size"),
             F.round(F.avg("n"), 4).alias("avg_class_size"),
             F.round(F.sum(F.col("cls_ncp") * F.col("n")) / F.sum("n"), 6).alias("avg_ncp"),
