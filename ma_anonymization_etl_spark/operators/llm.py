@@ -312,13 +312,47 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j3b_dedup_simhash")  # python hashing in pandas UDF → rows-only + property test
+@register(
+    "j3b_dedup_simhash",
+    # The oracle replays the ALGORITHM exactly — md5-derived 64-bit
+    # sign-sum fingerprints (('0x'||hex)::UBIGINT parses the same 8
+    # big-endian bytes Python reads), the same 16-bit chunk banding, the
+    # same hamming ≤ 12 filter — so the banded candidate set itself is
+    # hash-checked, recall trade-off and all.
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(lower(text), instr(lower(text), ' ') + 1) FROM documents
+),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM corpus),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM tok),
+bits AS (SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, range(0, 64) r(i) GROUP BY doc_id, i),
+fp AS (SELECT doc_id,
+              string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS f
+       FROM bits GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.f AS af, b.f AS bf
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE substr(a.f, 1, 16) = substr(b.f, 1, 16)
+     OR substr(a.f, 17, 16) = substr(b.f, 17, 16)
+     OR substr(a.f, 33, 16) = substr(b.f, 33, 16)
+     OR substr(a.f, 49, 16) = substr(b.f, 49, 16)
+)
+SELECT a_id, b_id, hamming(af, bf) AS hamming
+FROM cand WHERE hamming(af, bf) <= 12
+""",
+)
 def j3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j3 (SimHash variant, Charikar 2002): 64-bit sign-sum fingerprints
     via an Arrow-batched pandas UDF, near-dup pairs = hamming ≤ 12
     found through 16-bit chunk banding (a pair within hamming 3 of 64
     bits must agree on ≥1 of 4 chunks; wider radii may lose pairs —
     documented recall trade-off).  Same planted perturbed corpus as j3.
+    The oracle replays the identical algorithm in SQL (see above), so
+    the trade-off is pinned, not papered over.
     """
     import hashlib
 
