@@ -32,6 +32,24 @@ def test_example_route_end_to_end(spark, tmp_path, capsys):
     assert any(p.name.startswith("c_nationkey=") for p in (tmp_path / "out").iterdir())
 
 
+def test_events_route_end_to_end(spark, tmp_path):
+    """The events route: time-generalize, tokenize the user DI (projected
+    away by the final select), drop free-text props, k-enforce on
+    (event_type, hour)."""
+    route = json.load(open("/root/repo/examples/route_events.json"))
+    route["output"]["path"] = str(tmp_path / "out")
+    out = run_route(spark, route)
+    assert set(out.columns) == {"user_token", "event_type", "ts", "value"}
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == out.count() > 0
+    # k-anonymity holds on the published QIs.
+    k = k_anonymity_metric(back, ["event_type", "ts"]).collect()[0]["k_anonymity"]
+    assert k >= 8
+    # Timestamps truncated to the hour; tokens are sha256 hex.
+    assert back.filter(F.minute("ts") != 0).count() == 0
+    assert back.filter(F.length("user_token") != 64).count() == 0
+
+
 def test_route_refuses_di_leak(spark):
     route = {
         "input": {"table": "customer", "sf_dir": SF_ORACLE},
