@@ -857,7 +857,7 @@ def j22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     as its own component; each round a node adopts the smallest
     component id among itself and its neighbours, until a round changes
@@ -869,6 +869,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     ``edges`` must have columns (a, b); returns (node, component) with
     component = min node id reachable."""
+    # Materialize the edge list ONCE before iterating: `edges` may be an
+    # arbitrarily expensive upstream DAG (j23 hands in the whole LSH
+    # dedup pipeline), and without this cut every propagation round —
+    # and both sides of its self-join — would recompute it from scratch.
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -899,53 +904,59 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register(
-    "j23_dedup_clusters",
-    # The pair graph (j3c, exact n-gram Jaccard) is deterministic, so the
-    # clusters are too: the oracle recomputes connected components with a
-    # recursive CTE (min reachable id per node ≡ min-label fixpoint).
-    oracle="""
-WITH RECURSIVE
-t AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(len(w) - 1),
-                                      i -> w[i + 1] || ' ' || w[i + 2])) AS gs
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
-), x AS (SELECT doc_id, unnest(gs) AS g FROM t),
-p0 AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), n AS (SELECT doc_id, len(gs) AS n FROM t),
-jacc AS (
-  SELECT a_id, b_id FROM p0
-  JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
-  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
-),
-edges AS (SELECT a_id AS u, b_id AS v FROM jacc UNION ALL SELECT b_id, a_id FROM jacc),
-nodes AS (SELECT DISTINCT u AS node FROM edges),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
-),
-comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
-SELECT component, node AS doc_id,
-       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
-       node = component AS is_survivor
-FROM comp
-""",
-)
+# j23's oracle: min-label propagation with a FIXED round budget instead
+# of a recursive CTE.  An unbounded transitive-closure recursion
+# re-evaluates the (expensive) inlined pair CTE once per iteration AND
+# its row count is Θ(Σ|component|²) — it wedged for minutes at sf0.1
+# even though the graph is shallow stars.  R rounds compute exact CC for
+# any graph of min-label convergence ≤ R (star/planted graphs converge
+# in 2); if data ever exceeded that, the driver compare fails LOUDLY
+# against Spark's convergence-checked loop rather than silently agreeing.
+_J23_ROUNDS = 8
+
+
+def _j23_oracle() -> str:
+    ctes = [
+        f"jacc AS MATERIALIZED (SELECT a_id, b_id FROM ({_J3_ORACLE}) j3)",
+        "edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jacc "
+        "UNION ALL SELECT b_id, a_id FROM jacc)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM edges)",
+    ]
+    for k in range(1, _J23_ROUNDS + 1):
+        ctes.append(
+            f"lbl{k} AS MATERIALIZED (SELECT n.node, "
+            f"LEAST(n.c, COALESCE(m.mc, n.c)) AS c "
+            f"FROM lbl{k - 1} n LEFT JOIN (SELECT e.u AS node, MIN(l.c) AS mc "
+            f"FROM edges e JOIN lbl{k - 1} l ON l.node = e.v GROUP BY e.u) m "
+            f"USING (node))"
+        )
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT c AS component, node AS doc_id,
+       COUNT(*) OVER (PARTITION BY c) AS cluster_size,
+       node = c AS is_survivor
+FROM lbl{_J23_ROUNDS}
+"""
+
+
+@register("j23_dedup_clusters", oracle=_j23_oracle())
 def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j23: near-duplicate CLUSTERS — the step after pair generation
     that dedup actually needs: connected components over the verified
-    j3c pair graph, one survivor (min doc_id) per component.  Returns
-    (component, doc_id, cluster_size, is_survivor); property tests pin
-    transitive chains (a-b, b-c, c-d → one 4-cluster) and the planted
-    corpus (every cluster pairs a doc with its perturbed twin)."""
+    pair graph of the PRODUCTION dedup path (j3 MinHash-LSH: planted
+    3-gram corpus, exact-Jaccard-verified candidates), one survivor
+    (min doc_id) per component.  Returns (component, doc_id,
+    cluster_size, is_survivor); property tests pin transitive chains
+    (a-b, b-c, c-d → one 4-cluster) and the planted corpus.
+
+    j23 originally clustered the exhaustive j3c graph (2-gram τ 0.2);
+    that pair join is Θ(Σ df²) over a tiny shared vocabulary — ~73M
+    intermediate rows at sf0.1, an OOM in a default local session and
+    the wrong input for clustering at any real scale.  j3c remains the
+    standalone exhaustive baseline; clustering consumes the bounded
+    LSH pipeline."""
     from pyspark.sql import Window
 
-    pairs = j3c_dedup_ngram_jaccard(spark, sf_dir).select(
+    pairs = j3_dedup_near_minhash(spark, sf_dir).select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     )
     comp = connected_components(pairs)
