@@ -43,3 +43,17 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(ALL)
+
+
+def test_driver_window_fully_oracle_checked():
+    """The driver's hard gate samples the FIRST 50 queries in
+    registration order; a rows-only query in that window is permanently
+    red (`err: no_oracle`).  Guard the window: every sampled query must
+    carry an oracle, and in fact the whole registry currently does."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in os_]
+    assert not missing, f"driver-window queries without oracle: {missing}"
+    assert set(qs) == set(os_), "registry regressed from full oracle coverage"
