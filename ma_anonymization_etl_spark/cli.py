@@ -41,20 +41,35 @@ from ma_anonymization_etl_spark.sources.io import load, write_parquet
 def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) -> None:
     """Refuse routes where a direct identifier survives to the output.
 
-    A DI is covered only if (a) some step rewrites it IN PLACE (no
-    ``out``, or ``out`` equal to the column — writing a token to a
-    *different* column leaves the raw DI intact), (b) it is dropped by
-    ``suppress_columns``, or (c) the final ``select`` projection
-    excludes it.  Merely referencing the DI as a step input is not
-    coverage.
+    A DI is covered only if (a) some UNCONDITIONAL rewrite step
+    transforms it IN PLACE (no ``out``, or ``out`` equal to the column —
+    writing a token to a *different* column leaves the raw DI intact;
+    conditional ops like ``suppress_cell_if`` do not count because a
+    never-true predicate leaves every raw value in the output), (b) it
+    is dropped by ``suppress_columns`` or destroyed by ``null_columns``,
+    or (c) the final ``select`` projection excludes it.  Merely
+    referencing the DI as a step input is not coverage.
     """
     roles = classify_columns(cfg)
+    # Ops that rewrite every value of `col` regardless of data/predicate.
+    unconditional_rewrites = {
+        "pseudonymize_sha2", "pseudonymize_md5", "mask_partial",
+        "generalize_numeric", "generalize_range_label", "generalize_date",
+        "top_bottom_code", "perturb_uniform", "perturb_laplace",
+        "swap_within_group",
+    }
     transformed: set[str] = set()
     for s in steps:
         col = s.get("col")
-        if col is not None and s.get("out", col) == col:
+        if (col is not None and s.get("op") in unconditional_rewrites
+                and s.get("out", col) == col):
             transformed.add(col)
-    dropped = {c for s in steps if s.get("op") == "suppress_columns" for c in s["cols"]}
+    dropped = {
+        c
+        for s in steps
+        if s.get("op") in ("suppress_columns", "null_columns")
+        for c in s["cols"]
+    }
     kept: set[str] | None = None  # None = no select step, everything survives
     for s in steps:
         if s.get("op") == "select":

@@ -254,7 +254,10 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per branch.  Small: (docs × distinct shingles) strings.  Cached per
     # (session, sf_dir) so repeated invocations in one session measure
     # steady state instead of re-materializing the same subtree.
-    key = (id(spark), sf_dir)
+    # Keyed on applicationId, not id(spark): CPython can reuse an object
+    # id after a stopped session is garbage-collected, which would hand
+    # back a DataFrame bound to the dead session (ADVICE r3).
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _J3_SHINGLE_CACHE.get(key)
     if cached is None:
         sh = (
@@ -1058,7 +1061,7 @@ def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     from pyspark.sql import Window
 
-    key = (id(spark), sf_dir, "j24_flags")
+    key = (spark.sparkContext.applicationId, sf_dir, "j24_flags")
     flags = _J3_SHINGLE_CACHE.get(key)
     if flags is None:
         d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")

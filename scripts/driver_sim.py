@@ -13,6 +13,7 @@ pre-snapshot check that the gated window is green.
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
@@ -23,13 +24,13 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from tests.conftest import canon_rows  # noqa: E402
 
-_args = [a for a in sys.argv[1:] if not a.startswith("--")]
-SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
-WINDOW = (
-    int(sys.argv[sys.argv.index("--window") + 1])
-    if "--window" in sys.argv
-    else None
-)
+_parser = argparse.ArgumentParser(description=__doc__)
+_parser.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+_parser.add_argument("--window", type=int, default=None,
+                     help="restrict to the first N queries in registration order")
+_cli = _parser.parse_args()
+SF_DIR = _cli.sf_dir
+WINDOW = _cli.window
 
 
 def main() -> int:

@@ -111,3 +111,28 @@ def test_route_accepts_in_place_transform(spark):
     }
     out = run_route(spark, route)
     assert out.filter(F.length("c_name") != 64).count() == 0
+
+
+def test_route_refuses_conditional_cell_suppress_as_di_coverage(spark):
+    # ADVICE r3: suppress_cell_if with a never-true predicate rewrites
+    # nothing, so a conditional op must NOT count as DI coverage.
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [{"op": "suppress_cell_if", "col": "c_name", "pred": "1=0"}],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
+
+
+def test_route_accepts_null_columns_as_di_coverage(spark):
+    # ADVICE r3: null_columns destroys the DI values in place — a
+    # legitimate covering step, must not be refused (fail-closed
+    # regression in the previous guard).
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [{"op": "null_columns", "cols": ["c_name"]}],
+    }
+    out = run_route(spark, route)
+    assert out.filter(F.col("c_name").isNotNull()).count() == 0

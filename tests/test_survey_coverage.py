@@ -33,6 +33,29 @@ def test_every_survey_id_has_a_query():
     assert not missing, f"SURVEY §2 ids with no queries() entry: {missing}"
 
 
+def test_driver_window_spans_every_family():
+    """The driver's correctness gate checks the FIRST 50 registrations.
+
+    Lock the curated window (registry.DRIVER_WINDOW) against
+    registration-order drift: the first 50 emitted names must include
+    >=1 query from every SURVEY §2 family plus the extension families,
+    and every one must carry a DuckDB oracle (no rows-only rows inside
+    the gate).
+    """
+    all_q = registry.load_all()
+    window = list(all_q)[:50]
+    assert window == registry.DRIVER_WINDOW, "load_all() must emit DRIVER_WINDOW first"
+    families = {"a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k",
+                "l", "m", "n", "s"}
+    import re
+
+    covered = {re.match(r"([a-z]+)\d", n).group(1) for n in window}
+    missing = families - covered
+    assert not missing, f"driver window misses §2 families: {missing}"
+    no_oracle = [n for n in window if not all_q[n].oracle]
+    assert not no_oracle, f"driver window contains oracle-less queries: {no_oracle}"
+
+
 def test_oracle_coverage_ratio():
     all_q = registry.load_all()
     with_oracle = sum(1 for q in all_q.values() if q.oracle)
