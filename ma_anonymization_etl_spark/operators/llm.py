@@ -440,15 +440,29 @@ WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
 )
 def j3c_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j3 (exhaustive variant): word-2-gram Jaccard ≥ 0.2 pairs via
-    explode + equi-join on shared grams — fully oracle-checked.  The
-    equi-join on the gram bounds the blow-up to docs sharing a gram;
-    for 100 TB use the MinHash-LSH variant (j3) instead."""
+    explode + equi-join on shared grams — fully oracle-checked.
+
+    This is the REFEREE, inherently Θ(Σ df²) in gram document
+    frequency: on the bench corpus (tiny shared vocabulary, every gram
+    common) no exact candidate pruning can separate — measured floor:
+    qualifying pairs' rarest shared gram has df ≈ 0.05·N, so a df-cap
+    that bounds the join also drops real near-dups.  The plan instead
+    bounds the per-row cost: the self-join runs on xxhash64(gram)
+    longs (8-byte keys; join-internal only, never in output — 931
+    distinct grams make a colliding pair astronomically unlikely and
+    it would surface as an oracle hash mismatch), partially aggregates
+    map-side, and only then rejoins the tiny per-doc gram counts.
+    Runs at sf0.1 (5k docs, 10.3M candidate pairs) in a default-1 GB
+    local session; for anything bigger use the MinHash-LSH variant
+    (j3) — that is the 100 TB path."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = d.select("doc_id", word_shingles("text", 2).alias("gs"))
-    x = t.select("doc_id", F.explode("gs").alias("g"))
+    x = t.select("doc_id", F.explode("gs").alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
     a, b = x.alias("a"), x.alias("b")
     pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("shared"))
     )
@@ -1143,4 +1157,156 @@ def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, '1_raw', c1, t1, '2_quality', c2, t2, '3_lang', c3, t3, "
         "'4_exact_dedup', c4, t4, '5_near_dedup', c5, t5) "
         "AS (stage, n_docs, n_ws_tokens)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing over free text (i26/i27 extensions) — the anonymization
+# engine's text-side counterpart to the i-family column operators: LLM
+# training corpora must have direct identifiers scrubbed from the text
+# itself, not just from relational columns.
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) — patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): literal
+# classes, bounded repetition, no backrefs/lookaround.  Email first so
+# the ip pattern can never nibble at a domain.
+_PII_RULES = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\+1-555-[0-9]{4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+# Deterministic PII injection, replayed identically by the oracle: the
+# corpus is digit-free word salad (FIXTURES.md), so every match in the
+# derived text is an injected identifier.  Every doc gets an email +
+# phone; doc_id % 3 == 0 adds an SSN, doc_id % 5 == 0 a second email,
+# doc_id % 4 == 0 an IP — so per-type counts vary per doc and the
+# profile aggregates are non-trivial.
+_PII_INJECT_SQL = """
+text || ' contact user' || doc_id::VARCHAR || '@mail.example.com phone +1-555-'
+     || (1000 + doc_id % 9000)::VARCHAR
+     || CASE WHEN doc_id % 3 = 0
+             THEN ' ssn ' || (100 + doc_id % 900)::VARCHAR || '-'
+                  || (10 + doc_id % 90)::VARCHAR || '-'
+                  || (1000 + doc_id % 7000)::VARCHAR
+             ELSE '' END
+     || CASE WHEN doc_id % 5 = 0
+             THEN ' cc admin' || doc_id::VARCHAR || '@corp.example.org'
+             ELSE '' END
+     || CASE WHEN doc_id % 4 = 0
+             THEN ' ip ' || (1 + doc_id % 254)::VARCHAR || '.0.'
+                  || (doc_id % 254)::VARCHAR || '.7'
+             ELSE '' END
+"""
+
+
+def _pii_inject_col() -> Column:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(did), F.lit("@mail.example.com phone +1-555-"),
+        s(F.lit(1000) + did % 9000),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" ssn "), s(F.lit(100) + did % 900), F.lit("-"),
+                     s(F.lit(10) + did % 90), F.lit("-"),
+                     s(F.lit(1000) + did % 7000)),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" cc admin"), s(did), F.lit("@corp.example.org")),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" ip "), s(F.lit(1) + did % 254), F.lit(".0."),
+                     s(did % 254), F.lit(".7")),
+        ).otherwise(""),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Chained regexp_replace over the rule table — one projection,
+    whole-stage-codegen'd; the 100 TB cost is a single map-side pass."""
+    out = col
+    for _, pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _i26_sql_counts() -> str:
+    return ", ".join(
+        f"len(regexp_extract_all(pii_text, '{pat}')) AS n_{name}"
+        for name, pat, _ in _PII_RULES
+    )
+
+
+def _i26_sql_clean() -> str:
+    clean = "pii_text"
+    for _, pat, repl in _PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return clean
+
+
+_I26_ORACLE = f"""
+WITH pii AS (SELECT doc_id, source, {_PII_INJECT_SQL} AS pii_text FROM documents)
+SELECT doc_id, source, {_i26_sql_clean()} AS clean_text, {_i26_sql_counts()}
+FROM pii
+"""
+
+
+@register("i26_pii_scrub_text", oracle=_I26_ORACLE)
+def i26_pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i26 (extension): free-text PII scrubbing — regex redaction of
+    emails / phone numbers / SSNs / IPv4s, plus per-type match counts.
+    The corpus is digit-free, so the query derives a PII-bearing text
+    per doc (deterministic injection keyed on doc_id, replayed by the
+    oracle) and must scrub every planted identifier; counts are taken
+    BEFORE scrubbing, each pattern against the raw text.  All four
+    rules compile into one chained-regexp_replace projection — a pure
+    map-side pass with no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pii = d.select("doc_id", "source", _pii_inject_col().alias("pii_text"))
+    return pii.select(
+        "doc_id",
+        "source",
+        scrub_pii(F.col("pii_text")).alias("clean_text"),
+        *[
+            F.regexp_count("pii_text", F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in _PII_RULES
+        ],
+    )
+
+
+_I27_ORACLE = f"""
+WITH pii AS (SELECT doc_id, source, {_PII_INJECT_SQL} AS pii_text FROM documents),
+counted AS (SELECT doc_id, source, {_i26_sql_counts()} FROM pii)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_email)::BIGINT AS total_email, SUM(n_phone)::BIGINT AS total_phone,
+       SUM(n_ssn)::BIGINT AS total_ssn, SUM(n_ip)::BIGINT AS total_ip,
+       SUM(CASE WHEN n_ssn + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_beyond_contact
+FROM counted
+GROUP BY source
+"""
+
+
+@register("i27_pii_profile", oracle=_I27_ORACLE)
+def i27_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i27 (extension): corpus PII risk profile per source — composes
+    i26's count projection with a grouped rollup (which sources carry
+    how much of which identifier class; the report an anonymization
+    pass over a crawl corpus starts from).  Map-side partial counts →
+    one small shuffle on source."""
+    counted = i26_pii_scrub_text(spark, sf_dir)
+    return counted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum("n_ssn").alias("total_ssn"),
+        F.sum("n_ip").alias("total_ip"),
+        F.sum(
+            F.when(F.col("n_ssn") + F.col("n_ip") > 0, 1).otherwise(0)
+        ).alias("docs_beyond_contact"),
     )

@@ -275,3 +275,63 @@ def k9_stream_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anonymize_pipeline(
         landed, [{"op": "k_enforce_suppress", "qis": ["event_type", "value_bin"], "k": 5}]
     )
+
+
+def _i26_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.llm import _I26_ORACLE
+
+    return _I26_ORACLE
+
+
+@register("k14_stream_pii_scrub", oracle=_i26_oracle())
+def k14_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k14 (extension): i26's free-text PII scrubbing applied per
+    micro-batch — the ingest-time shape for a crawl pipeline (scrub
+    BEFORE the raw text ever lands).  Documents arrive in two
+    micro-batches (maxFilesPerTrigger=1); each batch runs the same
+    chained-regexp projection as batch i26 (purely map-side, so
+    batch-local application is trivially stream-safe — no cross-batch
+    state, unlike k10's fingerprint store) and appends to the
+    sanitized sink.  Output must equal single-shot i26 row-for-row,
+    so it shares i26's oracle."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _PII_RULES,
+        _pii_inject_col,
+        scrub_pii,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "mael_scratch", "k14")
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    half.write.parquet(os.path.join(in_dir, "batch1"))
+    d.exceptAll(half).write.parquet(os.path.join(in_dir, "batch2"))
+
+    def scrub_batch(batch: DataFrame, batch_id: int) -> None:
+        pii = batch.select("doc_id", "source", _pii_inject_col().alias("pii_text"))
+        (
+            pii.select(
+                "doc_id",
+                "source",
+                scrub_pii(F.col("pii_text")).alias("clean_text"),
+                *[
+                    F.regexp_count("pii_text", F.lit(pat)).alias(f"n_{name}")
+                    for name, pat, _ in _PII_RULES
+                ],
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    src = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    run_foreach_batch(src, scrub_batch)
+    return spark.read.parquet(out_dir)

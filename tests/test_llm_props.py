@@ -310,3 +310,83 @@ def test_j23_clusters_planted(spark):
         assert sum(m["is_survivor"] for m in members) == 1
         assert min(m["doc_id"] for m in members) == comp
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_j3_corpus_gap_supports_band_recall():
+    """The j3/j23/k10 oracle is an EXHAUSTIVE Jaccard referee, so the
+    driver's hash check requires MinHash-LSH recall exactly 1.0.  With
+    8 bands x 4 rows a pair at Jaccard ~0.5-0.7 would be missed with
+    ~40-60% probability (ADVICE r3) — the check is sound only because
+    the corpus has NO pair in that marginal band: planted twins sit at
+    J >= 0.77 (miss probability <= ~3% per pair, and the fixed
+    seed-1337 permutations empirically find them all), organic pairs
+    at J <= 0.08.  This guard re-measures the gap with DuckDB so a
+    corpus/SF change that introduces a borderline pair fails HERE with
+    this explanation, not as an unexplained driver mismatch.  Remedy
+    if it fires: raise _MINHASH_TAU above the new max-marginal J, or
+    add bands/rows until the miss probability at the new floor is
+    negligible, and re-check j3/j23/k10 together."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    gap = con.execute("""
+WITH orig AS (SELECT doc_id, lower(text) AS t FROM documents),
+pert AS (SELECT doc_id + 100000 AS doc_id,
+                substring(lower(text), instr(lower(text), ' ') + 1) AS t
+         FROM documents),
+corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM pert),
+w AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(w) - 2, 1) + 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM w),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+j AS (SELECT len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))) AS jac
+      FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id)
+SELECT COUNT(*) FILTER (jac >= 0.5 AND jac < 0.75) AS marginal,
+       MIN(jac) FILTER (jac >= 0.5) AS min_qualifying
+FROM j
+""").fetchone()
+    marginal, min_qualifying = gap
+    assert marginal == 0, (
+        f"{marginal} pair(s) in the marginal Jaccard band [0.5, 0.75) — "
+        "8x4 MinHash banding misses such pairs with ~40-60% probability, "
+        "so j3/j23/k10's exhaustive-referee oracles are no longer sound. "
+        "See this test's docstring for the remedy."
+    )
+    assert min_qualifying is None or min_qualifying >= 0.75
+
+
+def test_i26_scrub_leaves_no_pii(spark):
+    """Every planted identifier must be redacted: re-running every PII
+    pattern over clean_text finds zero matches, and the per-type counts
+    match the injection schedule (email 1 + [doc_id%5==0], phone 1,
+    ssn [doc_id%3==0], ip [doc_id%4==0])."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _PII_RULES,
+        i26_pii_scrub_text,
+    )
+
+    out = i26_pii_scrub_text(spark, SF_ORACLE)
+    residue = out.select(
+        *[
+            F.sum(F.regexp_count("clean_text", F.lit(pat))).alias(name)
+            for name, pat, _ in _PII_RULES
+        ]
+    ).collect()[0]
+    assert all(v == 0 for v in residue.asDict().values()), residue.asDict()
+
+    bad = out.filter(
+        (F.col("n_email") != 1 + (F.col("doc_id") % 5 == 0).cast("int"))
+        | (F.col("n_phone") != 1)
+        | (F.col("n_ssn") != (F.col("doc_id") % 3 == 0).cast("int"))
+        | (F.col("n_ip") != (F.col("doc_id") % 4 == 0).cast("int"))
+    ).count()
+    assert bad == 0

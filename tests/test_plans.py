@@ -111,3 +111,14 @@ def test_custom_datasource_is_batch_scan(spark):
     assert "BatchScan synthetic_events" in plan
     # Aggregation still two-phase on top of the Python source.
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pii_scrub_is_pure_map_side(spark):
+    """i26's chained-regexp scrub must stay one codegen'd projection
+    over the scan: no Exchange (shuffle), no Python eval of any kind —
+    the property that makes ingest-time scrubbing (k14) free at 100 TB."""
+    plan = plan_of(spark, "i26_pii_scrub_text")
+    assert "Exchange" not in plan, "i26 must not shuffle"
+    assert "EvalPython" not in plan, "i26 must not leave the JVM"
+    # formatted explain marks codegen'd operators with a leading '*'
+    assert "* Project" in plan, "scrub projection fell out of codegen"
