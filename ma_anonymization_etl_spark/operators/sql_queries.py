@@ -113,6 +113,154 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """
 
 
+S7_TPCH_Q7 = f"""
+SELECT supp_nation,
+       cust_nation,
+       l_year,
+       {sql_dsum('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+S8_TPCH_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_9' THEN vol ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+S13_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+S15_TPCH_Q15 = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(revenue0.total_revenue AS DOUBLE) / 10000 AS total_revenue
+FROM supplier
+JOIN revenue0 ON s_suppkey = supplier_no
+WHERE revenue0.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+S17_TPCH_Q17 = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+       / 10000 / 7 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq ON pk = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+"""
+
+S18_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey AS ok, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN big ON o_orderkey = ok
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+S19_TPCH_Q19 = f"""
+SELECT {sql_dsum(_REVENUE, 'revenue')}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+S22_TPCH_Q22 = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+avg_bal AS (
+  SELECT SUM(cents) AS total, COUNT(*) AS n FROM pos WHERE cents > 0
+)
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS totacctbal
+FROM pos p, avg_bal a
+WHERE p.cents * a.n > a.total
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     @register(name, oracle=sql)
     def q(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
@@ -159,4 +307,65 @@ _sql_query(
     S10_TPCH_Q10,
     "TPC-H Q10 (returned items; corpus lacks c_phone/c_comment — dropped) "
     "as SQL text with tie-broken top-20.",
+)
+_sql_query(
+    "s7_tpch_q7_sql",
+    S7_TPCH_Q7,
+    "TPC-H Q7 (volume shipping between two nations) as SQL text — the "
+    "double nation join resolves to two broadcast hash joins over the "
+    "shuffled lineitem⋈orders⋈customer spine; EXTRACT(YEAR) is "
+    "dialect-portable.",
+)
+_sql_query(
+    "s8_tpch_q8_sql",
+    S8_TPCH_Q8,
+    "TPC-H Q8 (national market share; corpus lacks p_mfgr — p_type filter "
+    "instead) — the share ratio divides two exact scaled-int64 sums, so "
+    "the final ROUND(·,6) is identical IEEE on both engines.",
+)
+_sql_query(
+    "s13_tpch_q13_sql",
+    S13_TPCH_Q13,
+    "TPC-H Q13 (customer order-count distribution; corpus lacks o_comment "
+    "— o_orderpriority filter instead) — LEFT JOIN with a pushed-into-ON "
+    "predicate, double aggregation, pure integer output.",
+)
+_sql_query(
+    "s15_tpch_q15_sql",
+    S15_TPCH_Q15,
+    "TPC-H Q15 (top supplier; the view rewritten as a CTE) — the max "
+    "comparison runs on exact int64 scaled revenue, so equality with the "
+    "scalar subquery is deterministic, not float-fragile.",
+)
+_sql_query(
+    "s17_tpch_q17_sql",
+    S17_TPCH_Q17,
+    "TPC-H Q17 (small-quantity-order revenue) — the 0.2·avg(l_quantity) "
+    "correlated subquery is rewritten as the cross-multiplied integer "
+    "predicate 5·qty·cnt < sum_qty over a grouped CTE: exact on both "
+    "engines and one shuffle instead of a per-row subquery.",
+)
+_sql_query(
+    "s18_tpch_q18_sql",
+    S18_TPCH_Q18,
+    "TPC-H Q18 (large-volume customers; threshold 250 ≈ corpus p99.5 of "
+    "per-order quantity) — HAVING on an exact integer sum, then a "
+    "tie-broken top-20 join back to customer/orders.",
+)
+_sql_query(
+    "s19_tpch_q19_sql",
+    S19_TPCH_Q19,
+    "TPC-H Q19 (discounted revenue, disjunctive brand/size/quantity "
+    "predicates; corpus lacks p_container/l_shipmode — dropped) — one "
+    "join with an OR-of-conjuncts residual filter.",
+)
+_sql_query(
+    "s22_tpch_q22_sql",
+    S22_TPCH_Q22,
+    "TPC-H Q22 (global sales opportunity; corpus lacks c_phone — "
+    "c_nationkey is the country code, and 'no recent orders' replaces "
+    "'no orders' since every corpus customer has orders) — the "
+    "acctbal > avg predicate is the cross-multiplied integer form "
+    "cents·n > total, exact on both engines; NOT EXISTS anti-joins "
+    "orders.",
 )
