@@ -1,0 +1,184 @@
+"""Differential privacy releases (SURVEY §2 i-family extension: i28-i30).
+
+The ε-DP mechanisms a privacy-preserving ETL publishes alongside its
+k-anonymity releases: noisy counts, clipped noisy sums/means, and a
+noisy histogram with budget accounting (Dwork 2006; Dwork & Roth 2014,
+"The Algorithmic Foundations of Differential Privacy").
+
+Testability design — deterministic, cross-engine-replicable noise: the
+per-group uniform is derived from md5(salt || group-key) (15 hex chars
+→ 60-bit int → [0,1)), and the Laplace draw is the closed-form inverse
+CDF over it.  Both engines compute the identical expression — Spark via
+``conv(substring(md5(·),1,15),16,10)``, DuckDB via
+``('0x'||substr(md5(·),1,15))::BIGINT`` — so the ORACLE CHECKS THE
+NOISY VALUES THEMSELVES (ROUND(·,6) absorbs last-ulp libm ``ln``
+divergence), not just invariants.  A production deployment would swap
+``hash_uniform`` for a fresh secret salt per release; everything else
+is unchanged.
+
+Scale: every mechanism is one partial-aggregated groupBy over exact
+scaled-int64 sums (no doubles in the shuffle), then O(groups) scalar
+noise expressions — the same plan shape as d1, and the noise adds zero
+shuffle.  100 TB cost is the cost of the underlying aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.operators.anonymize import perturb_laplace
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+_TWO60 = float(1 << 60)
+
+
+def hash_uniform(key: Column | str, salt: str) -> Column:
+    """Deterministic U[0,1) from md5(salt || key) — 60 bits of the hex
+    digest.  Replayable in DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT."""
+    k = F.col(key) if isinstance(key, str) else key
+    hx = F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15)
+    return F.conv(hx, 16, 10).cast("long") / F.lit(_TWO60)
+
+
+def _sql_uniform(key_expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+        f" / {_TWO60!r}"
+    )
+
+
+def _sql_laplace(u_expr: str, b: float) -> str:
+    """DuckDB replay of anonymize.perturb_laplace's inverse CDF (same
+    clamp constants, same operation order)."""
+    w = f"GREATEST(-0.5 + 1e-12, LEAST(0.5 - 1e-12, ({u_expr}) - 0.5))"
+    return f"(-{b!r} * SIGN({w}) * LN(1 - 2 * ABS({w})))"
+
+
+def dp_count(df: DataFrame, group: str, epsilon: float, salt: str) -> DataFrame:
+    """ε-DP noisy count per group: Laplace(1/ε) on the exact count
+    (count sensitivity = 1 under add/remove-one-row adjacency)."""
+    b = 1.0 / epsilon
+    u = hash_uniform(group, salt)
+    return (
+        df.groupBy(group)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(
+            group,
+            "n_exact",
+            F.round(
+                perturb_laplace(F.col("n_exact").cast("double"), epsilon, 1.0, 0, uniform=u), 6
+            ).alias("n_noisy"),
+            F.lit(epsilon).alias("epsilon"),
+        )
+    )
+
+
+def dp_sum_clipped(
+    df: DataFrame, group: str, col: str, lo: float, hi: float, epsilon: float, salt: str
+) -> DataFrame:
+    """ε-DP noisy sum: values clipped to [lo, hi] (bounding per-row
+    sensitivity at max(|lo|, hi)), exact scaled-int64 sum, Laplace noise
+    with b = max(|lo|, hi)/ε."""
+    sens = max(abs(lo), abs(hi))
+    clipped = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col)))
+    cents = F.floor(clipped * 100).cast("long")
+    u = hash_uniform(group, salt)
+    return (
+        df.groupBy(group)
+        .agg(F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n_exact"))
+        .select(
+            group,
+            (F.col("sum_cents").cast("double") / 100).alias("sum_exact"),
+            F.round(
+                perturb_laplace(
+                    F.col("sum_cents").cast("double") / 100, epsilon, sens, 0, uniform=u
+                ),
+                6,
+            ).alias("sum_noisy"),
+            "n_exact",
+            F.lit(epsilon).alias("epsilon"),
+        )
+    )
+
+
+@register(
+    "i28_dp_count",
+    oracle=f"""
+SELECT c_nationkey,
+       COUNT(*) AS n_exact,
+       ROUND(COUNT(*) + {_sql_laplace(_sql_uniform('c_nationkey', 'dp28|'), 2.0)}, 6)
+         AS n_noisy,
+       0.5 AS epsilon
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def i28_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i28: ε-DP noisy customer count per nation (ε=0.5, Laplace b=2).
+    The oracle replays the md5-uniform → inverse-CDF draw exactly, so
+    the NOISY release itself is hash-checked, not just bounds."""
+    c = load(spark, sf_dir, "customer")
+    return dp_count(c, "c_nationkey", epsilon=0.5, salt="dp28|")
+
+
+@register(
+    "i29_dp_sum_clipped",
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS sum_exact,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100
+             + {_sql_laplace(_sql_uniform('c_nationkey', 'dp29|'), 1000.0)}, 6)
+         AS sum_noisy,
+       COUNT(*) AS n_exact,
+       1.0 AS epsilon
+FROM (SELECT c_nationkey,
+             CAST(FLOOR(GREATEST(0.0, LEAST(1000.0, c_acctbal)) * 100) AS BIGINT) AS cents
+      FROM customer)
+GROUP BY c_nationkey
+""",
+)
+def i29_dp_sum_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i29: ε-DP noisy sum of account balances per nation, clipped to
+    [0, 1000] (sensitivity 1000), ε=1 → Laplace b=1000.  The shuffled
+    aggregate is an exact int64 cents sum; noise is O(groups) scalar
+    work after it."""
+    c = load(spark, sf_dir, "customer")
+    return dp_sum_clipped(c, "c_nationkey", "c_acctbal", 0.0, 1000.0, epsilon=1.0, salt="dp29|")
+
+
+@register(
+    "i30_dp_histogram",
+    oracle=f"""
+SELECT bin,
+       COUNT(*) AS n_exact,
+       ROUND(COUNT(*) + {_sql_laplace(_sql_uniform('bin', 'dp30|'), 1.0)}, 6) AS n_noisy,
+       1.0 AS epsilon_total,
+       'laplace-parallel' AS composition
+FROM (SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) * 20000 AS bin FROM orders)
+GROUP BY bin
+""",
+)
+def i30_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i30: ε-DP histogram of order totals (width-20000 bins, ε=1).
+    Bins partition the rows, so PARALLEL composition applies: one row
+    changes one bin → total budget = ε, not ε·n_bins (Dwork & Roth §3.5
+    — the accounting the release publishes in `composition`)."""
+    o = load(spark, sf_dir, "orders")
+    bin_col = (F.floor(F.col("o_totalprice") / 20000).cast("long") * 20000).alias("bin")
+    u = hash_uniform("bin", "dp30|")
+    return (
+        o.select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(
+            "bin",
+            "n_exact",
+            F.round(
+                perturb_laplace(F.col("n_exact").cast("double"), 1.0, 1.0, 0, uniform=u), 6
+            ).alias("n_noisy"),
+            F.lit(1.0).alias("epsilon_total"),
+            F.lit("laplace-parallel").alias("composition"),
+        )
+    )

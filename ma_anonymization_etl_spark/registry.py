@@ -33,6 +33,7 @@ _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.windows",
     "ma_anonymization_etl_spark.operators.scalars",
     "ma_anonymization_etl_spark.operators.anonymize_queries",
+    "ma_anonymization_etl_spark.operators.dp",
     "ma_anonymization_etl_spark.operators.events",
     "ma_anonymization_etl_spark.operators.streaming_queries",
     "ma_anonymization_etl_spark.operators.llm",
