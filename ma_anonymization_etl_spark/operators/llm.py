@@ -1310,3 +1310,80 @@ def i27_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_ssn") + F.col("n_ip") > 0, 1).otherwise(0)
         ).alias("docs_beyond_contact"),
     )
+
+
+@register(
+    "j26_segment_dedup",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS seg
+  FROM w, unnest(range(CAST(floor(len(w)/10) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), ''))
+         AS clean_hash
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def j26_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j26 (extension): segment-level exact dedup — the line-level pass
+    of C4/RefinedWeb-style curation (Raffel 2020 §2.2; Penedo 2023),
+    adapted to the newline-free corpus by segmenting each doc into
+    consecutive 10-word chunks (the trailing <10-word remainder is out
+    of scope by construction).  An occurrence survives iff it is the
+    corpus-wide FIRST occurrence of its segment text in (doc_id,
+    seg_idx) order; the cleaned doc is the ordered join of survivors,
+    released as its md5 so the oracle row stays scalar.
+
+    Scale: one explode to (doc, seg) rows, one shuffle partitioned BY
+    SEGMENT TEXT for the first-occurrence window (exact-dedup shape —
+    same key distribution as j1), one shuffle back by doc_id.  No
+    driver-side state; segment ownership is decided inside the window,
+    so the plan is 2-shuffle at any corpus size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    nseg = F.floor(F.size(words) / 10).cast("long")
+    segs = F.when(nseg > 0, F.sequence(F.lit(0).cast("long"), nseg - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    seg_rows = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                segs,
+                lambda i: F.array_join(F.slice(words, (i * 10 + 1).cast("int"), 10), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    ranked = seg_rows.withColumn("rn", rn)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )

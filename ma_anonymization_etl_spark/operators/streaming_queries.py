@@ -335,3 +335,68 @@ def k14_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_foreach_batch(src, scrub_batch)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "k15_stream_stream_join",
+    # One staged file → one availableNow micro-batch per side, so the
+    # inner interval join emits every match in that batch and append
+    # emission is deterministic batch SQL.  The multi-batch semantics
+    # (watermark-bounded state, late-side buffering) are pinned by
+    # tests/test_streaming.py::test_stream_stream_join_two_batches.
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       ROUND(epoch(p.ts) - epoch(v.ts), 6) AS lag_sec
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def k15_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k15 (extension): stream-stream interval join — views joined to
+    purchases by the same user within the following hour (attribution).
+
+    Both sides are independent readStream sources with 1-hour
+    watermarks; the time-bound conjunct lets Spark expire join state
+    once the watermark passes view.ts + 1h, so state is O(events/hour),
+    not O(stream) — the property that makes this run forever on an
+    unbounded source.  lag_sec subtracts exact microsecond epochs
+    (both engines represent them exactly in doubles)."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.round(F.col("p_ts").cast("double") - F.col("v_ts").cast("double"), 6).alias(
+            "lag_sec"
+        ),
+    )
+    return run_to_memory(joined, "k15_ssjoin", "append")

@@ -153,3 +153,70 @@ def test_stream_tumbling_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_join_two_batches(spark, staging_dir):
+    """k15's cross-batch semantics, which the single-batch oracle can't
+    see: a purchase arriving in a LATER micro-batch must still join a
+    view buffered in join state from an earlier batch, and a purchase
+    outside the 1-hour interval must not match at all."""
+    in_dir = os.path.join(staging_dir, "in")
+    ckpt = os.path.join(staging_dir, "ckpt")
+    out_dir = os.path.join(staging_dir, "out")
+    os.makedirs(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        ).parquet(os.path.join(in_dir, "*"))
+        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        joined = views.join(
+            purchases,
+            F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+        ).select("v_user", "view_id", "purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Batch 1: two views only — nothing can join yet.
+    _write_ns_parquet(
+        spark,
+        [(1, _ns(0.0), 1, "view", 1.0, "{}"), (2, _ns(1.0), 2, "view", 1.0, "{}")],
+        os.path.join(in_dir, "b1"),
+    )
+    run_once()
+    # Batch 2: one purchase inside V1's hour, one 4h after V2's window.
+    _write_ns_parquet(
+        spark,
+        [(3, _ns(0.5), 1, "purchase", 1.0, "{}"), (4, _ns(5.0), 2, "purchase", 1.0, "{}")],
+        os.path.join(in_dir, "b2"),
+    )
+    run_once()
+
+    rows = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {(1, 1, 3)}, f"expected only the in-window cross-batch match, got {rows}"
