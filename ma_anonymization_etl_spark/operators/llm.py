@@ -57,6 +57,16 @@ def hash31_fast(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
 
 
+def hash31_md5(col: Column) -> Column:
+    """DuckDB-replicable 31-bit hash: 60 bits of md5 hex folded mod the
+    Mersenne prime — DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647``.  The
+    MinHash core uses this (not xxhash64) so the j3/j23/k10 oracles can
+    replay the banding structurally; md5 costs ~2-3× xxhash64 on the
+    hashing stage only, a constant factor the structural gate buys."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _MERSENNE
+
+
 # ---------------------------------------------------------------------------
 # Dedup (j1-j3)
 # ---------------------------------------------------------------------------
@@ -103,12 +113,14 @@ def j2_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 8 bands × 4 rows: the corpus's verified-pair similarities all sit at
-# ≥ 0.80 (checked via the j3 oracle's exhaustive referee), where a
-# 4-row band misses with ≤ 0.59 per band → ≤ 0.59^8 ≈ 1.5% per pair at
-# the 0.80 floor and ~5e-6 at the planted ~0.94 — empirically recall
-# 1.0 at sf0.01, which the j3 oracle (exhaustive inverted-index
-# Jaccard) pins every driver run.
+# 8 bands × 4 rows: at the corpus's verified-pair floor (~0.80 Jaccard)
+# a 4-row band misses with ≤ 0.59 per band → ≤ 0.59^8 ≈ 1.5% per pair,
+# ~5e-6 at the planted ~0.94 — empirically recall 1.0 at sf0.01.  The
+# driver oracle replays the BANDING itself (md5-based hashes, DuckDB
+# replay below), so gate equality is STRUCTURAL — a corpus change that
+# introduces a borderline band-missed pair cannot turn it red (ADVICE
+# r3); recall vs the exhaustive referee is attested separately by
+# tests/test_llm_props.py::test_j3_lsh_recall_is_exhaustive.
 _MINHASH_PERMS = 32
 _MINHASH_BANDS = 8
 _MINHASH_TAU = 0.5
@@ -129,7 +141,7 @@ def minhash_signature(shingles: Column, n_perms: int = _MINHASH_PERMS) -> Column
     to 31 bits so a·h stays in int64.  (Array-expression form; the j3
     operator uses the equivalent explode+groupBy form, which codegens
     leaner and shuffles only (doc, hash) longs.)"""
-    base = F.transform(shingles, lambda s: hash31_fast(s))
+    base = F.transform(shingles, lambda s: hash31_md5(s))
 
     def perm(a: int, b: int):
         return lambda h: (a * h + b) % _MERSENNE
@@ -148,7 +160,7 @@ def minhash_signature_grouped(sh: DataFrame, n_perms: int = _MINHASH_PERMS) -> D
     partial aggregation means the shuffle carries n_perms longs per
     (doc × map-partition) — the 100 TB shape."""
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).withColumn(
-        "h", hash31_fast(F.col("s"))
+        "h", hash31_md5(F.col("s"))
     )
     aggs = [
         F.min((a * F.col("h") + b) % _MERSENNE).alias(f"m{p}")
@@ -202,12 +214,9 @@ def banded_signatures(sh: DataFrame) -> DataFrame:
 _J3_SHINGLE_CACHE: dict = {}
 
 
-# The j3/k10 oracle: an EXHAUSTIVE referee over the same derived corpus —
-# an exact inverted-index prefilter (pairs sharing ≥1 shingle — no false
-# negatives for jaccard > 0) then exact Jaccard ≥ τ.  The LSH pipelines
-# (batch j3, incremental k10) must reproduce it pair-for-pair, so band
-# recall is hash-checked by the driver, not just property-tested.
-_J3_ORACLE = """
+# Shared corpus/shingle CTE prefix for both j3 oracle forms: originals
+# plus the planted perturbed twins, word-3-gram shingle sets.
+_J3_CORPUS_CTES = """
 WITH orig AS (SELECT doc_id, lower(text) AS t FROM documents),
 pert AS (SELECT doc_id + 100000 AS doc_id,
                 substring(lower(text), instr(lower(text), ' ') + 1) AS t
@@ -217,7 +226,14 @@ w AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
 sh AS (SELECT doc_id, list_distinct(list_transform(
          range(1, greatest(len(w) - 2, 1) + 1),
          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-       FROM w),
+       FROM w)"""
+
+# The EXHAUSTIVE referee: exact inverted-index prefilter (no false
+# negatives for jaccard > 0) then exact Jaccard ≥ τ — ground truth for
+# the recall attestation in tests/test_llm_props.py.  NOT the driver
+# oracle: requiring LSH recall exactly 1.0 at the gate would make a
+# future corpus with one borderline (τ..~0.8) pair permanently red.
+_J3_EXHAUSTIVE_SQL = f"""{_J3_CORPUS_CTES},
 inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
@@ -228,6 +244,56 @@ FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
 WHERE len(list_intersect(x.s, y.s))::DOUBLE
       / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
 """
+
+
+def _j3_oracle_sql() -> str:
+    """The j3/j23/k10 driver oracle: replay the MinHash-LSH BANDING
+    itself (md5-based 31-bit shingle hashes → the same 32 affine
+    permutations → 8×4 band keys → band-sharing candidates), then exact
+    Jaccard ≥ τ on the candidates — the identical pair-set DEFINITION
+    the engine computes, so gate equality is structural rather than
+    corpus-dependent (ADVICE r3).  The engine's band keys are xxhash64
+    over the 4-tuple while the replay joins on the raw tuple; an
+    xxhash64 collision creating a spurious high-Jaccard candidate is
+    the only divergence and is astronomically unlikely (engine-internal
+    8-byte keys, same caveat class as j3c's join hash)."""
+    perms = _perm_constants(_MINHASH_PERMS)
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+    min_cols = ",\n         ".join(
+        f"MIN(({a} * hv + {b}) % {_MERSENNE}) AS m{p}" for p, (a, b) in enumerate(perms)
+    )
+    bandrows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {cols} FROM mins".format(
+            band=band,
+            cols=", ".join(f"m{band * r + i} AS x{i}" for i in range(r)),
+        )
+        for band in range(_MINHASH_BANDS)
+    )
+    band_eq = " AND ".join(f"a.x{i} = b.x{i}" for i in range(r))
+    return f"""{_J3_CORPUS_CTES},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hv AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MERSENNE} AS hv
+       FROM inv),
+mins AS (SELECT doc_id,
+         {min_cols}
+         FROM hv GROUP BY doc_id),
+bandrows AS (
+{bandrows}
+),
+bcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bandrows a JOIN bandrows b
+            ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM bcand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / len(list_distinct(list_concat(x.s, y.s))) >= {_MINHASH_TAU}
+"""
+
+
+_J3_ORACLE = _j3_oracle_sql()
 
 
 @register("j3_dedup_near_minhash", oracle=_J3_ORACLE)

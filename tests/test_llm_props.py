@@ -390,3 +390,25 @@ def test_i26_scrub_leaves_no_pii(spark):
         | (F.col("n_ip") != (F.col("doc_id") % 4 == 0).cast("int"))
     ).count()
     assert bad == 0
+
+
+def test_j3_lsh_recall_is_exhaustive(spark, duck):
+    """Recall attestation: on the current corpus, the banded pipeline
+    finds EVERY pair the exhaustive inverted-index referee finds (LSH
+    recall 1.0).  This deliberately lives here, not in the driver
+    oracle — the gate checks the structural band-replay (corpus-robust),
+    while this test pins the stronger empirical property and will flag
+    any future corpus whose borderline pairs the 8×4 banding misses."""
+    from ma_anonymization_etl_spark.operators.llm import _J3_EXHAUSTIVE_SQL
+
+    exhaustive = {
+        (a, b): j for a, b, j in duck.sql(_J3_EXHAUSTIVE_SQL).fetchall()
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in j3_dedup_near_minhash(spark, SF_ORACLE).collect()
+    }
+    missed = set(exhaustive) - set(got)
+    assert not missed, f"banding missed qualifying pairs: {sorted(missed)[:10]}"
+    extra = set(got) - set(exhaustive)
+    assert not extra, f"banding produced pairs the referee rejects: {sorted(extra)[:10]}"
