@@ -122,3 +122,47 @@ def test_pii_scrub_is_pure_map_side(spark):
     assert "EvalPython" not in plan, "i26 must not leave the JVM"
     # formatted explain marks codegen'd operators with a leading '*'
     assert "* Project" in plan, "scrub projection fell out of codegen"
+
+
+def test_dp_noise_is_shuffle_free_after_aggregate(spark):
+    """i28-i30: the DP mechanism must add NOTHING to the plan beyond
+    the underlying aggregate — noise is per-group scalar expressions,
+    so exactly one hash-partitioning Exchange (the groupBy) and no
+    Python eval may appear."""
+    for name in ("i28_dp_count", "i29_dp_sum_clipped", "i30_dp_histogram"):
+        plan = plan_of(spark, name)
+        n_shuffles = sum(
+            1 for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+        )
+        assert n_shuffles <= 1, f"{name}: DP noise added a shuffle\n{plan}"
+        assert "EvalPython" not in plan, f"{name}: noise left the JVM"
+        assert plan.count("HashAggregate") >= 2, f"{name}: lost partial aggregation"
+
+
+def test_segment_dedup_is_two_shuffle(spark):
+    """j26: first-occurrence survivorship is ONE window keyed by
+    segment text plus one groupBy back to doc_id — no join, no
+    cartesian anywhere; the shape that survives any corpus size."""
+    plan = plan_of(spark, "j26_segment_dedup")
+    assert "Window" in plan
+    assert "Join" not in plan, "j26 must not join"
+    assert "CartesianProduct" not in plan
+    n_shuffles = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_shuffles <= 3, f"j26 shuffles too much:\n{plan}"
+
+
+def test_new_tpch_sql_plans(spark):
+    """Round-4 TPC-H texts keep the plan shapes their semantics imply:
+    q19's disjunctive predicate still prunes part columns at the scan,
+    q13's left join broadcasts neither fact side wrongly, q15's CTE is
+    evaluated once per reference (no re-scan explosion)."""
+    s19 = plan_of(spark, "s19_tpch_q19_sql")
+    assert "BroadcastHashJoin" in s19 or "SortMergeJoin" in s19
+    rs = [ln for ln in s19.splitlines() if "ReadSchema" in ln and "part" in ln]
+    assert rs and "p_name" not in rs[0], "q19 reads unused part columns"
+    s13 = plan_of(spark, "s13_tpch_q13_sql")
+    assert "LeftOuter" in s13
+    assert s13.count("HashAggregate") >= 4  # two grouped aggs, each partial+final
