@@ -1,9 +1,10 @@
-"""Differential privacy releases (SURVEY §2 i-family extension: i28-i30).
+"""Differential privacy releases (SURVEY §2 i-family extension: i28-i31).
 
-The ε-DP mechanisms a privacy-preserving ETL publishes alongside its
-k-anonymity releases: noisy counts, clipped noisy sums/means, and a
-noisy histogram with budget accounting (Dwork 2006; Dwork & Roth 2014,
-"The Algorithmic Foundations of Differential Privacy").
+The DP mechanisms a privacy-preserving ETL publishes alongside its
+k-anonymity releases: central ε-DP noisy counts, clipped noisy sums,
+a noisy histogram with budget accounting (Dwork 2006; Dwork & Roth
+2014, "The Algorithmic Foundations of Differential Privacy"), and
+LOCAL-DP randomized response for categoricals (Warner 1965).
 
 Testability design — deterministic, cross-engine-replicable noise: the
 per-group uniform is derived from md5(salt || group-key) (15 hex chars
@@ -181,4 +182,58 @@ def i30_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("epsilon_total"),
             F.lit("laplace-parallel").alias("composition"),
         )
+    )
+
+
+@register(
+    "i31_randomized_response",
+    oracle=f"""
+WITH rr AS (
+  SELECT CASE WHEN {_sql_uniform('c_custkey', 'rr1|')} < 0.5 THEN c_mktsegment
+              ELSE ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']
+                   [CAST(FLOOR(({_sql_uniform('c_custkey', 'rr2|')}) * 5) AS INT) + 1]
+         END AS reported_segment
+  FROM customer
+),
+c AS (SELECT reported_segment, COUNT(*) AS n_reported FROM rr GROUP BY reported_segment)
+SELECT reported_segment, n_reported,
+       ROUND((n_reported / (SELECT SUM(n_reported)::DOUBLE FROM c) - 0.1) / 0.5, 6)
+         AS pi_hat,
+       0.5 AS p_truth
+FROM c
+""",
+)
+def i31_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i31: randomized response (Warner 1965) — LOCAL DP for a
+    categorical column, the per-record counterpart to the central
+    mechanisms i28-i30.  Each customer reports their true market
+    segment with p = e^ε/(e^ε + k − 1) and a uniform segment
+    otherwise; ε = ln 4, k = 5 make p exactly 0.5 (binary-exact on
+    both engines).  The release carries the debiased frequency
+    estimator π̂ = (f − (1−p)/k)/p alongside the raw noisy counts.
+
+    Both coin flips are md5-derived from the row key, so the oracle
+    replays every per-row decision — the same replicability design as
+    i28 (see module docstring).  Scale: one map-side projection, one
+    groupBy over k groups, one 5-row window for the total."""
+    from pyspark.sql import Window
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = load(spark, sf_dir, "customer")
+    u1 = hash_uniform("c_custkey", "rr1|")
+    u2 = hash_uniform("c_custkey", "rr2|")
+    reported = F.when(u1 < 0.5, F.col("c_mktsegment")).otherwise(
+        F.element_at(F.array(*[F.lit(s) for s in segs]), (F.floor(u2 * 5) + 1).cast("int"))
+    )
+    counts = (
+        c.select(reported.alias("reported_segment"))
+        .groupBy("reported_segment")
+        .agg(F.count(F.lit(1)).alias("n_reported"))
+    )
+    total = F.sum("n_reported").over(Window.partitionBy())
+    return counts.select(
+        "reported_segment",
+        "n_reported",
+        F.round((F.col("n_reported") / total.cast("double") - 0.1) / 0.5, 6).alias("pi_hat"),
+        F.lit(0.5).alias("p_truth"),
     )

@@ -1453,3 +1453,56 @@ def j26_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_hash"),
     )
+
+
+@register(
+    "j27_repetition_filter",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, len(w) AS n_words,
+        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+        list_max(list_transform(list_distinct(w),
+                                d -> len(list_filter(w, x -> x = d)))) AS maxf
+      FROM w)
+SELECT doc_id, n_words,
+       ROUND(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6) AS dup_2gram_frac,
+       ROUND(maxf::DOUBLE / n_words, 6) AS top_word_frac,
+       (1 - len(list_distinct(g2))::DOUBLE / len(g2) <= 0.05
+        AND maxf::DOUBLE / n_words <= 0.12) AS keep
+FROM g
+""",
+)
+def j27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j27 (extension): within-document repetition quality signals —
+    the Gopher repetition rules (Rae 2021 §A1.1) adapted to this
+    corpus: fraction of duplicate word-2-grams and most-frequent-word
+    dominance; a doc is kept iff both stay under threshold (0.05 /
+    0.12 ≈ this corpus's p75/p85).
+
+    Scale: every metric is a row-local array expression over the
+    already-split word list — zero shuffle, zero Python, survives any
+    corpus size as a pure map stage (like i26).  The top-word count is
+    O(n·distinct) per row, bounded by document length, not corpus
+    size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    g2 = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    dup_frac = 1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+    maxf = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda d_: F.size(F.filter(words, lambda w: w == d_)),
+        )
+    )
+    top_frac = maxf.cast("double") / n
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        ((dup_frac <= 0.05) & (top_frac <= 0.12)).alias("keep"),
+    )
