@@ -34,7 +34,11 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline, classify_columns
+from ma_anonymization_etl_spark.plans.pipeline import (
+    AGGREGATE_RELEASE_OPS,
+    anonymize_pipeline,
+    classify_columns,
+)
 from ma_anonymization_etl_spark.sources.io import load, write_parquet
 
 
@@ -47,8 +51,11 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
     conditional ops like ``suppress_cell_if`` do not count because a
     never-true predicate leaves every raw value in the output), (b) it
     is dropped by ``suppress_columns`` or destroyed by ``null_columns``,
-    or (c) the final ``select`` projection excludes it.  Merely
-    referencing the DI as a step input is not coverage.
+    (c) the final ``select`` projection excludes it, or (d) an
+    aggregate-release step (dp_count/dp_sum_clipped) projects the route
+    down to its group key — which covers every DI EXCEPT a DI used as
+    the group itself (publishing per-DI noisy stats still lists the DI
+    values).  Merely referencing the DI as a step input is not coverage.
     """
     roles = classify_columns(cfg)
     # Ops that rewrite every value of `col` regardless of data/predicate.
@@ -74,6 +81,11 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
     for s in steps:
         if s.get("op") == "select":
             kept = set(s["cols"])  # last projection decides the output
+        elif s.get("op") in AGGREGATE_RELEASE_OPS:
+            # A release aggregate projects down to its group key: every
+            # other column is gone; the group key itself survives (a
+            # per-DI noisy release still publishes the DI values).
+            kept = {s["group"]}
     uncovered = [
         c for c in roles["di"]
         if c not in transformed and c not in dropped

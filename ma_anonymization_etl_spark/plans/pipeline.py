@@ -105,6 +105,22 @@ def _step_select(df, cols):
     return df.select(*cols)
 
 
+def _step_dp_count(df, group, epsilon, salt=""):
+    from ma_anonymization_etl_spark.operators.dp import dp_count
+
+    return dp_count(df, group, epsilon, salt)
+
+
+def _step_dp_sum_clipped(df, group, col, lo, hi, epsilon, salt=""):
+    from ma_anonymization_etl_spark.operators.dp import dp_sum_clipped
+
+    return dp_sum_clipped(df, group, col, lo, hi, epsilon, salt)
+
+
+def _step_mondrian_kanon(df, qis, k, max_depth=16):
+    return A.mondrian_kanon(df, qis, k, max_depth)
+
+
 STEPS = {
     "pseudonymize_sha2": _step_pseudonymize_sha2,
     "pseudonymize_md5": _step_pseudonymize_md5,
@@ -123,7 +139,19 @@ STEPS = {
     "k_enforce_suppress": _step_k_enforce_suppress,
     "l_diversity_enforce": _step_l_diversity_enforce,
     "select": _step_select,
+    # Release steps: each AGGREGATES the route's working table into a
+    # publishable summary (only the group key and the release metrics
+    # survive), so they are terminal in any sensible route.
+    "dp_count": _step_dp_count,
+    "dp_sum_clipped": _step_dp_sum_clipped,
+    "mondrian_kanon": _step_mondrian_kanon,
 }
+
+# Ops whose OUTPUT contains only their group key and release metrics —
+# the DI-coverage guard treats them as an implicit projection down to
+# the group column.  NOT mondrian_kanon: it returns the input rows
+# (+pid/ranges), so raw DIs survive it and still need their own step.
+AGGREGATE_RELEASE_OPS = {"dp_count", "dp_sum_clipped"}
 
 
 def anonymize_pipeline(df: DataFrame, steps: Sequence[Mapping[str, Any]]) -> DataFrame:

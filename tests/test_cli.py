@@ -136,3 +136,68 @@ def test_route_accepts_null_columns_as_di_coverage(spark):
     }
     out = run_route(spark, route)
     assert out.filter(F.col("c_name").isNotNull()).count() == 0
+
+
+def test_route_dp_release_end_to_end(spark, tmp_path):
+    """A DP release route: clip + noisy per-nation sum.  The aggregate
+    release drops every non-group column, so the DI (c_name) is covered
+    without an explicit suppress step; the sink holds the k-group
+    summary with deterministic noise applied."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "sa"},
+        "steps": [
+            {"op": "dp_sum_clipped", "group": "c_nationkey", "col": "c_acctbal",
+             "lo": 0.0, "hi": 1000.0, "epsilon": 1.0, "salt": "route|"},
+        ],
+        "output": {"path": str(tmp_path / "out")},
+    }
+    out = run_route(spark, route)
+    rows = out.collect()
+    assert set(out.columns) == {"c_nationkey", "sum_exact", "sum_noisy", "n_exact", "epsilon"}
+    assert all(abs(r.sum_noisy - r.sum_exact) > 0 for r in rows), "noise applied"
+    assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
+
+
+def test_route_refuses_dp_release_grouped_by_di(spark):
+    """Grouping the noisy release BY the direct identifier publishes
+    every DI value — the guard must refuse it."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_acctbal": "sa"},
+        "steps": [
+            {"op": "dp_count", "group": "c_name", "epsilon": 0.5},
+        ],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
+
+
+def test_route_mondrian_does_not_count_as_di_coverage(spark):
+    """mondrian_kanon keeps the input rows (DIs included), so a route
+    relying on it alone for DI coverage must be refused."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "qi"},
+        "steps": [
+            {"op": "mondrian_kanon", "qis": ["c_nationkey", "c_acctbal"], "k": 8},
+        ],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
+
+
+def test_route_mondrian_with_suppression_runs(spark):
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "qi"},
+        "steps": [
+            {"op": "suppress_columns", "cols": ["c_name"]},
+            {"op": "mondrian_kanon", "qis": ["c_nationkey", "c_acctbal"], "k": 8},
+        ],
+    }
+    out = run_route(spark, route)
+    assert "c_name" not in out.columns
+    assert "mondrian_pid" in out.columns
+    sizes = out.groupBy("mondrian_pid").count().agg(F.min("count")).collect()[0][0]
+    assert sizes >= 8
