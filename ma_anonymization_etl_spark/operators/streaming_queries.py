@@ -400,3 +400,66 @@ def k15_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(joined, "k15_ssjoin", "append")
+
+
+@register(
+    "k16_stream_outer_join",
+    # Outer-join null rows emit only when the view's join state EXPIRES:
+    # global watermark (min over both streams' max ts, minus the 1-hour
+    # delay) must pass v_ts + 1h, the latest instant a purchase could
+    # still match.  availableNow's trailing no-data micro-batch advances
+    # the watermark after the data batch, flushing exactly that state —
+    # the oracle encodes the eviction rule in batch SQL (verified
+    # emission-count-exact in this round's probe: 1936/1936 nulls).
+    oracle="""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+m AS (SELECT LEAST((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p))
+             - INTERVAL 1 HOUR AS wm)
+SELECT v.user_id, view_id, purchase_id
+FROM v JOIN p ON v.user_id = p.user_id
+             AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.user_id, view_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM v, m
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = v.user_id
+                    AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR)
+  AND v_ts + INTERVAL 1 HOUR < wm
+""",
+)
+def k16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k16 (extension): stream-stream LEFT OUTER interval join — k15's
+    attribution join, but views with no purchase in the following hour
+    emit a null-matched row once their state expires (the
+    "unconverted sessions" feed).  Append-mode outer emission is
+    driven by watermark passage, so the result is deterministic for a
+    bounded source; state stays O(events/hour) exactly as in k15."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_memory(joined, "k16_outer", "append")
