@@ -255,3 +255,121 @@ def m5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "frame_energy": out})
 
     return d.mapInPandas(energy, "doc_id LONG, frame_energy STRING")
+
+
+# --- m6: perceptual-hash near-dup over media payloads ---------------------
+
+_PH_BITS = 32
+_PH_CHUNKS = 4  # 4 × 8-bit chunks — banding for the candidate join
+
+
+def _sql_ph_byte(i: int, perturbed: bool) -> str:
+    """Payload byte i (0..31) from the doubled md5 hex (DuckDB replay of
+    the engine's conv(substr(hx,…),16,10)); the 're-encoded' variant
+    adds 8 mod 256 (the deterministic stand-in for lossy re-encode)."""
+    b = (
+        f"(16 * (strpos('{_M2_HEX}', substr(hx, {2 * i + 1}, 1)) - 1)"
+        f" + strpos('{_M2_HEX}', substr(hx, {2 * i + 2}, 1)) - 1)"
+    )
+    return f"(({b} + 8) % 256)" if perturbed else b
+
+
+def _sql_phash(perturbed: bool) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_ph_byte(i, perturbed)} >= 128 THEN {1 << i} ELSE 0 END)"
+        for i in range(_PH_BITS)
+    )
+    return f"({terms})"
+
+
+_M6_CHUNK_OR = " OR ".join(
+    f"((a.ph // {1 << (8 * k)}) % 256) = ((b.ph // {1 << (8 * k)}) % 256)"
+    for k in range(_PH_CHUNKS)
+)
+
+
+@register(
+    "m6_phash_near_dup",
+    # Full algorithm replay: the same 32-bit sign-of-byte fingerprint,
+    # the same +8 mod 256 re-encode perturbation, the same 4×8-bit
+    # chunk banding and hamming ≤ 4 verify — structural equality, like
+    # j3's banded oracle.  DuckDB joins with the OR-of-chunks predicate
+    # (fine at oracle scale); the ENGINE explodes chunk rows and
+    # equi-joins, the shape that scales.
+    oracle=f"""
+WITH hxs AS (
+  SELECT doc_id, md5(text) || md5(text || '2') AS hx, FALSE AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, md5(text) || md5(text || '2'), TRUE FROM documents
+),
+ph AS (SELECT doc_id,
+              CASE WHEN pert THEN {_sql_phash(True)} ELSE {_sql_phash(False)} END AS ph
+       FROM hxs),
+cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.ph AS pa, b.ph AS pb
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE {_M6_CHUNK_OR})
+SELECT a_id, b_id, bit_count(xor(pa, pb)) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 4
+""",
+)
+def m6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m6 (extension): perceptual-hash near-duplicate detection for
+    media payloads — the image-side analogue of j3.  Each payload gets
+    a 32-bit sign-of-byte fingerprint (the deterministic stand-in for a
+    DCT pHash; swap ``decode_image`` + a real pHash on a cluster with
+    image libs); a deterministic 're-encoded' copy (+8 mod 256 per
+    byte, doc_id+100000) plants realistic near-dups whose fingerprints
+    differ in ~2 of 32 bits.  Candidates must share one of 4 8-bit
+    chunks (banding — the engine equi-joins exploded chunk rows, never
+    all pairs), then exact hamming ≤ 4 verifies.
+
+    Scale: identical shape to j3/j3b — shuffle O(docs × chunks), the
+    verify join touches only banded candidates."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("2"))))
+
+    def byte(i: int) -> F.Column:
+        return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("int")
+
+    def phash(perturbed: bool) -> F.Column:
+        total = F.lit(0).cast("long")
+        for i in range(_PH_BITS):
+            b = ((byte(i) + 8) % 256) if perturbed else byte(i)
+            total = total + F.when(b >= 128, F.lit(1 << i).cast("long")).otherwise(0)
+        return total
+
+    ph = d.select("doc_id", phash(False).alias("ph")).unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), phash(True).alias("ph"))
+    )
+    chunks = ph.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ci"),
+                        ((F.col("ph") / (1 << (8 * k))).cast("long") % 256).alias("cv"),
+                    )
+                    for k in range(_PH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "ph", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.filter(F.col("hamming") <= 4)

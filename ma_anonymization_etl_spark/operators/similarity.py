@@ -708,3 +708,89 @@ def j25_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, '1_raw_vectors', c1, '2_dup_pairs', c2, "
         "'3_redundant', c3, '4_survivors', c1 - c3) AS (stage, n)"
     )
+
+
+@register(
+    "j28_ann_recall",
+    oracle=f"""
+WITH {_IVF_SQL_CENTROIDS},
+e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, label AS cell, v FROM (
+    SELECT e.vec_id, c.label, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.v', 'c.cent')} DESC, c.label) AS rn
+    FROM e, centroids c
+  ) WHERE rn = 1
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+    FROM assign q
+    JOIN assign x ON x.cell = q.cell AND x.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 3
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 3
+)
+SELECT ex.query_id,
+       COUNT(i.neighbor_id) AS n_hit,
+       ROUND(COUNT(i.neighbor_id) / 3.0, 6) AS recall_at_3
+FROM exact ex
+LEFT JOIN ivf i ON i.query_id = ex.query_id AND i.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id
+""",
+)
+def j28_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j28 (extension): ANN quality report — recall@3 of the IVF index
+    (j20's cell-restricted search) against exact brute-force top-3, per
+    query.  The evaluation every production ANN deployment runs before
+    trusting its index; both the approximate and the exact ranking are
+    deterministic (cosine ties broken by vec_id), so per-query recall
+    is oracle-checked, not sampled.
+
+    Scale: the exact side is the expensive path and exists only for the
+    (bounded, e.g. 10-query) evaluation sample — the pattern at 100 TB
+    is exactly this: audit recall on a small random query set, serve
+    from the index."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    ivf = j20_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return (
+        exact.alias("ex")
+        .join(
+            ivf.alias("i"),
+            (F.col("i.query_id") == F.col("ex.query_id"))
+            & (F.col("i.neighbor_id") == F.col("ex.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("ex.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("i.neighbor_id")).alias("n_hit"),
+            F.round(F.count(F.col("i.neighbor_id")) / 3.0, 6).alias("recall_at_3"),
+        )
+    )
