@@ -7,14 +7,18 @@ table — so the roundtrip itself is what's being verified.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.registry import register
-from ma_anonymization_etl_spark.sources.io import load, read_csv, read_json, write_parquet
+from ma_anonymization_etl_spark.sources.io import (
+    load,
+    read_csv,
+    read_json,
+    scratch_dir,
+    write_parquet,
+)
 
 _SCALE = 10000
 _SQL_SUM_VALUE = (
@@ -22,10 +26,9 @@ _SQL_SUM_VALUE = (
 )
 
 
-def _scratch(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "mael_scratch", name)
-    os.makedirs(os.path.dirname(d), exist_ok=True)
-    return d
+def _scratch(spark: SparkSession, name: str) -> str:
+    # Session-scoped (applicationId-keyed): see sources.io.scratch_dir.
+    return scratch_dir(spark, name)
 
 
 @register(
@@ -39,7 +42,7 @@ def a2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a2: CSV sink + explicit-schema CSV source.  Doubles survive the
     text roundtrip exactly (Spark writes shortest-repr, reads the same
     double back); the oracle aggregates the original parquet."""
-    path = _scratch("a2_csv")
+    path = _scratch(spark, "a2_csv")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     e.write.mode("overwrite").option("header", True).csv(path)
     back = read_csv(
@@ -61,7 +64,7 @@ FROM events GROUP BY event_type
 )
 def a2b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a2: JSON-lines sink + explicit-schema JSON source."""
-    path = _scratch("a2_json")
+    path = _scratch(spark, "a2_json")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     e.write.mode("overwrite").json(path)
     back = read_json(spark, path, "event_id BIGINT, user_id BIGINT, event_type STRING")
@@ -82,7 +85,7 @@ def a2c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no extra package), with the same predicate-pushdown/column-pruning
     behavior as parquet.  Typed columns (bigint/string/date) roundtrip
     losslessly; the oracle aggregates the original parquet."""
-    path = _scratch("a2_orc")
+    path = _scratch(spark, "a2_orc")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
     o.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -104,7 +107,7 @@ def a4_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a4: hive-partitioned parquet sink, verified by re-reading.  The
     partition column round-trips through the directory layout (read back
     as the partition value), giving downstream partition pruning."""
-    path = _scratch("a4_parquet")
+    path = _scratch(spark, "a4_parquet")
     c = load(spark, sf_dir, "customer")
     write_parquet(c, path, partition_by=["c_mktsegment"])
     back = spark.read.parquet(path)
@@ -133,8 +136,8 @@ def n4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxPartitionBytes per partition dir, and the rewrite runs per
     partition so only fragmented partitions pay; file counts are pinned
     in tests/test_etl.py."""
-    frag = _scratch("n4_frag")
-    comp = _scratch("n4_compact")
+    frag = _scratch(spark, "n4_frag")
+    comp = _scratch(spark, "n4_compact")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -171,8 +174,8 @@ def a9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the norm, not the exception: tables accrete columns over
     years of writers, and per-file footer schemas + union-by-name is
     what makes old data readable without a rewrite."""
-    v1 = _scratch("a9_v1")
-    v2 = _scratch("a9_v2")
+    v1 = _scratch(spark, "a9_v1")
+    v2 = _scratch(spark, "a9_v2")
     o = load(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"

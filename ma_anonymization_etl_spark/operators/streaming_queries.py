@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -15,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import scratch_dir
 from ma_anonymization_etl_spark.streaming.runner import (
     run_foreach_batch,
     run_to_memory,
@@ -63,7 +63,7 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 def a6_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a6: micro-batch parquet sink via foreachBatch + checkpoint
     (exactly-once file output); verified by re-reading the sink."""
-    out_dir = os.path.join(tempfile.gettempdir(), "mael_scratch", "a6_sink")
+    out_dir = scratch_dir(spark, "a6_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = stream_events(spark, sf_dir).select("event_id", "event_type")
 
@@ -172,7 +172,7 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    base = os.path.join(tempfile.gettempdir(), "mael_scratch", "k10")
+    base = scratch_dir(spark, "k10")
     in_dir, store, pairs_dir = (os.path.join(base, d) for d in ("in", "store", "pairs"))
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(in_dir)
@@ -258,7 +258,7 @@ def k9_stream_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction job would enforce k over the landed data."""
     from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
 
-    out_dir = os.path.join(tempfile.gettempdir(), "mael_scratch", "k9_sink")
+    out_dir = scratch_dir(spark, "k9_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = stream_events(spark, sf_dir).select("user_id", "event_type", "value")
     route = [
@@ -300,7 +300,7 @@ def k14_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii,
     )
 
-    base = os.path.join(tempfile.gettempdir(), "mael_scratch", "k14")
+    base = scratch_dir(spark, "k14")
     in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(in_dir)

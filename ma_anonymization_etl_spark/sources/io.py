@@ -27,6 +27,26 @@ def table_path(sf_dir: str, table: str) -> str:
     return f"{sf_dir.rstrip('/')}/{table}.parquet"
 
 
+def scratch_dir(spark: SparkSession, *parts: str) -> str:
+    """Session-scoped scratch path for side-effecting queries:
+    /tmp/mael_scratch/<applicationId>/<parts...>.
+
+    Keyed by applicationId so concurrent engine processes (driver
+    harness, CI, bench, ad-hoc sessions) never tread on each other's
+    sink/staging dirs — a shared fixed path let a parallel run delete a
+    directory mid-write (observed as a transient k10 failure when
+    pytest and driver_sim overlapped)."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "mael_scratch",
+        spark.sparkContext.applicationId, *parts,
+    )
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` (parquet TIMESTAMP(NANOS)) to a µs
     ``TIMESTAMP``, whatever type this Spark build surfaced it as.

@@ -51,7 +51,17 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
         staged = os.path.join(path, "events.parquet")
         if not os.path.exists(staged):
             os.makedirs(path, exist_ok=True)
-            shutil.copy(src_file, staged)
+            # Stage via temp-name + rename: the dir is shared across
+            # concurrent engine processes (deliberately — it's a
+            # read-only cache), and a plain copy would let another
+            # process read a half-written file.  rename() is atomic on
+            # POSIX, so readers see either nothing or the full file.
+            tmp = os.path.join(path, f".events.{uuid.uuid4().hex}.tmp")
+            shutil.copy(src_file, tmp)
+            try:
+                os.rename(tmp, staged)
+            except OSError:
+                os.unlink(tmp)  # lost the race; the winner's copy is fine
     schema = spark.read.parquet(path).schema  # footer-only, no data scan
     raw = spark.readStream.schema(schema).parquet(path)
     return normalize_events_ts(raw)
