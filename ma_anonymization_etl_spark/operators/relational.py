@@ -950,3 +950,25 @@ def g4b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     views = e.filter(F.col("event_type") == "view").select("user_id")
     return clicks.exceptAll(views)
+
+
+@register(
+    "f5_pagination",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+def f5_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f5: keyset-free pagination — ORDER BY + OFFSET + LIMIT (the API
+    page-3 query), tie-broken for determinism.  Spark plans offset+limit
+    together (CollectLimit with skip), so only offset+limit rows leave
+    the executors — but the sort is still global; at 100 TB serve pages
+    from a keyset predicate (WHERE (price, key) < last_seen) instead,
+    which this plan degenerates to under a pushed filter."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").offset(40).limit(20)
+    )

@@ -290,3 +290,34 @@ def h7_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nvl_demo"
         ),
     )
+
+
+@register(
+    "h9_bitwise_funcs",
+    oracle="""
+SELECT o_orderstatus,
+       bit_and(o_orderkey & 255) AS band,
+       bit_or(o_orderkey & 255) AS bor,
+       bit_xor(o_orderkey & 255) AS bxor,
+       SUM(bit_count(((o_orderkey << 2) | 5)::BIGINT)) AS popcnt_sum,
+       SUM(o_orderkey >> 3) AS shifted_sum
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def h9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h9: bitwise scalar + aggregate family — &, |, ^, shifts,
+    popcount, and the bit_and/bit_or/bit_xor aggregates (bitmap-style
+    rollups).  All JVM-native integer ops inside codegen; identical
+    two's-complement semantics on both engines."""
+    o = load(spark, sf_dir, "orders")
+    b = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(b).alias("band"),
+        F.bit_or(b).alias("bor"),
+        F.bit_xor(b).alias("bxor"),
+        F.sum(
+            F.bit_count(F.shiftleft(F.col("o_orderkey"), 2).bitwiseOR(F.lit(5)))
+        ).alias("popcnt_sum"),
+        F.sum(F.shiftright(F.col("o_orderkey"), 3)).alias("shifted_sum"),
+    )

@@ -463,3 +463,31 @@ def k16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     return run_to_memory(joined, "k16_outer", "append")
+
+
+@register(
+    "k17_stream_dedup_within_watermark",
+    # One availableNow batch holds every event inside the state window,
+    # so exactly one row per key emits; projecting ONLY the key columns
+    # makes "which occurrence" irrelevant and the emission deterministic.
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def k17_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k17 (extension): dropDuplicatesWithinWatermark — the Spark 3.5+
+    dedup whose state EXPIRES with the watermark, unlike k6's
+    dropDuplicates (state grows with distinct keys forever).  The
+    trade: duplicates separated by more than the watermark delay are
+    re-emitted; for ingestion dedup (retries, replays arrive close
+    together) that is the right contract and the only one that runs
+    unbounded at 100 TB."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+    )
+    dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(dd, "k17_ddww", "append")
