@@ -1506,3 +1506,121 @@ def j27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_frac, 6).alias("top_word_frac"),
         ((dup_frac <= 0.05) & (top_frac <= 0.12)).alias("keep"),
     )
+
+
+@register(
+    "j29_decontamination",
+    oracle="""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+      FROM w),
+ev AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE source = 'src0'),
+tr AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source <> 'src0'),
+hit AS (SELECT ev.doc_id, COUNT(*) AS n_hit
+        FROM ev JOIN tr ON ev.gr = tr.gr GROUP BY ev.doc_id),
+tot AS (SELECT doc_id, len(gs) AS n_grams FROM g WHERE source = 'src0')
+SELECT tot.doc_id, n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       ROUND(COALESCE(n_hit, 0)::DOUBLE / n_grams, 6) AS overlap_frac,
+       (COALESCE(n_hit, 0)::DOUBLE / n_grams >= 0.65) AS contaminated
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+""",
+)
+def j29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j29 (extension): benchmark decontamination — the n-gram-overlap
+    check every training pipeline runs against its eval sets (GPT-3
+    appendix C; PaLM §C): docs from source 'src0' play the benchmark,
+    the rest the training corpus, and an eval doc is contaminated when
+    ≥65% of its distinct word-3-grams occur anywhere in training.
+
+    Scale: training grams deduplicate via one distinct (shuffle on
+    gram), the eval side is the SMALL side — at 100 TB the benchmark
+    set broadcasts and the training corpus streams past it map-side;
+    here the semi-join keys on the gram hash either way."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    g = d.select(
+        "doc_id", "source", word_shingles("text", 3).alias("gs")
+    )
+    ev = g.filter(F.col("source") == "src0")
+    tr_grams = (
+        g.filter(F.col("source") != "src0")
+        .select(F.explode("gs").alias("gr"))
+        .distinct()
+    )
+    ev_grams = ev.select("doc_id", F.explode("gs").alias("gr"))
+    hits = (
+        ev_grams.join(tr_grams, "gr")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = ev.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams")
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= 0.65).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "j30_unigram_lm_score",
+    # Per-token log-probs are rounded to 6 dp BEFORE the scaled-int64
+    # sum, so the per-doc accumulation is order-independent and
+    # engine-identical (the dsum discipline applied to model scores).
+    oracle="""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY tok),
+tv AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM c),
+lp AS (SELECT tok, CAST(ROUND(ln((c + 1.0) / (total + v)) * 1000000) AS BIGINT)
+                     AS lnp6 FROM c, tv),
+d AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lnp6) AS s
+      FROM w JOIN lp USING (tok) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(-s / 1000000.0 / n_tokens, 6) AS avg_nll,
+       (-s / 1000000.0 / n_tokens <= 3.41) AS keep
+FROM d
+""",
+)
+def j30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j30 (extension): model-based quality scoring with a corpus-fit
+    unigram LM (add-one smoothing) — the shape of CCNet/LLaMA's
+    KenLM-perplexity filter with the n-gram model reduced to n=1 so it
+    runs on pure DataFrame ops (swap in a real LM UDF on a cluster
+    with kenlm).  Score = average negative log-likelihood per token;
+    docs at or below 3.41 nats/token (≈ this corpus's p80) are kept.
+
+    Scale: the LM is a (vocab)-row table built with one groupBy —
+    broadcast back against the exploded token stream, so scoring is
+    map-side after one small shuffle; the model "training" and the
+    scoring pass are the same two jobs at any corpus size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tv = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = counts.crossJoin(F.broadcast(tv)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v"))) * 1000000
+        )
+        .cast("long")
+        .alias("lnp6"),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lnp6").alias("s"))
+    )
+    nll = -F.col("s") / 1000000.0 / F.col("n_tokens")
+    return scored.select(
+        "doc_id", "n_tokens", F.round(nll, 6).alias("avg_nll"), (nll <= 3.41).alias("keep")
+    )
