@@ -1116,29 +1116,10 @@ _J24_ORACLE = _J24_STAGES_SQL + "\n" + "\nUNION ALL\n".join(
 )
 
 
-@register("j24_training_funnel", oracle=_J24_ORACLE)
-def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """j24: the END-TO-END training-data curation funnel as ONE lazy
-    plan — quality filter → language filter → exact dedup → near-dup
-    dedup — reporting (docs, whitespace tokens) surviving each stage.
-    The corpus plants one exact copy (doc_id+200000) and one perturbed
-    copy (doc_id+100000, first word dropped) per document, so every
-    stage provably removes something: short docs fail the n_words ≥ 30
-    gate, non-'en' docs the language gate, planted copies the md5
-    min-id dedup, and perturbed twins the exact-Jaccard (3-gram ≥ 0.5)
-    connected-components dedup, which keeps only each cluster's min-id
-    survivor.  The oracle replays the identical funnel in DuckDB
-    (recursive CTE for the components), so all five stage counts and
-    token totals are hash-checked.
-
-    100 TB shape: stages 1-3 are map-side predicates folded into ONE
-    scan as per-doc survival flags (no per-stage recompute); exact
-    dedup is one hash-partitioned window on the content hash; the pair
-    graph comes from an inverted shingle index (shuffle on shingle,
-    never docs²) — swap in the j3 MinHash bands when even the index is
-    too hot; components iterate over the EDGE list only, and the final
-    report is a single conditional aggregation unpivoted to funnel
-    rows."""
+def _j24_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's stage-1..4 survival flags (q/l/e per doc over the
+    planted 3× corpus), persisted per (session, sf_dir) — shared by j24
+    and j24b so the driver pays the scan once."""
     from pyspark.sql import Window
 
     key = (spark.sparkContext.applicationId, sf_dir, "j24_flags")
@@ -1171,7 +1152,13 @@ def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         _J3_SHINGLE_CACHE[key] = flags
+    return flags
 
+
+def _j24_non_survivors(flags: DataFrame) -> DataFrame:
+    """Near-dup non-survivors among exact-dedup survivors: exhaustive
+    inverted-index 3-gram Jaccard ≥ 0.5 pairs → connected components →
+    everything but each component's min-id."""
     exactd = flags.filter(F.col("e"))
     sh = exactd.select("doc_id", word_shingles("text", 3).alias("s"))
     inv = sh.select("doc_id", F.explode("s").alias("g"))
@@ -1195,11 +1182,38 @@ def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     )
-    non_survivors = (
+    return (
         connected_components(pairs)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("__dup"))
     )
+
+
+@register("j24_training_funnel", oracle=_J24_ORACLE)
+def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j24: the END-TO-END training-data curation funnel as ONE lazy
+    plan — quality filter → language filter → exact dedup → near-dup
+    dedup — reporting (docs, whitespace tokens) surviving each stage.
+    The corpus plants one exact copy (doc_id+200000) and one perturbed
+    copy (doc_id+100000, first word dropped) per document, so every
+    stage provably removes something: short docs fail the n_words ≥ 30
+    gate, non-'en' docs the language gate, planted copies the md5
+    min-id dedup, and perturbed twins the exact-Jaccard (3-gram ≥ 0.5)
+    connected-components dedup, which keeps only each cluster's min-id
+    survivor.  The oracle replays the identical funnel in DuckDB
+    (recursive CTE for the components), so all five stage counts and
+    token totals are hash-checked.
+
+    100 TB shape: stages 1-3 are map-side predicates folded into ONE
+    scan as per-doc survival flags (no per-stage recompute); exact
+    dedup is one hash-partitioned window on the content hash; the pair
+    graph comes from an inverted shingle index (shuffle on shingle,
+    never docs²) — swap in the j3 MinHash bands when even the index is
+    too hot; components iterate over the EDGE list only, and the final
+    report is a single conditional aggregation unpivoted to funnel
+    rows."""
+    flags = _j24_flags(spark, sf_dir)
+    non_survivors = _j24_non_survivors(flags)
 
     ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     doc = (
@@ -1623,4 +1637,126 @@ def j30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = -F.col("s") / 1000000.0 / F.col("n_tokens")
     return scored.select(
         "doc_id", "n_tokens", F.round(nll, 6).alias("avg_nll"), (nll <= 3.41).alias("keep")
+    )
+
+
+# --- j24b: the funnel extended with repetition + LM-quality stages --------
+
+_J24B_ORACLE = _J24_STAGES_SQL + """
+, repm AS (
+  SELECT doc_id,
+         1 - len(list_distinct(list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i+1])))::DOUBLE
+             / (len(w) - 1) AS dup2,
+         list_max(list_transform(list_distinct(w),
+                                 d -> len(list_filter(w, x -> x = d))))::DOUBLE
+             / len(w) AS topw
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM neard)
+),
+rep AS (SELECT neard.* FROM neard JOIN repm USING (doc_id)
+        WHERE dup2 <= 0.051 AND topw <= 0.11),
+wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM rep),
+cnt AS (SELECT tok, COUNT(*) AS c FROM wtok GROUP BY tok),
+tv AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM cnt),
+lp AS (SELECT tok, CAST(ROUND(ln((c + 1.0) / (total + v)) * 1000000) AS BIGINT)
+                     AS lnp6 FROM cnt, tv),
+dsc AS (SELECT doc_id, COUNT(*) AS n, SUM(lnp6) AS s
+        FROM wtok JOIN lp USING (tok) GROUP BY doc_id),
+lmk AS (SELECT rep.* FROM rep JOIN dsc USING (doc_id)
+        WHERE -s / 1000000.0 / n <= 3.409)
+""" + "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS stage, COUNT(*) AS n_docs,\n"
+    f"       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+    f" AS n_ws_tokens FROM {cte}"
+    for name, cte in [
+        ("1_raw", "raw"), ("2_quality", "quality"), ("3_lang", "langf"),
+        ("4_exact_dedup", "exactd"), ("5_near_dedup", "neard"),
+        ("6_repetition", "rep"), ("7_lm_quality", "lmk"),
+    ]
+)
+
+
+@register("j24b_curation_funnel_v2", oracle=_J24B_ORACLE)
+def j24b_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j24b: the full modern curation chain — j24's four stages plus
+    within-doc repetition filtering (j27's Gopher signals: duplicate
+    2-gram fraction ≤ 0.051, top-word dominance ≤ 0.11 — this derived
+    corpus's ~p80s) and model-based quality (j30's smoothed unigram LM,
+    FIT ON the stage-6 survivors — the model trains on the corpus it
+    then filters, as CCNet does; keep ≤ 3.409 nats/token ≈ p85).  All
+    seven stage (docs, tokens) counts replay in one DuckDB query.
+
+    100 TB shape: stage 6 adds only row-local array expressions to the
+    stage-5 stream; stage 7 adds one vocab-sized groupBy whose result
+    broadcasts back — the funnel stays scan → flags → two bounded
+    shuffles regardless of corpus size."""
+    flags = _j24_flags(spark, sf_dir)
+    non_survivors = _j24_non_survivors(flags)
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    doc = (
+        flags.join(non_survivors, "doc_id", "left")
+        .withColumn("n", F.col("e") & F.col("__dup").isNull())
+        .withColumn("__ws", ws_tokens)
+    )
+    words = F.split(F.col("text"), " ")
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    dup2 = 1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+    topw = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda d_: F.size(F.filter(words, lambda w: w == d_)),
+        )
+    ).cast("double") / F.size(words)
+    doc = doc.withColumn(
+        "r", F.col("n") & (dup2 <= 0.051) & (topw <= 0.11)
+    ).persist()
+
+    # Unigram LM fit on the stage-6 survivors, broadcast back to score
+    # the same docs (rounded per-token log-probs -> exact int64 sums).
+    toks = doc.filter(F.col("r")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tv = counts.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+    lp = counts.crossJoin(F.broadcast(tv)).select(
+        "tok",
+        F.round(F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v"))) * 1000000)
+        .cast("long")
+        .alias("lnp6"),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__nt"), F.sum("lnp6").alias("__s"))
+    )
+    doc = doc.join(scored, "doc_id", "left").withColumn(
+        "m",
+        F.col("r")
+        & (-F.col("__s") / 1000000.0 / F.col("__nt") <= 3.409),
+    )
+    wide = doc.agg(
+        F.count("*").alias("c1"), F.sum("__ws").alias("t1"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("q"), F.col("__ws"))).alias("t2"),
+        F.sum(F.when(F.col("l"), 1).otherwise(0)).alias("c3"),
+        F.sum(F.when(F.col("l"), F.col("__ws"))).alias("t3"),
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).alias("c4"),
+        F.sum(F.when(F.col("e"), F.col("__ws"))).alias("t4"),
+        F.sum(F.when(F.col("n"), 1).otherwise(0)).alias("c5"),
+        F.sum(F.when(F.col("n"), F.col("__ws"))).alias("t5"),
+        F.sum(F.when(F.col("r"), 1).otherwise(0)).alias("c6"),
+        F.sum(F.when(F.col("r"), F.col("__ws"))).alias("t6"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("c7"),
+        F.sum(F.when(F.col("m"), F.col("__ws"))).alias("t7"),
+    )
+    return wide.selectExpr(
+        "stack(7, '1_raw', c1, t1, '2_quality', c2, t2, '3_lang', c3, t3, "
+        "'4_exact_dedup', c4, t4, '5_near_dedup', c5, t5, "
+        "'6_repetition', c6, t6, '7_lm_quality', c7, t7) "
+        "AS (stage, n_docs, n_ws_tokens)"
     )
