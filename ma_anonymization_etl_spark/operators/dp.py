@@ -1,10 +1,12 @@
-"""Differential privacy releases (SURVEY §2 i-family extension: i28-i31).
+"""Privacy-mechanism releases (SURVEY §2 i-family extension: i28-i32).
 
-The DP mechanisms a privacy-preserving ETL publishes alongside its
+The mechanisms a privacy-preserving ETL publishes alongside its
 k-anonymity releases: central ε-DP noisy counts, clipped noisy sums,
 a noisy histogram with budget accounting (Dwork 2006; Dwork & Roth
-2014, "The Algorithmic Foundations of Differential Privacy"), and
-LOCAL-DP randomized response for categoricals (Warner 1965).
+2014, "The Algorithmic Foundations of Differential Privacy"),
+LOCAL-DP randomized response for categoricals (Warner 1965), and
+fully-synthetic microdata sampled from per-group histograms
+(Rubin 1993).
 
 Testability design — deterministic, cross-engine-replicable noise: the
 per-group uniform is derived from md5(salt || group-key) (15 hex chars
@@ -236,4 +238,74 @@ def i31_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reported",
         F.round((F.col("n_reported") / total.cast("double") - 0.1) / 0.5, 6).alias("pi_hat"),
         F.lit(0.5).alias("p_truth"),
+    )
+
+
+@register(
+    "i32_synthetic_marginals",
+    oracle=f"""
+WITH bins AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+),
+cdf AS (
+  SELECT c_nationkey, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY c_nationkey ORDER BY bin) AS cum_hi,
+         SUM(cnt) OVER (PARTITION BY c_nationkey ORDER BY bin) - cnt AS cum_lo,
+         SUM(cnt) OVER (PARTITION BY c_nationkey) AS n
+  FROM bins
+),
+draws AS (
+  SELECT c_custkey AS synth_id, c_nationkey,
+         {_sql_uniform('c_custkey', 'syn32|')} AS u
+  FROM customer
+)
+SELECT synth_id, d.c_nationkey,
+       b.bin * 500 + 250.0 AS synth_bal
+FROM draws d
+JOIN cdf b ON b.c_nationkey = d.c_nationkey
+          AND FLOOR(d.u * b.n) >= b.cum_lo AND FLOOR(d.u * b.n) < b.cum_hi
+""",
+)
+def i32_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i32: synthetic microdata release — each customer row is replaced
+    by a value DRAWN from its nation's account-balance histogram
+    (width-500 bins, bin midpoints), so per-nation counts are preserved
+    exactly and the balance distribution approximately, while no row
+    carries its own value (Rubin 1993 fully-synthetic data, reduced to
+    per-group univariate histograms).  synth_id reuses the row key so
+    the release is deterministic and oracle-replicable; a production
+    deployment would re-key and rotate the draw salt.
+
+    Scale: the histogram/CDF table is O(groups × bins) — broadcast —
+    and the draw is a map-side join + range predicate on it; one small
+    shuffle builds the CDF, nothing else."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    bins = c.groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 500).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("c_nationkey").orderBy("bin")
+    w_all = Window.partitionBy("c_nationkey")
+    cdf = (
+        bins.withColumn("cum_hi", F.sum("cnt").over(w_cum))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+    draws = c.select(
+        F.col("c_custkey").alias("synth_id"),
+        "c_nationkey",
+        hash_uniform("c_custkey", "syn32|").alias("u"),
+    )
+    pick = F.floor(F.col("u") * F.col("n"))
+    return (
+        draws.join(F.broadcast(cdf.drop("cnt")), "c_nationkey")
+        .filter((pick >= F.col("cum_lo")) & (pick < F.col("cum_hi")))
+        .select(
+            "synth_id",
+            "c_nationkey",
+            (F.col("bin") * 500 + 250.0).alias("synth_bal"),
+        )
     )

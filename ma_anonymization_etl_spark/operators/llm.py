@@ -1155,10 +1155,16 @@ def _j24_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
-def _j24_non_survivors(flags: DataFrame) -> DataFrame:
+def _j24_non_survivors(spark: SparkSession, sf_dir: str, flags: DataFrame) -> DataFrame:
     """Near-dup non-survivors among exact-dedup survivors: exhaustive
     inverted-index 3-gram Jaccard ≥ 0.5 pairs → connected components →
-    everything but each component's min-id."""
+    everything but each component's min-id.  Cached per (session,
+    sf_dir) like the flags — j24 and j24b both consume it, and the pair
+    join is the funnel's most expensive stage."""
+    key = (spark.sparkContext.applicationId, sf_dir, "j24_nondup")
+    cached = _J3_SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     exactd = flags.filter(F.col("e"))
     sh = exactd.select("doc_id", word_shingles("text", 3).alias("s"))
     inv = sh.select("doc_id", F.explode("s").alias("g"))
@@ -1182,11 +1188,14 @@ def _j24_non_survivors(flags: DataFrame) -> DataFrame:
         )
         .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     )
-    return (
+    out = (
         connected_components(pairs)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("__dup"))
+        .persist()
     )
+    _J3_SHINGLE_CACHE[key] = out
+    return out
 
 
 @register("j24_training_funnel", oracle=_J24_ORACLE)
@@ -1213,7 +1222,7 @@ def j24_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is a single conditional aggregation unpivoted to funnel
     rows."""
     flags = _j24_flags(spark, sf_dir)
-    non_survivors = _j24_non_survivors(flags)
+    non_survivors = _j24_non_survivors(spark, sf_dir, flags)
 
     ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     doc = (
@@ -1691,7 +1700,7 @@ def j24b_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back — the funnel stays scan → flags → two bounded
     shuffles regardless of corpus size."""
     flags = _j24_flags(spark, sf_dir)
-    non_survivors = _j24_non_survivors(flags)
+    non_survivors = _j24_non_survivors(spark, sf_dir, flags)
     ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     doc = (
         flags.join(non_survivors, "doc_id", "left")

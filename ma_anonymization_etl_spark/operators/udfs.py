@@ -10,6 +10,8 @@ what lets the DuckDB oracle hash-check the UDF machinery itself.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,4 +140,41 @@ def l5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.word
         FROM documents_l5 d, LATERAL split_words_udtf(d.text) t
         """
+    )
+
+
+@register(
+    "l6_udf_pandas_iterator",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1.25 * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS adj_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def l6_udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l6: ITERATOR-of-series pandas UDF — the Arrow variant whose
+    function body runs ONCE per task and streams every batch through
+    the same closure, amortizing expensive initialization (model load,
+    tokenizer build) across batches instead of paying it per batch.
+    The stand-in "model" is a constant price adjustment (1.25 is
+    binary-exact, so Spark's multiply and DuckDB's produce identical
+    doubles); the aggregate uses the scaled-int64 sum discipline."""
+    @F.pandas_udf(DoubleType())
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        factor = 1.25  # expensive init would happen here, once per task
+        for s in batches:
+            yield s * factor
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("adj", adjust("o_totalprice"))
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.sum(F.floor(F.col("adj") * 10000).cast("long")).cast("double")
+                / 10000
+            ).alias("adj_total")
+        )
     )

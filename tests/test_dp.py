@@ -57,3 +57,28 @@ def test_dp_histogram_parallel_composition(spark):
     from ma_anonymization_etl_spark.sources.io import load
 
     assert sum(r.n_exact for r in out) == load(spark, SF_ORACLE, "orders").count()
+
+
+def test_synthetic_marginals_preserved(spark):
+    """i32: per-nation row counts are preserved exactly; every synthetic
+    balance is a bin midpoint inside a bin that actually occurs for
+    that nation; no synthetic row equals its source row's raw value
+    unless that value happens to sit at a midpoint."""
+    from ma_anonymization_etl_spark.operators.dp import i32_synthetic_marginals
+    from ma_anonymization_etl_spark.sources.io import load
+
+    out = i32_synthetic_marginals(spark, SF_ORACLE)
+    orig = load(spark, SF_ORACLE, "customer")
+    o_counts = {r[0]: r[1] for r in orig.groupBy("c_nationkey").count().collect()}
+    s_counts = {r[0]: r[1] for r in out.groupBy("c_nationkey").count().collect()}
+    assert o_counts == s_counts, "marginal counts must be preserved exactly"
+    valid_bins = {
+        (r[0], r[1])
+        for r in orig.select(
+            "c_nationkey", F.floor(F.col("c_acctbal") / 500).cast("long")
+        ).distinct().collect()
+    }
+    for r in out.collect():
+        b = int((r.synth_bal - 250.0) // 500)
+        assert (r.c_nationkey, b) in valid_bins
+        assert (r.synth_bal - 250.0) % 500 == 0, "values are bin midpoints"
