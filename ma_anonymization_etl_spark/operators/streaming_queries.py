@@ -491,3 +491,51 @@ def k17_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         "user_id", "event_type"
     )
     return run_to_memory(dd, "k17_ddww", "append")
+
+
+@register(
+    "k18_stream_session_window",
+    # Append-mode session emission: a session emits once the watermark
+    # (max ts − 10 min after the single availableNow batch) passes its
+    # end (= last event + 30-min gap).  The oracle replays k4's exact
+    # session semantics plus that emission rule.
+    oracle="""
+WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+FROM numbered, m
+GROUP BY user_id, session_id, wm
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm
+""",
+)
+def k18_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k18 (extension): session windows ON THE STREAM — session_window
+    with a watermark, so Spark merges per-key session state across
+    micro-batches and emits each session only when the watermark proves
+    no more events can extend it.  k4 is the batch form; this is the
+    shape a live sessionization pipeline runs, with state bounded by
+    (open sessions × keys), not stream length."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "k18_session", "append")
