@@ -1607,8 +1607,8 @@ lp AS (SELECT tok, CAST(ROUND(ln((c + 1.0) / (total + v)) * 1000000) AS BIGINT)
 d AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lnp6) AS s
       FROM w JOIN lp USING (tok) GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       ROUND(-s / 1000000.0 / n_tokens, 6) AS avg_nll,
-       (-s / 1000000.0 / n_tokens <= 3.41) AS keep
+       ((-s) // n_tokens) / 1000000.0 AS avg_nll,
+       ((-s) // n_tokens) <= 3410000 AS keep
 FROM d
 """,
 )
@@ -1643,9 +1643,15 @@ def j30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lnp6").alias("s"))
     )
-    nll = -F.col("s") / 1000000.0 / F.col("n_tokens")
+    # Floor micro-nats via INTEGER division: a final ROUND(double, 6)
+    # here hit a half-way boundary at sf0.1 where Spark (BigDecimal
+    # HALF_UP) and DuckDB disagreed by 1e-6; integer ops cannot.
+    micro = F.expr("(-s) div n_tokens")
     return scored.select(
-        "doc_id", "n_tokens", F.round(nll, 6).alias("avg_nll"), (nll <= 3.41).alias("keep")
+        "doc_id",
+        "n_tokens",
+        (micro / 1000000.0).alias("avg_nll"),
+        (micro <= 3410000).alias("keep"),
     )
 
 
