@@ -59,11 +59,13 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
     """
     roles = classify_columns(cfg)
     # Ops that rewrite every value of `col` regardless of data/predicate.
+    # NOT swap_within_group: a swap rewrites every row but publishes the
+    # full multiset of raw values (only re-paired with other rows) — for
+    # a direct identifier that is still a leak of every identifier value.
     unconditional_rewrites = {
         "pseudonymize_sha2", "pseudonymize_md5", "mask_partial",
         "generalize_numeric", "generalize_range_label", "generalize_date",
         "top_bottom_code", "perturb_uniform", "perturb_laplace",
-        "swap_within_group",
     }
     transformed: set[str] = set()
     for s in steps:

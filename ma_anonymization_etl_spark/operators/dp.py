@@ -62,7 +62,6 @@ def _sql_laplace(u_expr: str, b: float) -> str:
 def dp_count(df: DataFrame, group: str, epsilon: float, salt: str) -> DataFrame:
     """ε-DP noisy count per group: Laplace(1/ε) on the exact count
     (count sensitivity = 1 under add/remove-one-row adjacency)."""
-    b = 1.0 / epsilon
     u = hash_uniform(group, salt)
     return (
         df.groupBy(group)

@@ -51,9 +51,12 @@ def hash64(col: Column) -> Column:
 
 
 def hash31_fast(col: Column) -> Column:
-    """Engine-internal 31-bit hash for rows-only sketch paths: xxhash64
-    stays in whole-stage codegen with no md5 + hex-parse cost.  Never in
-    oracle-checked output — DuckDB has no xxhash64 parity (SURVEY §2)."""
+    """xxhash64-based 31-bit hash — the PRODUCTION alternative to
+    hash31_md5 (codegen-friendly, no md5 + hex-parse cost) for
+    deployments that do not need the DuckDB oracle replay.  Not used by
+    any registered query: the oracle-checked MinHash core deliberately
+    uses hash31_md5, and swapping this in there would break the
+    structural j3/j23/k10 oracles (they replay the md5 hashes)."""
     return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
 
 
@@ -991,33 +994,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 # of a recursive CTE.  An unbounded transitive-closure recursion
 # re-evaluates the (expensive) inlined pair CTE once per iteration AND
 # its row count is Θ(Σ|component|²) — it wedged for minutes at sf0.1
-# even though the graph is shallow stars.  R rounds compute exact CC for
-# any graph of min-label convergence ≤ R (star/planted graphs converge
-# in 2); if data ever exceeded that, the driver compare fails LOUDLY
-# against Spark's convergence-checked loop rather than silently agreeing.
-_J23_ROUNDS = 8
-
-
+# Exact transitive closure via recursive CTE — corpus-independent,
+# unlike a fixed number of label-propagation rounds whose correctness
+# depends on component diameter (round-4 review finding; j24 and j25
+# use the same closure form).
 def _j23_oracle() -> str:
-    ctes = [
-        f"jacc AS MATERIALIZED (SELECT a_id, b_id FROM ({_J3_ORACLE}) j3)",
-        "edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jacc "
-        "UNION ALL SELECT b_id, a_id FROM jacc)",
-        "lbl0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM edges)",
-    ]
-    for k in range(1, _J23_ROUNDS + 1):
-        ctes.append(
-            f"lbl{k} AS MATERIALIZED (SELECT n.node, "
-            f"LEAST(n.c, COALESCE(m.mc, n.c)) AS c "
-            f"FROM lbl{k - 1} n LEFT JOIN (SELECT e.u AS node, MIN(l.c) AS mc "
-            f"FROM edges e JOIN lbl{k - 1} l ON l.node = e.v GROUP BY e.u) m "
-            f"USING (node))"
-        )
-    return "WITH " + ",\n".join(ctes) + f"""
+    return f"""WITH RECURSIVE
+jacc AS MATERIALIZED (SELECT a_id, b_id FROM ({_J3_ORACLE}) j3),
+edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jacc
+                       UNION ALL SELECT b_id, a_id FROM jacc),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
 SELECT c AS component, node AS doc_id,
        COUNT(*) OVER (PARTITION BY c) AS cluster_size,
        node = c AS is_survivor
-FROM lbl{_J23_ROUNDS}
+FROM comp
 """
 
 
@@ -1346,6 +1341,24 @@ FROM pii
 """
 
 
+def pii_scrub_projection(d: DataFrame) -> DataFrame:
+    """The ONE scrub projection shared by batch i26 and streaming k14
+    (k14 shares i26's oracle row-for-row, so the projection must be a
+    single definition — an inline copy in k14 was a drift hazard,
+    round-4 review finding): inject deterministic PII, emit the
+    scrubbed text plus per-rule counts over the raw text."""
+    pii = d.select("doc_id", "source", _pii_inject_col().alias("pii_text"))
+    return pii.select(
+        "doc_id",
+        "source",
+        scrub_pii(F.col("pii_text")).alias("clean_text"),
+        *[
+            F.regexp_count("pii_text", F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in _PII_RULES
+        ],
+    )
+
+
 @register("i26_pii_scrub_text", oracle=_I26_ORACLE)
 def i26_pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i26 (extension): free-text PII scrubbing — regex redaction of
@@ -1357,16 +1370,7 @@ def i26_pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules compile into one chained-regexp_replace projection — a pure
     map-side pass with no shuffle at any scale."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    pii = d.select("doc_id", "source", _pii_inject_col().alias("pii_text"))
-    return pii.select(
-        "doc_id",
-        "source",
-        scrub_pii(F.col("pii_text")).alias("clean_text"),
-        *[
-            F.regexp_count("pii_text", F.lit(pat)).alias(f"n_{name}")
-            for name, pat, _ in _PII_RULES
-        ],
-    )
+    return pii_scrub_projection(d)
 
 
 _I27_ORACLE = f"""
@@ -1705,31 +1709,38 @@ def j24b_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-5 stream; stage 7 adds one vocab-sized groupBy whose result
     broadcasts back — the funnel stays scan → flags → two bounded
     shuffles regardless of corpus size."""
-    flags = _j24_flags(spark, sf_dir)
-    non_survivors = _j24_non_survivors(spark, sf_dir, flags)
-    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    doc = (
-        flags.join(non_survivors, "doc_id", "left")
-        .withColumn("n", F.col("e") & F.col("__dup").isNull())
-        .withColumn("__ws", ws_tokens)
-    )
-    words = F.split(F.col("text"), " ")
-    g2 = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
-    )
-    dup2 = 1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
-    topw = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda d_: F.size(F.filter(words, lambda w: w == d_)),
+    # Flags + repetition gate, persisted ONCE per (session, sf_dir) —
+    # an unkeyed per-invocation persist leaked a cached copy per run
+    # (round-4 review finding).
+    doc_key = (spark.sparkContext.applicationId, sf_dir, "j24b_doc")
+    doc = _J3_SHINGLE_CACHE.get(doc_key)
+    if doc is None:
+        flags = _j24_flags(spark, sf_dir)
+        non_survivors = _j24_non_survivors(spark, sf_dir, flags)
+        ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        doc = (
+            flags.join(non_survivors, "doc_id", "left")
+            .withColumn("n", F.col("e") & F.col("__dup").isNull())
+            .withColumn("__ws", ws_tokens)
         )
-    ).cast("double") / F.size(words)
-    doc = doc.withColumn(
-        "r", F.col("n") & (dup2 <= 0.051) & (topw <= 0.11)
-    ).persist()
+        words = F.split(F.col("text"), " ")
+        g2 = F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+        dup2 = 1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+        topw = F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda d_: F.size(F.filter(words, lambda w: w == d_)),
+            )
+        ).cast("double") / F.size(words)
+        doc = doc.withColumn(
+            "r", F.col("n") & (dup2 <= 0.051) & (topw <= 0.11)
+        ).persist()
+        _J3_SHINGLE_CACHE[doc_key] = doc
 
     # Unigram LM fit on the stage-6 survivors, broadcast back to score
     # the same docs (rounded per-token log-probs -> exact int64 sums).

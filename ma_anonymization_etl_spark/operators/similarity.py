@@ -655,22 +655,23 @@ pairs AS MATERIALIZED (
   WHERE {_sql_cos('a.v', 'b.v')} >= {_J9B_TAU}
 ),
 edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs
-                       UNION ALL SELECT b_id, a_id FROM pairs),
-lbl0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM edges)"""
-    rounds = 4
-    ctes = [corpus]
-    for k in range(1, rounds + 1):
-        ctes.append(
-            f"lbl{k} AS MATERIALIZED (SELECT n.node, "
-            f"LEAST(n.c, COALESCE(m.mc, n.c)) AS c "
-            f"FROM lbl{k - 1} n LEFT JOIN (SELECT e.u AS node, MIN(l.c) AS mc "
-            f"FROM edges e JOIN lbl{k - 1} l ON l.node = e.v GROUP BY e.u) m "
-            f"USING (node))"
-        )
-    return "WITH " + ",\n".join(ctes) + f"""
+                       UNION ALL SELECT b_id, a_id FROM pairs)"""
+    # Exact transitive closure (recursive CTE), not K rounds of label
+    # propagation: a bounded-rounds replay is corpus-dependent — a
+    # component whose min-id sits > K hops away diverges from the
+    # engine's converged connected_components (round-4 review finding;
+    # j24's oracle already used this closure form).
+    closure = """
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)"""
+    return "WITH RECURSIVE " + ",\n".join([corpus, closure]) + """
 , wide AS (SELECT (SELECT COUNT(*) FROM corpus) AS c1,
                   (SELECT COUNT(*) FROM pairs) AS c2,
-                  (SELECT COUNT(*) FROM lbl{rounds} WHERE node <> c) AS c3)
+                  (SELECT COUNT(*) FROM comp WHERE node <> c) AS c3)
 SELECT stage, n FROM (
   SELECT '1_raw_vectors' AS stage, c1 AS n FROM wide
   UNION ALL SELECT '2_dup_pairs', c2 FROM wide

@@ -294,11 +294,7 @@ def k14_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, unlike k10's fingerprint store) and appends to the
     sanitized sink.  Output must equal single-shot i26 row-for-row,
     so it shares i26's oracle."""
-    from ma_anonymization_etl_spark.operators.llm import (
-        _PII_RULES,
-        _pii_inject_col,
-        scrub_pii,
-    )
+    from ma_anonymization_etl_spark.operators.llm import pii_scrub_projection
 
     base = scratch_dir(spark, "k14")
     in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
@@ -313,20 +309,7 @@ def k14_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.exceptAll(half).write.parquet(os.path.join(in_dir, "batch2"))
 
     def scrub_batch(batch: DataFrame, batch_id: int) -> None:
-        pii = batch.select("doc_id", "source", _pii_inject_col().alias("pii_text"))
-        (
-            pii.select(
-                "doc_id",
-                "source",
-                scrub_pii(F.col("pii_text")).alias("clean_text"),
-                *[
-                    F.regexp_count("pii_text", F.lit(pat)).alias(f"n_{name}")
-                    for name, pat, _ in _PII_RULES
-                ],
-            )
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        pii_scrub_projection(batch).write.mode("append").parquet(out_dir)
 
     src = (
         spark.readStream.schema("doc_id BIGINT, text STRING, source STRING")

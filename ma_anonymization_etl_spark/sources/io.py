@@ -27,6 +27,9 @@ def table_path(sf_dir: str, table: str) -> str:
     return f"{sf_dir.rstrip('/')}/{table}.parquet"
 
 
+_SWEPT_SCRATCH_ROOTS: set[str] = set()
+
+
 def scratch_dir(spark: SparkSession, *parts: str) -> str:
     """Session-scoped scratch path for side-effecting queries:
     /tmp/mael_scratch/<applicationId>/<parts...>.
@@ -35,14 +38,29 @@ def scratch_dir(spark: SparkSession, *parts: str) -> str:
     harness, CI, bench, ad-hoc sessions) never tread on each other's
     sink/staging dirs — a shared fixed path let a parallel run delete a
     directory mid-write (observed as a transient k10 failure when
-    pytest and driver_sim overlapped)."""
-    import os
-    import tempfile
+    pytest and driver_sim overlapped).
 
-    d = os.path.join(
-        tempfile.gettempdir(), "mael_scratch",
-        spark.sparkContext.applicationId, *parts,
-    )
+    Stale sibling dirs (other applications, untouched > 1 h) are swept
+    best-effort on first use per session so repeated runs cannot fill
+    /tmp; the 1-hour grace keeps genuinely concurrent sessions safe."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    app_id = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), "mael_scratch")
+    if app_id not in _SWEPT_SCRATCH_ROOTS:
+        _SWEPT_SCRATCH_ROOTS.add(app_id)
+        try:
+            cutoff = time.time() - 3600
+            for entry in os.listdir(root) if os.path.isdir(root) else []:
+                p = os.path.join(root, entry)
+                if entry != app_id and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # sweeping is an optimization, never a failure
+    d = os.path.join(root, app_id, *parts)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 

@@ -61,7 +61,13 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
             try:
                 os.rename(tmp, staged)
             except OSError:
-                os.unlink(tmp)  # lost the race; the winner's copy is fine
+                # POSIX rename replaces an existing target atomically, so
+                # a concurrent-stage race cannot raise — anything here is
+                # a real failure (permissions, cross-device): clean the
+                # temp file and surface it instead of leaving the caller
+                # to fail later on an empty staging dir.
+                os.unlink(tmp)
+                raise
     schema = spark.read.parquet(path).schema  # footer-only, no data scan
     raw = spark.readStream.schema(schema).parquet(path)
     return normalize_events_ts(raw)

@@ -201,3 +201,18 @@ def test_route_mondrian_with_suppression_runs(spark):
     assert "mondrian_pid" in out.columns
     sizes = out.groupBy("mondrian_pid").count().agg(F.min("count")).collect()[0][0]
     assert sizes >= 8
+
+
+def test_route_refuses_swap_as_di_coverage(spark):
+    """A within-group swap publishes every raw DI value (permuted), so
+    it must NOT count as DI coverage (round-4 review finding)."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [
+            {"op": "swap_within_group", "col": "c_name",
+             "group_cols": ["c_nationkey"], "seed": 1},
+        ],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)

@@ -313,19 +313,21 @@ def test_j23_clusters_planted(spark):
 
 
 def test_j3_corpus_gap_supports_band_recall():
-    """The j3/j23/k10 oracle is an EXHAUSTIVE Jaccard referee, so the
-    driver's hash check requires MinHash-LSH recall exactly 1.0.  With
-    8 bands x 4 rows a pair at Jaccard ~0.5-0.7 would be missed with
-    ~40-60% probability (ADVICE r3) — the check is sound only because
-    the corpus has NO pair in that marginal band: planted twins sit at
-    J >= 0.77 (miss probability <= ~3% per pair, and the fixed
-    seed-1337 permutations empirically find them all), organic pairs
-    at J <= 0.08.  This guard re-measures the gap with DuckDB so a
-    corpus/SF change that introduces a borderline pair fails HERE with
-    this explanation, not as an unexplained driver mismatch.  Remedy
-    if it fires: raise _MINHASH_TAU above the new max-marginal J, or
-    add bands/rows until the miss probability at the new floor is
-    negligible, and re-check j3/j23/k10 together."""
+    """The driver gate no longer depends on this gap: since the round-4
+    structural-oracle change the j3/j23/k10 oracle REPLAYS the banding,
+    so a band-missed pair is absent from both engines and the gate
+    stays green regardless of corpus.  What the gap still protects is
+    the SEMANTIC quality pinned by test_j3_lsh_recall_is_exhaustive
+    (recall 1.0 vs the exhaustive referee): with 8 bands x 4 rows a
+    pair at Jaccard ~0.5-0.7 is missed with ~40-60% probability, so a
+    corpus/SF change introducing a marginal pair would silently turn
+    "LSH dedup finds everything" into "finds most things".  The corpus
+    currently has NO pair in that band (planted twins J >= 0.77,
+    organic pairs J <= 0.08); this guard re-measures the gap so such a
+    change fails HERE with this explanation.  Remedy if it fires: add
+    bands/rows until the miss probability at the new floor is
+    negligible (or accept and document the recall loss and retire the
+    recall-1.0 test)."""
     import duckdb
 
     con = duckdb.connect()
