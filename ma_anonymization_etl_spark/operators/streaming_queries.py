@@ -522,3 +522,37 @@ def k18_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "k18_session", "append")
+
+
+@register(
+    "a10_rate_source",
+    # rate-micro-batch with startTimestamp=0 is fully deterministic:
+    # batch 0 carries values 0..rowsPerBatch-1 with timestamps advancing
+    # 1s per 100 values from epoch 0 — replayable as a DuckDB range.
+    oracle="""
+SELECT CAST(value % 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       SUM(CAST(value AS BIGINT)) AS sum_value
+FROM range(0, 500) t(value)
+GROUP BY bucket
+""",
+)
+def a10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a10 (extension): the built-in rate-micro-batch source — Spark's
+    deterministic load-generator for streaming pipelines (fixed
+    rows-per-batch, seeded timestamps), here driven for one availableNow
+    batch and aggregated.  The source is how streaming topologies get
+    load-tested before a Kafka topic exists; sf_dir is unused by
+    construction (the source generates)."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = (
+        src.withColumn("bucket", F.col("value") % 10)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    return run_to_memory(agg, "a10_rate", "complete")
