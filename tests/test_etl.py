@@ -63,14 +63,13 @@ def test_merge_upsert_count_invariant(spark):
 def test_n4_compaction_reduces_file_count(spark):
     import glob
     import os
-    import tempfile
 
     from ma_anonymization_etl_spark.registry import load_all
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
 
     load_all()["n4_compact_small_files"].fn(spark, SF_ORACLE).collect()
-    scratch = os.path.join(tempfile.gettempdir(), "mael_scratch")
-    frag = glob.glob(os.path.join(scratch, "n4_frag", "*.parquet"))
-    comp = glob.glob(os.path.join(scratch, "n4_compact", "*.parquet"))
+    frag = glob.glob(os.path.join(scratch_dir(spark, "n4_frag"), "*.parquet"))
+    comp = glob.glob(os.path.join(scratch_dir(spark, "n4_compact"), "*.parquet"))
     assert len(frag) == 64
     assert len(comp) == 4
 
