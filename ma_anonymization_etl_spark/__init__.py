@@ -14,3 +14,29 @@ Design principles (SURVEY.md §4):
 """
 
 __version__ = "0.1.0"
+
+# Public API facade — lazy so `import ma_anonymization_etl_spark` stays
+# cheap for tooling; submodules import on first attribute access.
+_API = {
+    "anonymize": "ma_anonymization_etl_spark.operators.anonymize",
+    "dp": "ma_anonymization_etl_spark.operators.dp",
+    "llm": "ma_anonymization_etl_spark.operators.llm",
+    "similarity": "ma_anonymization_etl_spark.operators.similarity",
+    "pipeline": "ma_anonymization_etl_spark.plans.pipeline",
+    "registry": "ma_anonymization_etl_spark.registry",
+    "session": "ma_anonymization_etl_spark.session",
+    "sql": "ma_anonymization_etl_spark.sql",
+    "io": "ma_anonymization_etl_spark.sources.io",
+}
+
+__all__ = sorted(_API)
+
+
+def __getattr__(name: str):
+    if name in _API:
+        import importlib
+
+        mod = importlib.import_module(_API[name])
+        globals()[name] = mod  # cache: next access skips __getattr__
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -68,3 +68,17 @@ def test_custom_datasource_partitions_and_values(spark):
     # Uneven split: last partition short.
     df2 = spark.read.format("synthetic_events").option("n", 10).option("parts", 4).load()
     assert df2.count() == 10 and df2.rdd.getNumPartitions() == 4
+
+
+def test_package_api_facade():
+    """`import ma_anonymization_etl_spark as mael; mael.anonymize...`
+    is the switcher's entry point — every advertised submodule resolves
+    lazily and unknown attributes raise AttributeError."""
+    import pytest as _pytest
+
+    import ma_anonymization_etl_spark as mael
+
+    for name in mael.__all__:
+        assert getattr(mael, name) is not None
+    with _pytest.raises(AttributeError):
+        mael.not_a_module
