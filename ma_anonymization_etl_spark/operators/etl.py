@@ -266,3 +266,62 @@ def n5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_day"),
         )
     )
+
+
+@register(
+    "n6_bucketed_join",
+    # Bucketing is storage layout only — the join RESULT must equal the
+    # plain join over the original parquet, which is what the oracle
+    # computes.  The layout claim itself (SortMergeJoin with ZERO
+    # Exchange, bucket-pruned point scans) is pinned by
+    # tests/test_bucketing.py.
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def n6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n6 (extension): the bucketed fact-fact join — both tables are
+    written ONCE bucketed+sorted by the join key (external tables under
+    session scratch), after which every orderkey join runs as a
+    SortMergeJoin with no Exchange on either side.  This is the 100 TB
+    answer to c2's shuffle: pay the distribution at write time, join
+    shuffle-free forever after.  The aggregate must equal the plain
+    parquet join (bucketing must never change results)."""
+    import re
+
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    # Table names carry the sf_dir so one session can serve multiple SFs
+    # without returning a stale layout.
+    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        table = f"n6_b_{name}_{sfx}"
+        if not spark.catalog.tableExists(table):
+            (
+                load(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .option("path", scratch_dir(spark, "n6", sfx, name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(table)
+            )
+    o = spark.table(f"n6_b_orders_{sfx}").select("o_orderkey", "o_orderpriority")
+    li = spark.table(f"n6_b_lineitem_{sfx}").select("l_orderkey", "l_extendedprice")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("long")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("sum_price"),
+        )
+    )
