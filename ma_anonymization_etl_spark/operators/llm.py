@@ -1786,3 +1786,57 @@ def j24b_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'6_repetition', c6, t6, '7_lm_quality', c7, t7) "
         "AS (stage, n_docs, n_ws_tokens)"
     )
+
+
+@register(
+    "j31_sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+)
+def j31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j31 (extension): sequence packing — the batching step of LLM
+    training: docs concatenate in doc_id order into a token stream
+    chunked every 512 tokens, and each doc is accounted to the chunk
+    holding its FIRST token (docs crossing a boundary continue into the
+    next sequence, as packed training does).  The assignment is a pure
+    prefix sum: chunk = (cumulative_tokens_before_doc) div 512.
+
+    Scale: a global ordered prefix sum is one range-partitioned window
+    (Spark's rangeBetween machinery); everything after is a groupBy on
+    the chunk id.  At 100 TB you run the same plan per shard (pack
+    within partition files) rather than globally — the per-shard plan
+    is identical."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    chunk = ((F.col("cum") - F.col("n_tok")) / 512).cast("long")
+    return (
+        c.withColumn("chunk_id", chunk)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

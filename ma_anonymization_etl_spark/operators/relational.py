@@ -972,3 +972,46 @@ def f5_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").offset(40).limit(20)
     )
+
+
+@register(
+    "c11_range_join_binned",
+    oracle="""
+SELECT a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+""",
+)
+def c11_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c11 (extension): PURE range join — no equi key at all, the case
+    Catalyst would plan as a BroadcastNestedLoopJoin (all-pairs) —
+    rewritten as a BINNED equi-join: bucket both sides into
+    interval-sized minutes, explode the left row into its two candidate
+    buckets, hash-join on the bucket, residual-filter the exact range.
+    Every qualifying pair shares exactly one candidate bucket, so no
+    dedup is needed.
+
+    Scale: shuffle O(n) on bucket keys instead of O(n²) pair
+    enumeration — the standard interval-join binning (bucket width =
+    interval width ⇒ ≤ 2 candidate buckets per row).  Skewed minutes
+    fall back to AQE skew-split like any hot hash key."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    bucket = F.floor(F.col("ts").cast("double") / 60).cast("long")
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        bucket.alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 MINUTE"))
+        )
+        .select("a_id", "b_id")
+    )
