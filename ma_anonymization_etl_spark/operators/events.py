@@ -342,6 +342,186 @@ def k12_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k19_resample_locf",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, bucket, value AS obs_value FROM (
+    SELECT user_id, time_bucket(INTERVAL 4 HOUR, ts) AS bucket, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, time_bucket(INTERVAL 4 HOUR, ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), bounds AS (
+  SELECT MIN(bucket) AS d0, MAX(bucket) AS d1 FROM obs
+), spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 4 HOUR)) AS bucket FROM bounds
+), grid AS (
+  SELECT u.user_id, s.bucket
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+)
+SELECT g.user_id, g.bucket,
+       last_value(o.obs_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS value_locf,
+       CASE WHEN o.obs_value IS NULL THEN 0 ELSE 1 END AS is_observed
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+""",
+)
+def k19_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k19: time-series resampling with last-observation-carried-forward
+    gap fill — the value-level companion to k12's zero-filled counts
+    (TimescaleDB's time_bucket_gapfill + locf shape).  Per user the
+    irregular event series is bucketed to a 4 h grid (deterministic
+    survivor: latest ts, event_id tie-break), densified against a spine
+    derived from ONE 1-row min/max aggregate, and forward-filled with a
+    single `last(value, ignorenulls=True)` running window.  Cells before
+    a user's first observation stay NULL (no back-fill).  Scale: the
+    only corpus-sized shuffle is the per-(user, bucket) pre-aggregate;
+    the spine is broadcast and the fill is one window pass over the
+    compact grid, so raw events are never re-shuffled.  Both engines
+    align 4 h buckets to epoch-divisible origins, so bucket edges agree."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        e.withColumn("bucket", F.window("ts", "4 hours")["start"])
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", F.col("value").alias("obs_value"))
+    )
+    bounds = obs.agg(F.min("bucket").alias("d0"), F.max("bucket").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 4 hours)")).alias("bucket")
+    )
+    grid = (
+        e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("obs_value", ignorenulls=True).over(w_fill).alias("value_locf"),
+            F.when(F.col("obs_value").isNull(), 0).otherwise(1).alias("is_observed"),
+        )
+    )
+
+
+@register(
+    "k20_interpolate_linear",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, bucket, value AS obs_value FROM (
+    SELECT user_id, time_bucket(INTERVAL 4 HOUR, ts) AS bucket, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, time_bucket(INTERVAL 4 HOUR, ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), bounds AS (
+  SELECT MIN(bucket) AS d0, MAX(bucket) AS d1 FROM obs
+), spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 4 HOUR)) AS bucket FROM bounds
+), grid AS (
+  SELECT u.user_id, s.bucket
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+), joined AS (
+  SELECT g.user_id, g.bucket, o.obs_value,
+         CAST(epoch(g.bucket) AS DOUBLE) AS t
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+), ctx AS (
+  SELECT *,
+         last_value(obs_value IGNORE NULLS) OVER w_prev AS prev_val,
+         last_value(CASE WHEN obs_value IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_prev AS prev_t,
+         first_value(obs_value IGNORE NULLS) OVER w_next AS next_val,
+         first_value(CASE WHEN obs_value IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_next AS next_t
+  FROM joined
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+         w_next AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CASE WHEN obs_value IS NOT NULL THEN ROUND(obs_value, 6)
+            WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+            ELSE ROUND(prev_val + (next_val - prev_val)
+                       * ((t - prev_t) / (next_t - prev_t)), 6) END AS value_interp,
+       CASE WHEN obs_value IS NOT NULL THEN 'obs'
+            WHEN prev_val IS NULL OR next_val IS NULL THEN 'edge'
+            ELSE 'interp' END AS kind
+FROM ctx
+""",
+)
+def k20_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k20: linear interpolation of interior gaps on the k19 resample
+    grid — value = prev + (next − prev)·(t − t_prev)/(t_next − t_prev),
+    from the nearest observed neighbors on each side (two IGNORE NULLS
+    windows over the same user partitioning, so Spark reuses one
+    exchange).  Grid edges with no neighbor on one side stay NULL
+    ('edge'); observed cells pass through ('obs').  Both engines
+    evaluate the identical IEEE-double expression, rounded to 6 dp.
+    Scale: same profile as k19 — one pre-aggregate shuffle plus window
+    passes over the compact (user × bucket) grid."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        e.withColumn("bucket", F.window("ts", "4 hours")["start"])
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", F.col("value").alias("obs_value"))
+    )
+    bounds = obs.agg(F.min("bucket").alias("d0"), F.max("bucket").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 4 hours)")).alias("bucket")
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    joined = grid.join(obs, ["user_id", "bucket"], "left").withColumn(
+        "t", F.unix_seconds("bucket").cast("double")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("obs_value").isNotNull(), F.col("t"))
+    ctx = (
+        joined.withColumn("prev_val", F.last("obs_value", ignorenulls=True).over(w_prev))
+        .withColumn("prev_t", F.last(t_obs, ignorenulls=True).over(w_prev))
+        .withColumn("next_val", F.first("obs_value", ignorenulls=True).over(w_next))
+        .withColumn("next_t", F.first(t_obs, ignorenulls=True).over(w_next))
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.col("t") - F.col("prev_t")) / (F.col("next_t") - F.col("prev_t"))
+    )
+    no_side = F.col("prev_val").isNull() | F.col("next_val").isNull()
+    return ctx.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("obs_value").isNotNull(), F.round("obs_value", 6))
+        .when(no_side, F.lit(None).cast("double"))
+        .otherwise(F.round(interp, 6))
+        .alias("value_interp"),
+        F.when(F.col("obs_value").isNotNull(), F.lit("obs"))
+        .when(no_side, F.lit("edge"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
+    )
+
+
+@register(
     "k13_retention_cohorts",
     oracle="""
 WITH act AS (
