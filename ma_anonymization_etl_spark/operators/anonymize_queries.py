@@ -411,6 +411,57 @@ def i21_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i34_k_map",
+    oracle=f"""
+WITH pop AS (
+  SELECT c_nationkey, c_mktsegment, {_sql_bin('c_acctbal', 500)} AS bal_bin,
+         COUNT(*) AS k_population
+  FROM customer GROUP BY 1, 2, 3
+), samp AS (
+  SELECT c_nationkey, c_mktsegment, {_sql_bin('c_acctbal', 500)} AS bal_bin,
+         COUNT(*) AS n_sample
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1, 2, 3
+)
+SELECT s.c_nationkey, s.c_mktsegment, s.bal_bin, n_sample, k_population,
+       (k_population < 5) AS risky
+FROM samp s JOIN pop p
+  ON p.c_nationkey = s.c_nationkey AND p.c_mktsegment = s.c_mktsegment
+ AND p.bal_bin = s.bal_bin
+""",
+)
+def i34_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i34: k-map — the population-aware counterpart to k-anonymity
+    (El Emam & Dankar, JAMIA 2008).  k-anonymity (i16) measures class
+    sizes INSIDE the released sample; k-map measures each released
+    record's class size in the POPULATION the adversary actually
+    matches against, which is the defensible risk number when only a
+    subset is released.  Here the full customer table plays the
+    population and the customers with ≥1 order play the released
+    sample; a class is risky when fewer than 5 population records
+    share its QIs.
+
+    Scale: two QI-keyed partial aggregates + one join on the QI key —
+    both sides are already class-grained (tiny vs the row counts), and
+    the sample side derives from a semi-join that never widens rows."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "bal_bin", A.generalize_numeric("c_acctbal", 500)
+    )
+    qis = ["c_nationkey", "c_mktsegment", "bal_bin"]
+    pop = c.groupBy(*qis).agg(F.count(F.lit(1)).alias("k_population"))
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    samp = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(*qis)
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    return samp.join(pop, qis).select(
+        *qis, "n_sample", "k_population", (F.col("k_population") < 5).alias("risky")
+    )
+
+
+@register(
     "i24_utility_metrics",
     oracle="""
 SELECT COUNT(*) AS n_classes,

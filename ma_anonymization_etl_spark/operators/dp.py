@@ -241,6 +241,132 @@ def i31_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i33_dp_quantile",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), v AS (
+  SELECT c_nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         LAG(cents) OVER (PARTITION BY c_nationkey ORDER BY cents) AS prev
+  FROM c
+), iv AS (
+  SELECT c_nationkey, rn - 1 AS idx, COALESCE(prev, -100000) AS lo_edge,
+         cents AS hi_edge, n
+  FROM v
+  UNION ALL
+  SELECT c_nationkey, MAX(rn) AS idx, MAX(cents) AS lo_edge,
+         1000000 AS hi_edge, MAX(rn) AS n
+  FROM v GROUP BY c_nationkey
+), w AS (
+  SELECT *, CASE WHEN ABS(2 * idx - n) >= 40 THEN 0
+                 ELSE (hi_edge - lo_edge) << (40 - ABS(2 * idx - n)) END AS wt
+  FROM iv
+), cum AS (
+  SELECT *, SUM(wt) OVER (PARTITION BY c_nationkey ORDER BY idx
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+            SUM(wt) OVER (PARTITION BY c_nationkey) AS total
+  FROM w
+), pick AS (
+  SELECT c_nationkey, lo_edge, hi_edge,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY idx) AS pr
+  FROM cum
+  WHERE cw > CAST(FLOOR({_sql_uniform('c_nationkey', 'dpq33|')} * (total::DOUBLE))
+                  AS BIGINT)
+), med AS (
+  SELECT c_nationkey, COUNT(*) AS n_exact,
+         ROUND(quantile_cont(c_acctbal, 0.5), 4) AS exact_median
+  FROM customer GROUP BY c_nationkey
+)
+SELECT m.c_nationkey, n_exact, exact_median,
+       ROUND(((lo_edge + hi_edge) / 2.0) / 100, 6) AS dp_median,
+       2.772589 AS epsilon
+FROM med m JOIN pick p ON p.c_nationkey = m.c_nationkey AND p.pr = 1
+""",
+)
+def i33_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i33: ε-DP median via the exponential mechanism (McSherry &
+    Talwar 2007; Smith 2011 rank-utility instantiation) — per nation,
+    an interval between consecutive order statistics of c_acctbal is
+    sampled with probability ∝ width · exp(−(ε/2)·|rank − n/2|), and
+    its midpoint is released.  ε = 4·ln 2 makes the weight decay an
+    EXACT power of two per rank step, so the whole mechanism runs in
+    integer arithmetic: widths are exact cents, weights are
+    ``width << (40 − |2·idx − n|)`` (ranks more than 40 halvings from
+    the median round to zero weight — a 2⁻⁴⁰ truncation of the tail),
+    and the cumulative/threshold comparison is integer-exact in both
+    engines — no transcendental in the sampling path, so the oracle
+    replays the DRAW itself, like i28-i32 (module docstring).
+
+    Scale: one per-group sort-window pass over the grouped values plus
+    an O(groups) draw — the same profile as an exact per-group median
+    (d11).  At 100 TB one would swap the exact order statistics for a
+    DP-quantile sketch; this is the exact-mechanism reference."""
+    from pyspark.sql import Window
+
+    lo_c, hi_c, cap = -100000, 1000000, 40
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w_ord = Window.partitionBy("c_nationkey").orderBy("cents")
+    w_all = Window.partitionBy("c_nationkey")
+    v = (
+        c.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("prev", F.lag("cents").over(w_ord))
+    )
+    lower = v.select(
+        "c_nationkey",
+        (F.col("rn") - 1).alias("idx"),
+        F.coalesce(F.col("prev"), F.lit(lo_c)).alias("lo_edge"),
+        F.col("cents").alias("hi_edge"),
+        "n",
+    )
+    last = v.groupBy("c_nationkey").agg(
+        F.max("rn").alias("idx"),
+        F.max("cents").alias("lo_edge"),
+        F.lit(hi_c).cast("long").alias("hi_edge"),
+        F.max("rn").alias("n"),
+    )
+    iv = lower.unionByName(last.select(*lower.columns))
+    k = F.abs(2 * F.col("idx") - F.col("n"))
+    wt = F.when(k >= cap, F.lit(0).cast("long")).otherwise(
+        F.expr(f"shiftleft(hi_edge - lo_edge, cast({cap} - abs(2 * idx - n) as int))")
+    )
+    w_cum = w_all.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        iv.withColumn("wt", wt)
+        .withColumn("cw", F.sum("wt").over(w_cum))
+        .withColumn("total", F.sum("wt").over(w_all))
+    )
+    t = F.floor(hash_uniform("c_nationkey", "dpq33|") * F.col("total").cast("double"))
+    pick = (
+        cum.filter(F.col("cw") > t)
+        .withColumn("pr", F.row_number().over(w_all.orderBy("idx")))
+        .filter(F.col("pr") == 1)
+        .select("c_nationkey", "lo_edge", "hi_edge")
+    )
+    med = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("exact_median"),
+        )
+    )
+    return med.join(pick, "c_nationkey").select(
+        "c_nationkey",
+        "n_exact",
+        "exact_median",
+        F.round((F.col("lo_edge") + F.col("hi_edge")) / 2.0 / 100, 6).alias("dp_median"),
+        F.lit(2.772589).alias("epsilon"),
+    )
+
+
+@register(
     "i32_synthetic_marginals",
     oracle=f"""
 WITH bins AS (

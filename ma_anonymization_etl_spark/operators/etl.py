@@ -269,6 +269,69 @@ def n5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n7_dynamic_partition_pruning",
+    # Layout is invisible to semantics: the result must equal the plain
+    # year-filtered aggregate over the original parquet.  The PLAN claim
+    # (a dynamic pruning subquery on the partitioned scan) is pinned by
+    # tests/test_plans.py::test_n7_scan_is_dynamically_pruned.
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS sum_price
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+GROUP BY 1
+""",
+)
+def n7_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n7 (extension): dynamic partition pruning — orders written ONCE
+    partitioned by order year (hive-style directories under session
+    scratch), then joined to a year dimension that is only filtered at
+    runtime.  Catalyst broadcasts the filtered dim and injects its key
+    set as a partition filter into the fact scan (DynamicPruning
+    subquery), so only the 2 matching year directories are read even
+    though the fact-side predicate is not statically known.  This is
+    THE mechanism that makes star-schema date filters cheap on a
+    partitioned 100 TB fact table: pruning happens before I/O, scaling
+    with surviving partitions, not table size."""
+    import re
+
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    path = scratch_dir(spark, "n7", sfx, "orders_by_year")
+    marker = f"n7_written_{sfx}"
+    if not spark.conf.get(f"spark.mael.{marker}", None):
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+        spark.conf.set(f"spark.mael.{marker}", "1")
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("dim_year"))
+        .distinct()
+        .filter(F.col("dim_year").between(1995, 1996))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.dim_year)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 10000).cast("long")).cast("double")
+                / 10000
+            ).alias("sum_price"),
+        )
+    )
+
+
+@register(
     "n6_bucketed_join",
     # Bucketing is storage layout only — the join RESULT must equal the
     # plain join over the original parquet, which is what the oracle

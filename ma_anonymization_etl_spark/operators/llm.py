@@ -1598,6 +1598,60 @@ def j29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j32_dup_ngram_coverage",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 7, 1) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS gr
+      FROM w),
+df AS (SELECT gr, COUNT(*) AS df FROM g GROUP BY gr),
+d AS (SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM g JOIN df USING (gr) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_dup,
+       ROUND(n_dup::DOUBLE / n_grams, 6) AS dup_frac,
+       (n_dup::DOUBLE / n_grams >= 0.2) AS flagged
+FROM d
+""",
+)
+def j32_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j32 (extension): exact substring-level duplication coverage — for
+    each document, the fraction of its distinct word-8-grams that occur
+    in at least one OTHER document (docs are gram-distinct, so document
+    frequency ≥ 2 ⇔ shared).  This is the per-document statistic behind
+    exact-substring dedup decisions (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): j3's MinHash finds
+    whole-doc near-twins, this finds boilerplate and quotation overlap
+    that doc-level similarity misses.
+
+    Scale: two gram-keyed partial-agg shuffles of O(total grams) rows —
+    the document-frequency table is never joined to itself, so there is
+    no Θ(Σ df²) pair blowup (the j3c trap).  At 100 TB, grams would be
+    hashed (hash31_md5) before the shuffle to cap key width."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.select("doc_id", F.explode(word_shingles("text", 8)).alias("gr"))
+    df_ = g.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        g.join(df_, "gr")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac >= 0.2).alias("flagged"),
+    )
+
+
+@register(
     "j30_unigram_lm_score",
     # Per-token log-probs are rounded to 6 dp BEFORE the scaled-int64
     # sum, so the per-doc accumulation is order-independent and

@@ -463,6 +463,91 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j33_sq8_ann",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+x AS (SELECT vec_id, pos, v[pos] AS x
+      FROM e, (SELECT unnest(range(1, 65)) AS pos) p),
+dims AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
+q AS (SELECT vec_id, x.pos,
+             CAST(FLOOR((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) - 128 AS qx
+      FROM x JOIN dims ON dims.pos = x.pos),
+qq AS (SELECT pos, qx AS qqx FROM q WHERE vec_id = 0),
+s AS (SELECT q.vec_id, CAST(SUM(q.qx * qq.qqx) AS BIGINT) AS score8
+      FROM q JOIN qq ON qq.pos = q.pos WHERE q.vec_id <> 0 GROUP BY q.vec_id),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT s.vec_id, score8, ROUND({_sql_cos('e.v', 'qv')}, 5) AS cos_sim
+FROM s JOIN e ON e.vec_id = s.vec_id, q0
+ORDER BY score8 DESC, s.vec_id
+LIMIT 10
+""",
+)
+def j33_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j33 (extension): 8-bit scalar-quantized ANN with exact re-rank —
+    the memory-compression path for similarity search (FAISS SQ8 shape).
+    Per-dimension global min/max (one 64-row aggregate, broadcast) maps
+    every float to an int in [-128, 127]; candidate scoring is then an
+    INTEGER dot product (order-independent, engine-exact — no float
+    rounding games), and the final projection re-ranks survivors with
+    the exact cosine from the full vectors.
+
+    Scale: the quantized corpus is 16× smaller than float32 (64 B vs
+    1 KB per vector after int8 packing), so a 100 TB embedding table's
+    index fits the cluster's memory at ~6 TB; integer MAC is also the
+    SIMD-friendliest inner loop.  Quantization is one map stage; the
+    only shuffle is the 64-row stats aggregate.  FLOOR(x + 0.5) is used
+    instead of ROUND so both engines make identical half-way choices."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    per_dim = (
+        e.select(F.posexplode("v").alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    dims = per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "mn"))), lambda s: s.mn
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "mx"))), lambda s: s.mx
+        ).alias("mxs"),
+    )
+    quant = F.transform(
+        F.col("v"),
+        lambda x, i: (
+            F.floor(
+                (x - F.element_at(F.col("mns"), i + 1))
+                / (F.element_at(F.col("mxs"), i + 1) - F.element_at(F.col("mns"), i + 1))
+                * 255
+                + 0.5
+            ).cast("long")
+            - 128
+        ),
+    )
+    qe = e.crossJoin(F.broadcast(dims)).select("vec_id", quant.alias("q"), "v")
+    q0 = qe.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("v").alias("qv")
+    )
+    score8 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    return (
+        qe.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            score8.alias("score8"),
+            F.round(cosine(F.col("v"), F.col("qv")), 5).alias("cos_sim"),
+        )
+        .orderBy(F.col("score8").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # --- LSH signatures: the approximate scale path --------------------------
 
 _LSH_PLANES = 8

@@ -166,3 +166,13 @@ def test_new_tpch_sql_plans(spark):
     s13 = plan_of(spark, "s13_tpch_q13_sql")
     assert "LeftOuter" in s13
     assert s13.count("HashAggregate") >= 4  # two grouped aggs, each partial+final
+
+
+def test_n7_scan_is_dynamically_pruned(spark):
+    """n7's partitioned fact scan must carry a DynamicPruning partition
+    filter fed by the broadcast year dim — without it the query reads
+    every year directory and the operator's whole point is gone."""
+    plan = plan_of(spark, "n7_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), f"no dynamic pruning:\n{plan}"
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruning" in pf[0].lower(), f"pruning not on the scan:\n{plan}"
