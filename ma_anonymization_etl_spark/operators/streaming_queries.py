@@ -556,3 +556,61 @@ def a10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
     return run_to_memory(agg, "a10_rate", "complete")
+
+
+@register(
+    "k21_exactly_once_sink",
+    # The stream is deliberately REPLAYED with a fresh checkpoint after
+    # the first run (full batch-0 re-delivery — the checkpoint-loss /
+    # failover scenario).  An idempotent batch_id-keyed overwrite sink
+    # must absorb the duplicate delivery, so the final table equals
+    # plain batch semantics; an append sink here would double every
+    # count (pinned in tests/test_streaming.py).
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def k21_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k21 (extension): exactly-once parquet output under REPLAY — the
+    idempotent foreachBatch sink pattern (Spark's own docs recommend
+    exactly this shape): each micro-batch overwrites a directory keyed
+    by its batch_id, so re-delivery after a failure (or, as simulated
+    here, total checkpoint loss) rewrites the same files instead of
+    appending duplicates.  a6 shows the happy path; this one PROVES the
+    failure path by running the same bounded stream twice into one
+    sink.
+
+    Scale: overwrite-by-batch-directory is atomic at the directory
+    rename level per batch and needs no table-format transaction log;
+    the read side sees batch_id as a partition column and prunes on it
+    like any other.  (With a transactional table format, the same
+    batch_id key goes into the commit metadata — the txn variant of
+    this exact pattern.)"""
+    out_dir = scratch_dir(spark, "k21_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def deliver_once() -> None:
+        ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+
+        def write_batch(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+
+        # run_foreach_batch creates a FRESH checkpoint per call, so the
+        # second call re-delivers every batch under the same batch_ids.
+        run_foreach_batch(ev, write_batch)
+
+    deliver_once()
+    deliver_once()  # simulated failover replay
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * _SCALE)).cast("double") / _SCALE).alias(
+                "sum_value"
+            ),
+        )
+    )

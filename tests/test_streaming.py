@@ -220,3 +220,20 @@ def test_stream_stream_join_two_batches(spark, staging_dir):
 
     rows = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert rows == {(1, 1, 3)}, f"expected only the in-window cross-batch match, got {rows}"
+
+
+def test_k21_idempotent_sink_absorbs_replay(spark):
+    """k21 delivers the bounded stream TWICE into one sink; the
+    batch_id-keyed overwrite must leave exactly one copy of every
+    source row (an append sink would hold 2x)."""
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k21_exactly_once_sink,
+    )
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    k21_exactly_once_sink(spark, SF_ORACLE)  # runs deliver_once() twice
+    out_dir = scratch_dir(spark, "k21_sink")
+    written = spark.read.parquet(out_dir)
+    n_src = load(spark, SF_ORACLE, "events").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
