@@ -388,3 +388,100 @@ def n6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+@register(
+    "n8_record_linkage",
+    oracle="""
+WITH u AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         (('0x' || substr(md5('rl1|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT)
+           / 1152921504606846976.0 AS u1,
+         (('0x' || substr(md5('rl2|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT)
+           / 1152921504606846976.0 AS u2
+  FROM customer
+), dirty AS (
+  SELECT c_custkey AS d_key,
+         CASE WHEN u1 < 0.3
+              THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS d_name,
+         c_nationkey AS d_nat,
+         CASE WHEN u2 < 0.2 THEN c_acctbal + 0.5 ELSE c_acctbal END AS d_bal,
+         c_mktsegment AS d_seg
+  FROM u
+), pairs AS (
+  SELECT c.c_custkey, d.d_key,
+         (CASE levenshtein(c.c_name, d.d_name) WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END
+          + CASE WHEN c.c_mktsegment = d.d_seg THEN 1 ELSE 0 END
+          + CASE WHEN ABS(c.c_acctbal - d.d_bal) <= 0.5 THEN 2 ELSE 0 END) AS score
+  FROM customer c JOIN dirty d ON d.d_nat = c.c_nationkey
+)
+SELECT COUNT(*) AS n_pairs_blocked,
+       CAST(SUM(CASE WHEN score >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       ROUND(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN score >= 5 THEN 1 ELSE 0 END), 6) AS precision,
+       ROUND(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(DISTINCT d_key), 6) AS recall
+FROM pairs
+""",
+)
+def n8_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n8 (extension): probabilistic record linkage, Fellegi-Sunter
+    shape (JASA 1969) — the entity-resolution step an anonymization ETL
+    runs BEFORE masking (you must know two records are the same person
+    before pseudonymizing them consistently).  A deterministically
+    corrupted copy of customer plays the second source (30% mangled
+    names, 20% shifted balances — md5-derived, so the oracle replays
+    the corruption exactly); candidate pairs come from BLOCKING on
+    nationkey; each pair scores a weighted agreement vector (name edit
+    distance, segment equality, balance proximity) and pairs ≥ the
+    threshold are declared matches.  The release is the linkage-quality
+    report (pair counts, precision, recall vs the known ground truth).
+
+    Scale: blocking is the whole story — candidate pairs are
+    O(Σ block²), never n², and the block key join is one shuffle; with
+    skewed blocks, salt the block key (c10) or add a second blocking
+    pass.  Levenshtein is a JVM-codegen builtin — no Python."""
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    c = load(spark, sf_dir, "customer")
+    u1 = hash_uniform("c_custkey", "rl1|")
+    u2 = hash_uniform("c_custkey", "rl2|")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            u1 < 0.3,
+            F.expr("substring(c_name, 1, length(c_name) - 1) || 'X'"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nat"),
+        F.when(u2 < 0.2, F.col("c_acctbal") + 0.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_bal"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    lev = F.levenshtein(F.col("c_name"), F.col("d_name"))
+    score = (
+        F.when(lev == 0, 3).when(lev == 1, 2).otherwise(0)
+        + F.when(F.col("c_mktsegment") == F.col("d_seg"), 1).otherwise(0)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 0.5, 2).otherwise(0)
+    )
+    pairs = c.join(dirty, dirty.d_nat == c.c_nationkey).select(
+        "c_custkey", "d_key", score.alias("score")
+    )
+    is_m = F.col("score") >= 5
+    is_t = is_m & (F.col("c_custkey") == F.col("d_key"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_blocked"),
+        F.sum(is_m.cast("int")).cast("long").alias("n_matched"),
+        F.sum(is_t.cast("int")).cast("long").alias("n_true"),
+        F.round(
+            F.sum(is_t.cast("int")).cast("double") / F.sum(is_m.cast("int")), 6
+        ).alias("precision"),
+        F.round(
+            F.sum(is_t.cast("int")).cast("double") / F.countDistinct("d_key"), 6
+        ).alias("recall"),
+    )

@@ -1,0 +1,197 @@
+"""Iterative graph analytics over relational-derived graphs (group P).
+
+The co-purchase graph — parts that appear in the same order, edges
+deduplicated to a simple undirected graph — is the corpus's natural
+graph (≈2k nodes / ≈116k undirected edges at sf0.01).  Two classic
+whole-graph algorithms run on it:
+
+- p1: PageRank, the canonical iterative fixpoint.  All arithmetic is
+  INTEGER (ranks in parts-per-billion, integer division for both the
+  per-edge contribution and the damping), so every iteration is
+  bit-identical across engines and the DuckDB oracle replays the
+  5-iteration unrolled recursion exactly — no float-summation
+  order-dependence anywhere (the same discipline as j30's micro-nats).
+- p2: triangle counting / global clustering coefficient via the
+  ordered-edge join (u < v < w), the standard shuffle-bounded
+  formulation.
+
+Scale: PageRank is Spark's original showcase — each iteration is one
+edge-keyed shuffle join + one groupBy, state is O(nodes), and the edge
+list is checkpointed once and reused (like j23's connected
+components).  At 100 TB, partition edges by source and co-partition
+the rank table so iterations reuse one partitioning end-to-end.
+Triangle counting's ordered join keeps the intermediate at
+Σ deg_above(v)² instead of Σ deg² — the standard mitigation for
+high-degree skew (order by degree for adversarial graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+_PPB = 1_000_000_000
+_ITER = 5
+_DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 damping as an exact rational
+
+_EDGES_SQL = """
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u),
+n AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
+def _p1_oracle() -> str:
+    iters = []
+    prev = "pr0"
+    for it in range(1, _ITER + 1):
+        iters.append(f"""
+s{it} AS (
+  SELECT e.v AS node, SUM(p.r // d.deg) AS s
+  FROM edges e
+  JOIN {prev} p ON p.node = e.u
+  JOIN deg d ON d.node = e.u
+  GROUP BY e.v
+),
+pr{it} AS (
+  SELECT d.node,
+         ({_PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN} // n.n)
+         + ({_DAMP_NUM} * COALESCE(s.s, 0)) // {_DAMP_DEN} AS r
+  FROM deg d CROSS JOIN n LEFT JOIN s{it} s ON s.node = d.node
+)""")
+        prev = f"pr{it}"
+    chain = ",".join(iters)
+    return f"""WITH {_EDGES_SQL},
+pr0 AS (SELECT node, {_PPB} // n.n AS r FROM deg CROSS JOIN n),
+{chain}
+SELECT node AS part_id, CAST(r AS BIGINT) AS rank_ppb
+FROM {prev}
+ORDER BY r DESC, node
+LIMIT 20
+"""
+
+
+@register("p1_pagerank", oracle=_p1_oracle())
+def p1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p1: 5-iteration damped PageRank over the co-purchase graph, in
+    exact integer arithmetic (ranks in parts-per-billion; contribution
+    = r div deg, damping = 85·s div 100, teleport = 0.15·1e9 div N).
+    The floor-truncated mass is a deterministic, documented variant —
+    what it buys is an oracle that replays every iteration exactly.
+    Top-20 parts by rank.  The undirected graph has no dangling nodes
+    by construction (every node in the edge list has out-edges)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # bounded driver scalar (node count), like i18's ladder pick
+    teleport = _PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n
+    ranks = deg.select("u", F.col("deg"), F.lit(_PPB // n).cast("long").alias("r"))
+    for _ in range(_ITER):
+        contrib = edges.join(ranks, edges.u == ranks.u).select(
+            F.col("v").alias("node"), F.expr("r div deg").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = deg.join(s, deg.u == s.node, "left").select(
+            "u",
+            "deg",
+            (
+                F.lit(teleport)
+                + F.expr(f"{_DAMP_NUM} * coalesce(s, 0L) div {_DAMP_DEN}")
+            ).cast("long").alias("r"),
+        )
+    return (
+        ranks.select(F.col("u").alias("part_id"), F.col("r").alias("rank_ppb"))
+        .orderBy(F.col("rank_ppb").desc(), "part_id")
+        .limit(20)
+    )
+
+
+@register(
+    "p2_triangle_count",
+    oracle=f"""
+WITH {_EDGES_SQL},
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wed AS (SELECT SUM(deg * (deg - 1) // 2) AS n_wedges FROM deg)
+SELECT (SELECT n FROM n) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+FROM tri CROSS JOIN wed
+""",
+)
+def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p2: global triangle count + clustering coefficient on the
+    co-purchase graph via the ordered-edge join (each triangle counted
+    exactly once as u < v < w).  Wedge count comes from degrees
+    (integer), clustering = 3·triangles / wedges."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("x"))
+        .unionByName(pairs.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wed = deg.agg(F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+    return (
+        stats.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.udfs",
     "ma_anonymization_etl_spark.operators.sql_queries",
     "ma_anonymization_etl_spark.operators.etl",
+    "ma_anonymization_etl_spark.operators.graph",
 ]
 
 
