@@ -1,0 +1,193 @@
+"""Data-quality operators (group Q): table profiling and declarative
+constraint checking — the Deequ/Great-Expectations-shaped surface an
+ETL runs before and after every anonymization route (you cannot prove
+a release safe, or a pipeline non-destructive, without knowing null
+rates, cardinalities, and referential integrity on both sides).
+
+Scale: profiling is ONE pass over the table — every per-column metric
+is an aggregate expression in a single groupBy-less agg (Spark fuses
+them into one partial+final aggregate), then the wide 1-row result is
+unpivoted to the report shape driver-side via ``stack`` (no second
+scan).  Exact distinct counts are the honest default at test SF; the
+100 TB variant swaps ``countDistinct`` for ``approx_count_distinct``
+per column in the same single pass (the d4 pattern).  Constraint
+checks are each one aggregate or one anti-join on the keys involved —
+referential checks shuffle only the key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.registry import register
+from ma_anonymization_etl_spark.sources.io import load
+
+_PROFILE_COLS = (
+    "col_name STRING, n_rows BIGINT, n_null BIGINT, n_distinct BIGINT, "
+    "min_num DOUBLE, max_num DOUBLE, avg_len DOUBLE"
+)
+
+
+def profile_table(df: DataFrame, numeric: list[str], strings: list[str]) -> DataFrame:
+    """One-pass column profiler: null counts, exact distinct counts,
+    numeric min/max, string average length — one row per column."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric + strings:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    for c in numeric:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+    for c in strings:
+        aggs.append(F.round(F.avg(F.length(c)), 4).alias(f"__len_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in numeric:
+        rows.append(
+            f"'{c}', __n, __null_{c}, __nd_{c}, __min_{c}, __max_{c}, "
+            f"cast(null as double)"
+        )
+    for c in strings:
+        rows.append(
+            f"'{c}', __n, __null_{c}, __nd_{c}, cast(null as double), "
+            f"cast(null as double), __len_{c}"
+        )
+    n = len(rows)
+    return wide.select(
+        F.expr(
+            f"stack({n}, {', '.join(rows)}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_num, max_num, avg_len)"
+        )
+    )
+
+
+@register(
+    "q1_data_profile",
+    oracle="""
+WITH w AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+         COUNT(DISTINCT c_custkey) AS nd_ck,
+         MIN(c_custkey)::DOUBLE AS min_ck, MAX(c_custkey)::DOUBLE AS max_ck,
+         SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS null_nk,
+         COUNT(DISTINCT c_nationkey) AS nd_nk,
+         MIN(c_nationkey)::DOUBLE AS min_nk, MAX(c_nationkey)::DOUBLE AS max_nk,
+         SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS null_ab,
+         COUNT(DISTINCT c_acctbal) AS nd_ab,
+         MIN(c_acctbal) AS min_ab, MAX(c_acctbal) AS max_ab,
+         SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_nm,
+         COUNT(DISTINCT c_name) AS nd_nm,
+         ROUND(AVG(length(c_name)), 4) AS len_nm,
+         SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS null_ms,
+         COUNT(DISTINCT c_mktsegment) AS nd_ms,
+         ROUND(AVG(length(c_mktsegment)), 4) AS len_ms
+  FROM customer
+)
+SELECT 'c_custkey' AS col_name, n AS n_rows, CAST(null_ck AS BIGINT) AS n_null,
+       nd_ck AS n_distinct, min_ck AS min_num, max_ck AS max_num,
+       NULL::DOUBLE AS avg_len FROM w
+UNION ALL
+SELECT 'c_nationkey', n, CAST(null_nk AS BIGINT), nd_nk, min_nk, max_nk,
+       NULL::DOUBLE FROM w
+UNION ALL
+SELECT 'c_acctbal', n, CAST(null_ab AS BIGINT), nd_ab, min_ab, max_ab,
+       NULL::DOUBLE FROM w
+UNION ALL
+SELECT 'c_name', n, CAST(null_nm AS BIGINT), nd_nm, NULL::DOUBLE, NULL::DOUBLE,
+       len_nm FROM w
+UNION ALL
+SELECT 'c_mktsegment', n, CAST(null_ms AS BIGINT), nd_ms, NULL::DOUBLE,
+       NULL::DOUBLE, len_ms FROM w
+""",
+)
+def q1_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1: one-pass table profiler over customer — per column: row/null
+    counts, exact distinct count, numeric min/max, string avg length.
+    The classification step (i1) consumes exactly these statistics to
+    propose DI/QI/SA tags; the profiler is also the before/after
+    evidence that an anonymization route preserved shapes it promised
+    to preserve."""
+    c = load(spark, sf_dir, "customer")
+    return profile_table(
+        c, numeric=["c_custkey", "c_nationkey", "c_acctbal"],
+        strings=["c_name", "c_mktsegment"],
+    )
+
+
+@register(
+    "q2_constraint_check",
+    oracle="""
+SELECT 'orderkey_unique' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderstatus_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custname_complete',
+       CAST(SUM(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM customer
+""",
+)
+def q2_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2: declarative constraint suite — uniqueness, two referential
+    (FK) checks, a range check, a domain check, and a completeness
+    check, each reported as a violation count (0 = passed).  The FK
+    checks are key-only anti-joins; everything else folds into single
+    aggregates.  This is the gate an ETL runs post-write: a route that
+    broke referential integrity (e.g. pseudonymized one side of a key
+    but not the other) fails HERE, loudly, not downstream."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    uniq = o.agg(
+        F.lit("orderkey_unique").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    fk_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_violations")
+    )
+    fk_lines = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "n_violations")
+    )
+    rng = o.agg(
+        F.lit("totalprice_positive").alias("check_name"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_violations"),
+    )
+    dom = o.agg(
+        F.lit("orderstatus_domain").alias("check_name"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "n_violations"
+        ),
+    )
+    comp = c.agg(
+        F.lit("custname_complete").alias("check_name"),
+        F.sum(
+            (F.col("c_name").isNull() | (F.col("c_name") == "")).cast("long")
+        ).alias("n_violations"),
+    )
+    out = uniq
+    for part in (fk_orders, fk_lines, rng, dom, comp):
+        out = out.unionByName(part)
+    return out

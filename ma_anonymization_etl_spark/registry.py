@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "ma_anonymization_etl_spark.operators.sql_queries",
     "ma_anonymization_etl_spark.operators.etl",
     "ma_anonymization_etl_spark.operators.graph",
+    "ma_anonymization_etl_spark.operators.quality",
 ]
 
 
