@@ -195,3 +195,75 @@ def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "p3_khop_reachability",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SQL},
+src AS (SELECT MIN(u) AS s FROM edges),
+reach AS (
+  SELECT (SELECT s FROM src) AS node, 0 AS dist
+  UNION
+  SELECT e.v, r.dist + 1 FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.dist < 4
+),
+md AS (SELECT node, MIN(dist) AS d FROM reach GROUP BY node)
+SELECT CAST(d AS INT) AS dist, COUNT(*) AS n_nodes FROM md GROUP BY d
+UNION ALL
+SELECT -1, (SELECT n FROM n) - (SELECT COUNT(*) FROM md)
+""",
+)
+def p3_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p3: bounded BFS — the k-hop reachability profile from the
+    smallest part id: how many nodes sit at each hop distance 0..4,
+    plus a dist = -1 row counting nodes farther than 4 hops or
+    unreachable.  The hop bound is part of the SEMANTICS (not a
+    convergence hope), so the operator is correct at every SF — the
+    honest contract for traversals on graphs whose diameter you do not
+    know.  Each round is one edge join + one min-aggregate with
+    O(nodes) state (frontier expansion via min-distance label
+    propagation, the j23 pattern with distances instead of labels)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select("u").distinct()
+    src = nodes.agg(F.min("u")).collect()[0][0]  # bounded driver scalar
+    dist = nodes.select(
+        "u", F.when(F.col("u") == src, 0).otherwise(F.lit(None).cast("int")).alias("d")
+    )
+    for _ in range(4):
+        cand = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull()).select(
+                    F.col("u").alias("n0"), "d"
+                ),
+                edges.u == F.col("n0"),
+            )
+            .groupBy(F.col("v").alias("n1"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = dist.join(cand, dist.u == cand.n1, "left").select(
+            "u", F.least("d", "nd").alias("d")
+        )
+    hist = (
+        dist.filter(F.col("d").isNotNull())
+        .groupBy(F.col("d").cast("int").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    far = dist.agg(
+        F.lit(-1).alias("dist"),
+        F.sum(F.col("d").isNull().cast("long")).alias("n_nodes"),
+    )
+    return hist.unionByName(far)
