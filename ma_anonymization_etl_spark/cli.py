@@ -84,10 +84,11 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
         if s.get("op") == "select":
             kept = set(s["cols"])  # last projection decides the output
         elif s.get("op") in AGGREGATE_RELEASE_OPS:
-            # A release aggregate projects down to its group key: every
-            # other column is gone; the group key itself survives (a
+            # A release aggregate projects down to its group key(s):
+            # every other column is gone; the keys themselves survive (a
             # per-DI noisy release still publishes the DI values).
-            kept = {s["group"]}
+            # dp_* steps carry one "group"; cell_suppression a "qis" list.
+            kept = set(s["qis"]) if "qis" in s else {s["group"]}
     uncovered = [
         c for c in roles["di"]
         if c not in transformed and c not in dropped

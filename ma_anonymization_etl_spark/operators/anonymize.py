@@ -693,3 +693,42 @@ def mondrian_utility_compare(
     strict = summarize(mondrian_kanon(df, qis, k), "strict")
     relaxed = summarize(mondrian_kanon_relaxed(df, qis, k), "relaxed")
     return strict.unionByName(relaxed)
+
+
+def cell_suppression_release(
+    df: DataFrame, qis: Sequence[str], threshold: int = 5
+) -> DataFrame:
+    """i35: frequency-table release with primary + one-round
+    complementary cell suppression (Willenborg & de Waal 2001 ch. 4).
+    Cells (one per QI combination) with count < ``threshold`` are
+    primary-suppressed; any group over the leading QIs left with
+    exactly ONE suppressed cell also loses its smallest remaining cell
+    (deterministic tie-break on the last QI), so row totals cannot
+    reconstruct the hidden value.  Returns the publishable table:
+    (*qis, status, published) with published NULL where suppressed.
+
+    One aggregate + two windows over the #classes-sized cell table."""
+    from pyspark.sql import Window
+
+    qis = list(qis)
+    lead, last = qis[:-1], qis[-1]
+    cells = df.groupBy(*qis).agg(F.count(F.lit(1)).alias("cnt"))
+    prim = F.col("cnt") < threshold
+    w_grp = Window.partitionBy(*lead)
+    w_rn = Window.partitionBy(*lead).orderBy(prim.cast("int"), "cnt", last)
+    flagged = (
+        cells.withColumn("prim", prim)
+        .withColumn("n_prim", F.sum(prim.cast("int")).over(w_grp))
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+    comp = (~F.col("prim")) & (F.col("n_prim") == 1) & (F.col("rn") == 1)
+    return flagged.select(
+        *qis,
+        F.when(F.col("prim"), "primary")
+        .when(comp, "complementary")
+        .otherwise("ok")
+        .alias("status"),
+        F.when(F.col("prim") | comp, F.lit(None).cast("long"))
+        .otherwise(F.col("cnt"))
+        .alias("published"),
+    )

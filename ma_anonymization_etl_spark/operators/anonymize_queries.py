@@ -462,6 +462,48 @@ def i34_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i35_cell_suppression",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), flagged AS (
+  SELECT *, (cnt < 5) AS prim,
+         SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY c_nationkey) AS n_prim,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY (cnt < 5), cnt, c_mktsegment) AS rn
+  FROM cells
+)
+SELECT c_nationkey, c_mktsegment,
+       CASE WHEN prim THEN 'primary'
+            WHEN n_prim = 1 AND rn = 1 THEN 'complementary'
+            ELSE 'ok' END AS status,
+       CASE WHEN prim OR (n_prim = 1 AND rn = 1) THEN NULL
+            ELSE cnt END AS published
+FROM flagged
+""",
+)
+def i35_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i35: frequency-table cell suppression with one-round
+    complementary suppression (SDC tabular-data protection; Willenborg
+    & de Waal 2001 ch. 4) — cells under the threshold (n < 5) are
+    PRIMARY-suppressed, and any row left with exactly ONE suppressed
+    cell gets its smallest remaining cell suppressed too, so the
+    missing value cannot be recovered from the published row total.
+    Optimal complementary suppression is NP-hard; the greedy one-round
+    row pass is the standard first-cut release rule and is fully
+    deterministic here (tie-break on segment), so the oracle replays
+    the entire decision.
+
+    Scale: one QI-grained aggregate plus two windows over the CELL
+    table (#classes rows) — cost is the frequency aggregate, the
+    suppression logic is free."""
+    c = load(spark, sf_dir, "customer")
+    return A.cell_suppression_release(c, ["c_nationkey", "c_mktsegment"], threshold=5)
+
+
+@register(
     "i24_utility_metrics",
     oracle="""
 SELECT COUNT(*) AS n_classes,

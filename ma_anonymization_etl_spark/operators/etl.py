@@ -414,8 +414,10 @@ WITH u AS (
          (CASE levenshtein(c.c_name, d.d_name) WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END
           + CASE WHEN c.c_mktsegment = d.d_seg THEN 1 ELSE 0 END
           + CASE WHEN ABS(c.c_acctbal - d.d_bal) <= 0.5 THEN 2 ELSE 0 END) AS score
-  FROM customer c JOIN dirty d ON d.d_nat = c.c_nationkey
-)
+  FROM customer c JOIN dirty d
+    ON d.d_nat = c.c_nationkey AND d.d_seg = c.c_mktsegment
+   AND FLOOR(d.d_bal / 100) = FLOOR(c.c_acctbal / 100)
+), tot AS (SELECT COUNT(*) AS n_records FROM customer)
 SELECT COUNT(*) AS n_pairs_blocked,
        CAST(SUM(CASE WHEN score >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
        CAST(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)
@@ -423,7 +425,7 @@ SELECT COUNT(*) AS n_pairs_blocked,
        ROUND(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)::DOUBLE
              / SUM(CASE WHEN score >= 5 THEN 1 ELSE 0 END), 6) AS precision,
        ROUND(SUM(CASE WHEN score >= 5 AND c_custkey = d_key THEN 1 ELSE 0 END)::DOUBLE
-             / COUNT(DISTINCT d_key), 6) AS recall
+             / (SELECT n_records FROM tot), 6) AS recall
 FROM pairs
 """,
 )
@@ -441,9 +443,16 @@ def n8_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     report (pair counts, precision, recall vs the known ground truth).
 
     Scale: blocking is the whole story — candidate pairs are
-    O(Σ block²), never n², and the block key join is one shuffle; with
-    skewed blocks, salt the block key (c10) or add a second blocking
-    pass.  Levenshtein is a JVM-codegen builtin — no Python."""
+    O(Σ block²), never n², and the block key join is one shuffle.  The
+    block key is (nation, segment, balance-bin-100): nation alone gave
+    Σ block² ≈ 900M pairs / 52 s at sf0.1 (measured, round 4), the
+    3-part key gives ~2M.  The bin term can split a true pair whose
+    balance shift crosses a bin edge (~0.1% of matches) — the standard
+    blocking-recall trade, and the report MEASURES it: recall divides
+    by the full source count, not by blocked pairs.  With skewed
+    blocks, salt the block key (c10) or add a second blocking pass on
+    a different key and union candidates.  Levenshtein is a
+    JVM-codegen builtin — no Python."""
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
     c = load(spark, sf_dir, "customer")
@@ -469,19 +478,28 @@ def n8_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("c_mktsegment") == F.col("d_seg"), 1).otherwise(0)
         + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 0.5, 2).otherwise(0)
     )
-    pairs = c.join(dirty, dirty.d_nat == c.c_nationkey).select(
-        "c_custkey", "d_key", score.alias("score")
-    )
+    pairs = c.join(
+        dirty,
+        (dirty.d_nat == c.c_nationkey)
+        & (dirty.d_seg == c.c_mktsegment)
+        & (F.floor(dirty.d_bal / 100) == F.floor(c.c_acctbal / 100)),
+    ).select("c_custkey", "d_key", score.alias("score"))
     is_m = F.col("score") >= 5
     is_t = is_m & (F.col("c_custkey") == F.col("d_key"))
-    return pairs.agg(
+    rep = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_blocked"),
         F.sum(is_m.cast("int")).cast("long").alias("n_matched"),
         F.sum(is_t.cast("int")).cast("long").alias("n_true"),
-        F.round(
-            F.sum(is_t.cast("int")).cast("double") / F.sum(is_m.cast("int")), 6
-        ).alias("precision"),
-        F.round(
-            F.sum(is_t.cast("int")).cast("double") / F.countDistinct("d_key"), 6
-        ).alias("recall"),
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n_records"))
+    return rep.crossJoin(tot).select(
+        "n_pairs_blocked",
+        "n_matched",
+        "n_true",
+        F.round(F.col("n_true").cast("double") / F.col("n_matched"), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_true").cast("double") / F.col("n_records"), 6).alias(
+            "recall"
+        ),
     )

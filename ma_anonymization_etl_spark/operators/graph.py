@@ -128,10 +128,38 @@ def p1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# p2 runs on the SUPPORT-FILTERED co-purchase graph (pairs co-bought in
+# ≥2 distinct orders).  Measured motivation (sf0.1, DuckDB): the full
+# graph is near-REGULAR (1.20M edges over 20k parts, every part in ~6
+# orders), so the wedge intermediate of the triangle join is 49M rows
+# under id-orientation and 83M under degree-orientation — orientation
+# tricks do nothing for regular graphs, and 49M rows OOMs a vanilla
+# 1 GB / 8-partition session (found by the sf0.1 sweep, round 4).  The
+# support≥2 graph has 3.9k edges and a 725-row wedge intermediate — and
+# is also the analytically honest graph: one shared order between
+# high-frequency parts is noise, repeated co-purchase is signal
+# (standard min-support from frequent-itemset mining).
+_EDGES_SUP2_SQL = """
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+),
+deg AS (
+  SELECT x AS node, COUNT(*) AS deg
+  FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY x
+),
+n AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
 @register(
     "p2_triangle_count",
     oracle=f"""
-WITH {_EDGES_SQL},
+WITH {_EDGES_SUP2_SQL},
 tri AS (
   SELECT COUNT(*) AS n_triangles FROM pairs e1
   JOIN pairs e2 ON e2.u = e1.v
@@ -147,10 +175,12 @@ FROM tri CROSS JOIN wed
 """,
 )
 def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p2: global triangle count + clustering coefficient on the
-    co-purchase graph via the ordered-edge join (each triangle counted
-    exactly once as u < v < w).  Wedge count comes from degrees
-    (integer), clustering = 3·triangles / wedges."""
+    """p2: triangle count + global clustering coefficient on the
+    min-support co-purchase graph (pairs sharing ≥2 distinct orders —
+    see the _EDGES_SUP2_SQL comment for the measured scale argument)
+    via the ordered-edge join (each triangle counted exactly once as
+    u < v < w).  Wedge count comes from degrees (integer), clustering
+    = 3·triangles / wedges."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -159,8 +189,10 @@ def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
         .localCheckpoint(eager=True)
     )
     deg = (

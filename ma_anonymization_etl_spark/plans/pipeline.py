@@ -121,6 +121,10 @@ def _step_mondrian_kanon(df, qis, k, max_depth=16):
     return A.mondrian_kanon(df, qis, k, max_depth)
 
 
+def _step_cell_suppression(df, qis, threshold=5):
+    return A.cell_suppression_release(df, qis, threshold)
+
+
 STEPS = {
     "pseudonymize_sha2": _step_pseudonymize_sha2,
     "pseudonymize_md5": _step_pseudonymize_md5,
@@ -145,13 +149,14 @@ STEPS = {
     "dp_count": _step_dp_count,
     "dp_sum_clipped": _step_dp_sum_clipped,
     "mondrian_kanon": _step_mondrian_kanon,
+    "cell_suppression": _step_cell_suppression,
 }
 
 # Ops whose OUTPUT contains only their group key and release metrics —
 # the DI-coverage guard treats them as an implicit projection down to
 # the group column.  NOT mondrian_kanon: it returns the input rows
 # (+pid/ranges), so raw DIs survive it and still need their own step.
-AGGREGATE_RELEASE_OPS = {"dp_count", "dp_sum_clipped"}
+AGGREGATE_RELEASE_OPS = {"dp_count", "dp_sum_clipped", "cell_suppression"}
 
 
 def anonymize_pipeline(df: DataFrame, steps: Sequence[Mapping[str, Any]]) -> DataFrame:

@@ -216,3 +216,43 @@ def test_route_refuses_swap_as_di_coverage(spark):
     }
     with pytest.raises(SystemExit, match="c_name"):
         run_route(spark, route)
+
+
+def test_route_cell_suppression_release_end_to_end(spark, tmp_path):
+    """A tabular release route: the cell-suppression step aggregates to
+    the QI frequency table (covering the DI implicitly) and every
+    published small cell is hidden — primary cells below threshold are
+    NULL, and no group is left with exactly one suppressed cell."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi", "c_mktsegment": "qi"},
+        "steps": [
+            {"op": "cell_suppression", "qis": ["c_nationkey", "c_mktsegment"],
+             "threshold": 5},
+        ],
+        "output": {"path": str(tmp_path / "out")},
+    }
+    out = run_route(spark, route)
+    rows = out.collect()
+    assert set(out.columns) == {"c_nationkey", "c_mktsegment", "status", "published"}
+    assert all(r.published is None for r in rows if r.status != "ok")
+    assert all(r.published >= 5 for r in rows if r.status == "ok")
+    # No partially-suppressed group: every nation has 0 or >= 2 hidden cells.
+    from collections import Counter
+
+    hidden = Counter(r.c_nationkey for r in rows if r.status != "ok")
+    assert all(v >= 2 for v in hidden.values())
+
+
+def test_route_refuses_cell_suppression_over_di(spark):
+    """Using the DI itself as a suppression QI publishes its values —
+    the guard must refuse, same rule as dp releases grouped by DI."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi"},
+        "steps": [
+            {"op": "cell_suppression", "qis": ["c_nationkey", "c_name"]},
+        ],
+    }
+    with pytest.raises(SystemExit, match="c_name"):
+        run_route(spark, route)
