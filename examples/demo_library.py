@@ -64,6 +64,29 @@ def main() -> int:
     sims = mael.similarity.j8_sim_topk(spark, sf_dir).limit(3)
     print("5. cosine top-3:", [tuple(r) for r in sims.collect()])
 
+    # 6. Data-quality gate before releasing anything.
+    from ma_anonymization_etl_spark.operators.quality import q2_constraint_check
+
+    checks = {r.check_name: r.n_violations for r in
+              q2_constraint_check(spark, sf_dir).collect()}
+    assert all(v == 0 for v in checks.values()), checks
+    print(f"6. constraint suite: {len(checks)} checks, 0 violations")
+
+    # 7. A tabular release with cell suppression (route step form).
+    table = mael.pipeline.anonymize_pipeline(
+        customer,
+        [{"op": "cell_suppression", "qis": ["c_nationkey", "c_mktsegment"],
+          "threshold": 5}],
+    )
+    hidden = table.filter(F.col("status") != "ok").count()
+    print(f"7. suppressed frequency table: {table.count()} cells, {hidden} hidden")
+
+    # 8. Graph analytics on the co-purchase graph.
+    from ma_anonymization_etl_spark.operators.graph import p1_pagerank
+
+    top_parts = p1_pagerank(spark, sf_dir).limit(3)
+    print("8. pagerank top-3 parts:", [tuple(r) for r in top_parts.collect()])
+
     spark.stop()
     print("demo OK")
     return 0
