@@ -1652,6 +1652,74 @@ def j32_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j34_grouped_split",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN (('0x' || substr(md5('split34|' || CAST(user_id AS VARCHAR)),
+                     1, 15))::BIGINT) % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM events
+), per_split AS (
+  SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+  FROM assigned GROUP BY split
+), leak AS (
+  SELECT COUNT(*) AS n_leaked_users FROM (
+    SELECT user_id FROM assigned GROUP BY user_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, n_events, n_users,
+       (SELECT n_leaked_users FROM leak) AS n_leaked_users
+FROM per_split
+""",
+)
+def j34_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j34 (extension): leakage-safe grouped train/test split — the
+    split key is the GROUP (user_id), not the row, so every event of a
+    user lands in the same split (GroupKFold semantics).  Row-level
+    splitting of grouped data is the classic evaluation leak: the model
+    sees the test users' behaviour at train time.  The 80/20 assignment
+    is md5-derived from the group key (deterministic, reproducible,
+    stable under re-runs and data growth — new events of a known user
+    join their existing split), and the release carries its own audit:
+    n_leaked_users counts groups present in both splits and must be 0
+    by construction — the oracle recomputes it rather than trusting it.
+
+    Scale: the split is a pure map-side projection (hash of the group
+    key, no shuffle, no group materialization); the report is one
+    groupBy.  Contrast j18/j19: those sample ROWS; this partitions
+    GROUPS."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split34|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    assigned = e.withColumn(
+        "split", F.when(bucket < 8, "train").otherwise("test")
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_users"))
+    )
+    return per_split.crossJoin(F.broadcast(leak))
+
+
+@register(
     "j30_unigram_lm_score",
     # Per-token log-probs are rounded to 6 dp BEFORE the scaled-int64
     # sum, so the per-doc accumulation is order-independent and
