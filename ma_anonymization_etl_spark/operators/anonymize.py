@@ -703,13 +703,16 @@ def cell_suppression_release(
     Cells (one per QI combination) with count < ``threshold`` are
     primary-suppressed; any group over the leading QIs left with
     exactly ONE suppressed cell also loses its smallest remaining cell
-    (deterministic tie-break on the last QI), so row totals cannot
-    reconstruct the hidden value.  Returns the publishable table:
-    (*qis, status, published) with published NULL where suppressed.
+    (deterministic tie-break on the last QI), so a published row total
+    cannot reconstruct the hidden value.  The complementary guarantee
+    applies to groups with ≥ 2 cells; a single-cell group has no cell
+    to sacrifice — protecting it requires suppressing the group's
+    MARGIN, which is the publisher's row-total policy, not this
+    cell-level pass (document it in the release).  Returns the
+    publishable table: (*qis, status, published) with published NULL
+    where suppressed.
 
     One aggregate + two windows over the #classes-sized cell table."""
-    from pyspark.sql import Window
-
     qis = list(qis)
     lead, last = qis[:-1], qis[-1]
     cells = df.groupBy(*qis).agg(F.count(F.lit(1)).alias("cnt"))

@@ -275,6 +275,7 @@ WITH c AS (
   FROM cum
   WHERE cw > CAST(FLOOR({_sql_uniform('c_nationkey', 'dpq33|')} * (total::DOUBLE))
                   AS BIGINT)
+     OR (total = 0 AND idx = n // 2)
 ), med AS (
   SELECT c_nationkey, COUNT(*) AS n_exact,
          ROUND(quantile_cont(c_acctbal, 0.5), 4) AS exact_median
@@ -343,8 +344,18 @@ def i33_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("wt").over(w_all))
     )
     t = F.floor(hash_uniform("c_nationkey", "dpq33|") * F.col("total").cast("double"))
+    # Degenerate-group fallback: if EVERY weight truncated to zero (all
+    # near-median intervals zero-width, all nonzero-width intervals past
+    # the 2^-40 cutoff — e.g. a heaped constant value), the draw has no
+    # mass and the group would silently vanish from the release.  The
+    # mechanism then collapses to the deterministic median interval
+    # (idx = n div 2) — a degenerate but well-defined release, and the
+    # oracle replays the same rule.
     pick = (
-        cum.filter(F.col("cw") > t)
+        cum.filter(
+            (F.col("cw") > t)
+            | ((F.col("total") == 0) & (F.col("idx") == F.expr("n div 2")))
+        )
         .withColumn("pr", F.row_number().over(w_all.orderBy("idx")))
         .filter(F.col("pr") == 1)
         .select("c_nationkey", "lo_edge", "hi_edge")

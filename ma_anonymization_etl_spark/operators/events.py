@@ -341,6 +341,28 @@ def k12_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_grid(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared k19/k20 scaffolding: (obs, grid) where ``obs`` holds one
+    survivor observation per (user, 4 h bucket) — latest ts, event_id
+    tie-break — and ``grid`` is the dense user × bucket rectangle over
+    the observed range (spine from ONE 1-row min/max, broadcast)."""
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        e.withColumn("bucket", F.window("ts", "4 hours")["start"])
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", F.col("value").alias("obs_value"))
+    )
+    bounds = obs.agg(F.min("bucket").alias("d0"), F.max("bucket").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 4 hours)")).alias("bucket")
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    return obs, grid
+
+
 @register(
     "k19_resample_locf",
     oracle="""
@@ -381,22 +403,7 @@ def k19_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact grid, so raw events are never re-shuffled.  Both engines
     align 4 h buckets to epoch-divisible origins, so bucket edges agree."""
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
-    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    obs = (
-        e.withColumn("bucket", F.window("ts", "4 hours")["start"])
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "bucket", F.col("value").alias("obs_value"))
-    )
-    bounds = obs.agg(F.min("bucket").alias("d0"), F.max("bucket").alias("d1"))
-    spine = bounds.select(
-        F.explode(F.expr("sequence(d0, d1, interval 4 hours)")).alias("bucket")
-    )
-    grid = (
-        e.select("user_id").distinct().crossJoin(F.broadcast(spine))
-    )
+    obs, grid = _bucket_grid(e)
     w_fill = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -469,20 +476,7 @@ def k20_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same profile as k19 — one pre-aggregate shuffle plus window
     passes over the compact (user × bucket) grid."""
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
-    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    obs = (
-        e.withColumn("bucket", F.window("ts", "4 hours")["start"])
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "bucket", F.col("value").alias("obs_value"))
-    )
-    bounds = obs.agg(F.min("bucket").alias("d0"), F.max("bucket").alias("d1"))
-    spine = bounds.select(
-        F.explode(F.expr("sequence(d0, d1, interval 4 hours)")).alias("bucket")
-    )
-    grid = e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    obs, grid = _bucket_grid(e)
     joined = grid.join(obs, ["user_id", "bucket"], "left").withColumn(
         "t", F.unix_seconds("bucket").cast("double")
     )

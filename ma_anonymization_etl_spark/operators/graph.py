@@ -12,17 +12,19 @@ whole-graph algorithms run on it:
   5-iteration unrolled recursion exactly — no float-summation
   order-dependence anywhere (the same discipline as j30's micro-nats).
 - p2: triangle counting / global clustering coefficient via the
-  ordered-edge join (u < v < w), the standard shuffle-bounded
-  formulation.
+  ordered-edge join (u < v < w) on the MIN-SUPPORT graph (see the
+  _EDGES_SUP2_SQL comment for the measured reason).
+- p3: bounded BFS (k-hop reachability profile).
 
 Scale: PageRank is Spark's original showcase — each iteration is one
 edge-keyed shuffle join + one groupBy, state is O(nodes), and the edge
 list is checkpointed once and reused (like j23's connected
 components).  At 100 TB, partition edges by source and co-partition
 the rank table so iterations reuse one partitioning end-to-end.
-Triangle counting's ordered join keeps the intermediate at
-Σ deg_above(v)² instead of Σ deg² — the standard mitigation for
-high-degree skew (order by degree for adversarial graphs).
+Triangle counting's wedge intermediate is Σ deg_above(v)²; on skewed
+graphs degree-orientation bounds it, but on NEAR-REGULAR graphs (this
+corpus — measured in the _EDGES_SUP2_SQL comment) only thinning the
+edge set helps, hence p2's min-support definition.
 """
 
 from __future__ import annotations
@@ -49,6 +51,38 @@ edges AS MATERIALIZED (
 deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u),
 n AS (SELECT COUNT(*) AS n FROM deg)
 """
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int | None = None) -> DataFrame:
+    """Ordered co-purchase pairs (u < v) from lineitem — the Spark twin
+    of the shared SQL edge CTEs (_EDGES_SQL / _EDGES_SUP2_SQL).  With
+    ``min_support``, keep only pairs sharing that many distinct orders."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    if min_support is not None:
+        return (
+            j.groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .agg(F.countDistinct("a.l_orderkey").alias("support"))
+            .filter(F.col("support") >= min_support)
+            .select("u", "v")
+        )
+    return j.select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    ).distinct()
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (both-direction) edge list, checkpointed once for reuse
+    across iterative rounds (the j23 connected-components discipline)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
 
 
 def _p1_oracle() -> str:
@@ -90,20 +124,7 @@ def p1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     what it buys is an oracle that replays every iteration exactly.
     Top-20 parts by rank.  The undirected graph has no dangling nodes
     by construction (every node in the edge list has out-edges)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded driver scalar (node count), like i18's ladder pick
     teleport = _PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n
@@ -181,19 +202,8 @@ def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the ordered-edge join (each triangle counted exactly once as
     u < v < w).  Wedge count comes from degrees (integer), clustering
     = 3·triangles / wedges."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct("a.l_orderkey").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).localCheckpoint(
+        eager=True
     )
     deg = (
         pairs.select(F.col("u").alias("x"))
@@ -256,20 +266,7 @@ def p3_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     know.  Each round is one edge join + one min-aggregate with
     O(nodes) state (frontier expansion via min-distance label
     propagation, the j23 pattern with distances instead of labels)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select("u").distinct()
     src = nodes.agg(F.min("u")).collect()[0][0]  # bounded driver scalar
     dist = nodes.select(

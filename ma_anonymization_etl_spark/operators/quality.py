@@ -23,12 +23,6 @@ from pyspark.sql import functions as F
 from ma_anonymization_etl_spark.registry import register
 from ma_anonymization_etl_spark.sources.io import load
 
-_PROFILE_COLS = (
-    "col_name STRING, n_rows BIGINT, n_null BIGINT, n_distinct BIGINT, "
-    "min_num DOUBLE, max_num DOUBLE, avg_len DOUBLE"
-)
-
-
 def profile_table(df: DataFrame, numeric: list[str], strings: list[str]) -> DataFrame:
     """One-pass column profiler: null counts, exact distinct counts,
     numeric min/max, string average length — one row per column."""

@@ -471,7 +471,9 @@ x AS (SELECT vec_id, pos, v[pos] AS x
       FROM e, (SELECT unnest(range(1, 65)) AS pos) p),
 dims AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
 q AS (SELECT vec_id, x.pos,
-             CAST(FLOOR((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) - 128 AS qx
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(FLOOR((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) - 128
+             END AS qx
       FROM x JOIN dims ON dims.pos = x.pos),
 qq AS (SELECT pos, qx AS qqx FROM q WHERE vec_id = 0),
 s AS (SELECT q.vec_id, CAST(SUM(q.qx * qq.qqx) AS BIGINT) AS score8
@@ -514,9 +516,15 @@ def j33_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos0", "mx"))), lambda s: s.mx
         ).alias("mxs"),
     )
+    # Constant dimensions (mx == mn) quantize to 0 rather than NaN —
+    # without the guard Spark's floor(NaN) silently casts to 0 while the
+    # DuckDB oracle's CAST raises, i.e. wrong-and-unchecked vs crash.
     quant = F.transform(
         F.col("v"),
-        lambda x, i: (
+        lambda x, i: F.when(
+            F.element_at(F.col("mxs"), i + 1) == F.element_at(F.col("mns"), i + 1),
+            F.lit(0).cast("long"),
+        ).otherwise(
             F.floor(
                 (x - F.element_at(F.col("mns"), i + 1))
                 / (F.element_at(F.col("mxs"), i + 1) - F.element_at(F.col("mns"), i + 1))
