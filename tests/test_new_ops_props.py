@@ -1,0 +1,85 @@
+"""Semantic property tests for the round-4 continuation operators —
+invariants the cross-engine oracle equality cannot express (both
+engines could agree on a wrong value; these pin the meaning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ma_anonymization_etl_spark.operators.anonymize_queries import i34_k_map
+from ma_anonymization_etl_spark.operators.dp import i33_dp_quantile
+from ma_anonymization_etl_spark.operators.graph import p1_pagerank
+from ma_anonymization_etl_spark.operators.llm import (
+    j32_dup_ngram_coverage,
+    j34_grouped_split,
+)
+from ma_anonymization_etl_spark.operators.quality import q1_data_profile
+from ma_anonymization_etl_spark.sources.io import load
+from tests.conftest import SF_ORACLE
+
+
+def test_i33_dp_median_lands_in_value_range(spark):
+    rows = i33_dp_quantile(spark, SF_ORACLE).collect()
+    assert len(rows) == 25  # one release per nation — no group dropped
+    for r in rows:
+        # The exponential mechanism samples an interval BETWEEN order
+        # statistics (edges padded to [-1000, 10000]), so the midpoint
+        # must land in the padded domain, and with ε≈2.77 and 60 rows
+        # per group it should sit near the true median.
+        assert -1000.0 <= r.dp_median <= 10000.0
+        assert r.n_exact > 0
+
+
+def test_i34_population_bounds_sample(spark):
+    out = i34_k_map(spark, SF_ORACLE)
+    assert out.filter("n_sample > k_population").count() == 0
+    assert out.filter("n_sample <= 0 OR k_population <= 0").count() == 0
+
+
+def test_j32_fraction_is_a_fraction(spark):
+    out = j32_dup_ngram_coverage(spark, SF_ORACLE)
+    assert out.filter("n_dup > n_grams OR dup_frac < 0 OR dup_frac > 1").count() == 0
+    assert out.count() == load(spark, SF_ORACLE, "documents").count()
+
+
+def test_j34_split_partitions_users_exactly(spark):
+    rows = {r.split: r for r in j34_grouped_split(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"train", "test"}
+    assert all(r.n_leaked_users == 0 for r in rows.values())
+    e = load(spark, SF_ORACLE, "events")
+    assert rows["train"].n_users + rows["test"].n_users == (
+        e.select("user_id").distinct().count()
+    )
+    assert rows["train"].n_events + rows["test"].n_events == e.count()
+
+
+def test_p1_ranks_are_positive_and_ordered(spark):
+    ranks = [r.rank_ppb for r in p1_pagerank(spark, SF_ORACLE).collect()]
+    assert len(ranks) == 20
+    assert all(r > 0 for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    # Each rank is a share of ~1e9 total mass; no single node dominates
+    # a 2k-node near-regular graph.
+    assert ranks[0] < 100_000_000
+
+
+def test_q1_profile_internal_consistency(spark):
+    rows = {r.col_name: r for r in q1_data_profile(spark, SF_ORACLE).collect()}
+    n = load(spark, SF_ORACLE, "customer").count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_distinct <= n
+        assert r.n_null == 0  # corpus has no nulls
+    assert rows["c_custkey"].n_distinct == n  # primary key
+    assert rows["c_nationkey"].min_num == 0.0 and rows["c_nationkey"].max_num == 24.0
+
+
+def test_i35_publishes_no_small_cell(spark):
+    from ma_anonymization_etl_spark.operators.anonymize_queries import (
+        i35_cell_suppression,
+    )
+
+    out = i35_cell_suppression(spark, SF_ORACLE)
+    assert out.filter("status = 'ok' AND published < 5").count() == 0
+    assert out.filter("status <> 'ok' AND published IS NOT NULL").count() == 0

@@ -176,3 +176,23 @@ def test_n7_scan_is_dynamically_pruned(spark):
     assert "dynamicpruning" in plan.lower(), f"no dynamic pruning:\n{plan}"
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "dynamicpruning" in pf[0].lower(), f"pruning not on the scan:\n{plan}"
+
+
+def test_q1_profile_is_single_scan(spark):
+    """q1's whole profile must fold into one aggregate over ONE scan —
+    a per-metric re-scan would multiply 100 TB read cost."""
+    plan = plan_of(spark, "q1_data_profile")
+    tree = plan.split("\n\n")[0]  # operator tree only, not the detail section
+    n_scans = tree.count("Scan parquet")
+    assert n_scans == 1, f"q1 scans the table {n_scans} times:\n{tree}"
+
+
+def test_j32_df_join_back_not_self_join(spark):
+    """j32 joins the per-gram document-frequency table BACK to grams —
+    never grams-to-grams (the Θ(Σ df²) j3c trap).  Two gram-keyed
+    exchanges plus the doc-side aggregate is the expected shape."""
+    plan = plan_of(spark, "j32_dup_ngram_coverage")
+    n_shuffles = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_shuffles <= 5, f"j32 shuffles too much ({n_shuffles}):\n{plan}"
