@@ -462,6 +462,74 @@ def i34_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i36_entropy_l_diversity",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), cls AS (
+  SELECT c_nationkey, SUM(cnt) AS n, COUNT(*) AS nd FROM cells GROUP BY 1
+), e AS (
+  SELECT cells.c_nationkey, cnt, n, nd,
+         CAST(ROUND(ln(cnt::DOUBLE / n) * 1000000) AS BIGINT) AS lnp6
+  FROM cells JOIN cls USING (c_nationkey)
+), agg AS (
+  SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(nd) AS BIGINT) AS n_distinct_sa,
+         ((-SUM(cnt * lnp6)) // MAX(n)) AS e6
+  FROM e GROUP BY c_nationkey
+)
+SELECT c_nationkey, n, n_distinct_sa,
+       e6 / 1000000.0 AS entropy_nats,
+       (e6 >= 1098612) AS passes_entropy_l3
+FROM agg
+""",
+)
+def i36_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i36: ENTROPY l-diversity (Machanavajjhala 2007 §4.1) — the
+    stricter cousin of i19's distinct-count check: a class passes iff
+    the Shannon entropy of its SA distribution is ≥ ln(l), which a
+    class dominated by one SA value fails even when l distinct values
+    are nominally present.  Arithmetic follows j30's micro-nat
+    discipline: per-cell ln(p) is rounded to integer micro-nats, the
+    per-class accumulation is an integer sum + integer division (order
+    independent, engine-identical), and the l=3 gate compares against
+    ⌊ln(3)·10⁶⌋ = 1098612 in integers.
+
+    Scale: two class-grained aggregates (cells, then classes) — the
+    entropy itself costs nothing beyond i19's shuffles."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey")
+    e = cells.withColumn("n", F.sum("cnt").over(w)).withColumn(
+        "nd", F.count(F.lit(1)).over(w)
+    )
+    lnp6 = F.round(F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000).cast(
+        "long"
+    )
+    agg = (
+        e.withColumn("lnp6", lnp6)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("nd").cast("long").alias("n_distinct_sa"),
+            F.expr("(-sum(cnt * lnp6)) div max(n)").alias("e6"),
+        )
+    )
+    return agg.select(
+        "c_nationkey",
+        "n",
+        "n_distinct_sa",
+        (F.col("e6") / 1000000.0).alias("entropy_nats"),
+        (F.col("e6") >= 1098612).alias("passes_entropy_l3"),
+    )
+
+
+@register(
     "i35_cell_suppression",
     oracle="""
 WITH cells AS (

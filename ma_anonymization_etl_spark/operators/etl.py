@@ -503,3 +503,64 @@ def n8_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "n9_incremental_join_refresh",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def n9_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n9 (extension): incremental JOIN maintenance — the delta algebra
+    Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB), the join
+    counterpart to n3's aggregate partial-merge.  Both fact tables
+    split at a date cut into a stored 'old' part and a delta; the
+    maintained result unions the stored base join with the three delta
+    joins and must equal the full recompute (the oracle).
+
+    Scale: this is how a materialized join view absorbs a nightly feed
+    without re-joining history — the three delta joins each carry a
+    delta as one side, so at 100 TB they broadcast (small ΔA/ΔB) or
+    shuffle only delta-sized data; the base A_old ⋈ B_old term is READ
+    from storage, not recomputed (here it is a subplan because nothing
+    persists between driver runs — the algebra is what is being
+    proved).  Pair with n3 downstream: join maintenance feeds aggregate
+    maintenance."""
+    cut = "1997-01-01"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    a_old, a_new = o.filter(F.col("o_orderdate") < cut), o.filter(
+        F.col("o_orderdate") >= cut
+    )
+    b_old, b_new = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+
+    def part(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority", "l_quantity"
+        )
+
+    maintained = (
+        part(a_old, b_old)          # the stored base result
+        .unionByName(part(a_new, b_old))   # ΔA ⋈ B_old
+        .unionByName(part(a_old, b_new))   # A_old ⋈ ΔB
+        .unionByName(part(a_new, b_new))   # ΔA ⋈ ΔB
+    )
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("sum_qty"),
+    )

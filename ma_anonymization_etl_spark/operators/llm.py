@@ -943,6 +943,107 @@ def j22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j36_countmin_sketch",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+cells AS (
+  SELECT r,
+         (('0x' || substr(md5('cm' || r || '|' || word), 1, 15))::BIGINT
+          % 2147483647) % 256 AS b,
+         COUNT(*) AS cell
+  FROM w, (SELECT unnest(range(4)) AS r) rs
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT word, COUNT(*) AS exact_n FROM w GROUP BY word
+  ORDER BY exact_n DESC, word LIMIT 20
+),
+est AS (
+  SELECT e.word, MIN(c.cell) AS est_n
+  FROM exact e, (SELECT unnest(range(4)) AS r) rs
+  JOIN cells c
+    ON c.r = rs.r
+   AND c.b = (('0x' || substr(md5('cm' || rs.r || '|' || e.word), 1, 15))::BIGINT
+              % 2147483647) % 256
+  GROUP BY e.word
+)
+SELECT e.word, exact_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overestimate
+FROM exact e JOIN est USING (word)
+""",
+)
+def j36_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j36 (extension): Count-Min sketch (Cormode & Muthukrishnan 2005)
+    over the corpus term stream — a 4×256 table of bucket counts whose
+    MIN across rows upper-bounds any term's true frequency.  The sketch
+    is built as ONE partial-aggregated groupBy over (row, bucket) — a
+    fixed ≤1024-cell table no matter the corpus size, which is the
+    whole point at 100 TB: heavy-hitter estimation with O(1) memory and
+    mergeable per-partition sketches (cell-wise sum), where j22's exact
+    groupBy must carry the full term dictionary.  Released here: the
+    exact top-20 terms with their sketch estimates and the (always ≥ 0)
+    collision overestimate, so the error is published with the sketch.
+    Hashes are md5-derived (hash31_md5 discipline), so the oracle
+    rebuilds the identical sketch."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_of()).alias("word"))
+
+    def bucket(r, word_col):
+        return hash31_md5(F.concat(F.lit(f"cm{r}|"), word_col)) % 256
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r, F.col("word")).alias("b")
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "word")
+        .limit(20)
+    )
+    probes = exact.select(
+        "word",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("pr"), bucket(r, F.col("word")).alias("pb")
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.pr") == F.col("r")) & (F.col("p.pb") == F.col("b")),
+        )
+        .groupBy("word", "exact_n")
+        .agg(F.min("cell").alias("est_n"))
+    )
+    return est.select(
+        "word",
+        "exact_n",
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     as its own component; each round a node adopts the smallest
