@@ -462,6 +462,56 @@ def i34_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i37_rank_swap",
+    oracle="""
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER w AS rn,
+         LEAD(c_acctbal) OVER w AS nxt,
+         LAG(c_acctbal) OVER w AS prv
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_custkey, c_nationkey,
+       CASE WHEN rn % 2 = 1 THEN COALESCE(nxt, c_acctbal) ELSE prv END
+         AS swapped_bal
+FROM r
+""",
+)
+def i37_rank_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i37: rank swapping (Moore 1996), deterministic adjacent-pair
+    variant — within each class the SA values are sorted and swapped
+    between rank neighbours (1↔2, 3↔4, …; an odd last rank keeps its
+    value).  Unlike i15's seeded permutation, the pairing is itself
+    deterministic, so the oracle replays the whole release: per-class
+    multiset preserved EXACTLY, every value displaced at most one rank
+    (maximal utility), and each record no longer carries its own value.
+    In SDC practice the swap window is p% of ranks; window=1 is the
+    strongest-utility instance of the family.
+
+    Scale: one window shuffle on the class key — i15's exact profile."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("nxt", F.lead("c_acctbal").over(w))
+        .withColumn("prv", F.lag("c_acctbal").over(w))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.when(
+                F.col("rn") % 2 == 1,
+                F.coalesce(F.col("nxt"), F.col("c_acctbal")),
+            )
+            .otherwise(F.col("prv"))
+            .alias("swapped_bal"),
+        )
+    )
+
+
+@register(
     "i36_entropy_l_diversity",
     oracle="""
 WITH cells AS (

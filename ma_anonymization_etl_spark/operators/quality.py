@@ -185,3 +185,68 @@ def q2_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (fk_orders, fk_lines, rng, dom, comp):
         out = out.unionByName(part)
     return out
+
+
+@register(
+    "q3_outlier_zscore",
+    oracle="""
+WITH s AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS sc,
+         SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+             * CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS sq
+  FROM customer GROUP BY 1
+), st AS (
+  SELECT c_nationkey, n,
+         (sc::DOUBLE / 100) / n AS mu,
+         sqrt((sq::DOUBLE / 10000 - n * ((sc::DOUBLE / 100) / n)
+               * ((sc::DOUBLE / 100) / n)) / (n - 1)) AS sd
+  FROM s
+)
+SELECT c.c_nationkey, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MAX(mu), 4) AS mean_bal, ROUND(MAX(sd), 4) AS std_bal,
+       CAST(SUM(CASE WHEN ABS(FLOOR(c_acctbal * 100) / 100.0 - mu) > 2.5 * sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM customer c JOIN st USING (c_nationkey)
+GROUP BY 1
+""",
+)
+def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3: per-group z-score outlier screen (|x − μ| > 2.5σ per
+    nation) — the anomaly gate that runs next to q2's hard constraints,
+    and the pre-filter an anonymization route consults before
+    top/bottom-coding (i12).  μ and σ derive from EXACT scaled-int64
+    sums (sum and sum-of-squares), so both engines build identical
+    doubles and the boundary comparison cannot flip on float-summation
+    order — the dsum discipline applied to second moments.
+
+    Scale: one grouped aggregate for the moments (broadcast back) + one
+    flagging pass — two scans, no sort; the moment sums merge
+    associatively, so the stats table can be maintained incrementally
+    (n3 pattern)."""
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    c = load(spark, sf_dir, "customer")
+    s = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sc"),
+        F.sum(cents * cents).alias("sq"),
+    )
+    mu = (F.col("sc").cast("double") / 100) / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") / 10000 - F.col("n") * mu * mu)
+        / (F.col("n") - 1)
+    )
+    st = s.select("c_nationkey", "n", mu.alias("mu"), sd.alias("sd"))
+    x = F.floor(F.col("c_acctbal") * 100) / 100.0
+    return (
+        c.join(F.broadcast(st), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("mu"), 4).alias("mean_bal"),
+            F.round(F.max("sd"), 4).alias("std_bal"),
+            F.sum(
+                (F.abs(x - F.col("mu")) > 2.5 * F.col("sd")).cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -739,6 +739,43 @@ def d13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d14_mode",
+    oracle="""
+SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_count FROM (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+  FROM customer GROUP BY 1, 2
+) WHERE rn = 1
+""",
+)
+def d14_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14 (extension): deterministic MODE — the most frequent segment
+    per nation.  Native ``mode()`` is tie-nondeterministic in both
+    engines, so the checked form is max-count with a total tie-break
+    (smallest segment wins) via one grouped count + one window: the
+    only way a mode is safe in a differential-tested (or reproducible)
+    pipeline."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), "c_mktsegment"
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 

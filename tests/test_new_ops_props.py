@@ -83,3 +83,26 @@ def test_i35_publishes_no_small_cell(spark):
     out = i35_cell_suppression(spark, SF_ORACLE)
     assert out.filter("status = 'ok' AND published < 5").count() == 0
     assert out.filter("status <> 'ok' AND published IS NOT NULL").count() == 0
+
+
+def test_i37_rank_swap_preserves_class_multiset(spark):
+    from ma_anonymization_etl_spark.operators.anonymize_queries import i37_rank_swap
+
+    out = i37_rank_swap(spark, SF_ORACLE)
+    orig = (
+        load(spark, SF_ORACLE, "customer")
+        .groupBy("c_nationkey", "c_acctbal")
+        .agg(F.count(F.lit(1)).alias("n_orig"))
+    )
+    swapped = out.groupBy(
+        "c_nationkey", F.col("swapped_bal").alias("c_acctbal")
+    ).agg(F.count(F.lit(1)).alias("n_swap"))
+    joined = orig.join(swapped, ["c_nationkey", "c_acctbal"], "full")
+    assert joined.filter(
+        "n_orig IS NULL OR n_swap IS NULL OR n_orig <> n_swap"
+    ).count() == 0
+    # ...and most records moved off their own value (pairs swapped).
+    moved = out.join(
+        load(spark, SF_ORACLE, "customer"), "c_custkey"
+    ).filter("swapped_bal <> c_acctbal")
+    assert moved.count() > 0
