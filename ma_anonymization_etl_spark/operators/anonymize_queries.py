@@ -758,3 +758,69 @@ def i23_anonymize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"op": "select", "cols": ["name_token", "c_nationkey", "bal_bin"]},
     ]
     return anonymize_pipeline(c, route)
+
+
+@register(
+    "i39_cross_table_pseudo_join",
+    oracle="""
+WITH ct AS (
+  SELECT sha256('xt39|' || CAST(c_custkey AS VARCHAR)) AS token FROM customer
+), ot AS (
+  SELECT sha256('xt39|' || CAST(o_custkey AS VARCHAR)) AS token FROM orders
+), raw AS (
+  SELECT COUNT(*) AS n_raw_join
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), tok AS (
+  SELECT COUNT(*) AS n_token_join FROM ot JOIN ct USING (token)
+)
+SELECT (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_customers,
+       (SELECT COUNT(DISTINCT token) FROM ct) AS n_tokens,
+       n_raw_join, n_token_join,
+       (n_raw_join = n_token_join
+        AND (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+            = (SELECT COUNT(DISTINCT token) FROM ct)) AS integrity_preserved
+FROM raw CROSS JOIN tok
+""",
+)
+def i39_cross_table_pseudo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i39: referential-integrity-preserving pseudonymization PROVED
+    across tables — the property i2 promises ('same input → same token,
+    so joins still work') demonstrated as a release: customer and
+    orders both pseudonymize their shared key with the same salted
+    sha256, and the report certifies (a) token cardinality equals key
+    cardinality (no collisions introduced) and (b) the token join
+    reproduces the raw join's cardinality exactly.  This is the check a
+    multi-table anonymization route runs before dropping the raw keys —
+    a route that salted the two tables differently fails it instantly.
+
+    Scale: two map-side projections + one join on the token (same
+    shuffle profile as the raw join) + key-only distinct counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    tok = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit("xt39|"), F.col(col).cast("string")), 256
+    )
+    ct = c.select(tok("c_custkey").alias("token"))
+    ot = o.select(tok("o_custkey").alias("token"))
+    raw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n_raw_join"))
+    )
+    tokj = ot.join(ct, "token").agg(F.count(F.lit(1)).alias("n_token_join"))
+    cards = c.agg(
+        F.countDistinct("c_custkey").alias("n_customers")
+    ).crossJoin(ct.agg(F.countDistinct("token").alias("n_tokens")))
+    return (
+        cards.crossJoin(raw)
+        .crossJoin(tokj)
+        .select(
+            "n_customers",
+            "n_tokens",
+            "n_raw_join",
+            "n_token_join",
+            (
+                (F.col("n_raw_join") == F.col("n_token_join"))
+                & (F.col("n_customers") == F.col("n_tokens"))
+            ).alias("integrity_preserved"),
+        )
+    )

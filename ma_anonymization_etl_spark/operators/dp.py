@@ -445,3 +445,93 @@ def i32_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bin") * 500 + 250.0).alias("synth_bal"),
         )
     )
+
+
+@register(
+    "i38_dp_synthetic",
+    oracle=f"""
+WITH bins AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), noisy AS (
+  SELECT c_nationkey, bin,
+         GREATEST(0, CAST(ROUND(cnt +
+           {_sql_laplace(_sql_uniform("c_nationkey || '|' || bin", 'dps38|'), 1.0)})
+           AS BIGINT)) AS ncnt
+  FROM bins
+), cdf AS (
+  SELECT c_nationkey, bin, ncnt,
+         SUM(ncnt) OVER (PARTITION BY c_nationkey ORDER BY bin) AS cum_hi,
+         SUM(ncnt) OVER (PARTITION BY c_nationkey ORDER BY bin) - ncnt AS cum_lo,
+         SUM(ncnt) OVER (PARTITION BY c_nationkey) AS total
+  FROM noisy
+), draws AS (
+  SELECT c_custkey AS synth_id, c_nationkey,
+         {_sql_uniform('c_custkey', 'dps38d|')} AS u
+  FROM customer
+)
+SELECT synth_id, d.c_nationkey, b.bin * 500 + 250.0 AS synth_bal, 1.0 AS epsilon
+FROM draws d
+JOIN cdf b ON b.c_nationkey = d.c_nationkey
+          AND FLOOR(d.u * b.total) >= b.cum_lo AND FLOOR(d.u * b.total) < b.cum_hi
+""",
+)
+def i38_dp_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i38: DIFFERENTIALLY PRIVATE synthetic microdata — i32's
+    histogram-draw release upgraded to ε-DP: the per-(nation, bin)
+    histogram is Laplace-noised FIRST (ε=1, parallel composition across
+    bins — the i30 mechanism), clamped at zero and re-accumulated into
+    a noisy CDF, and the synthetic rows are drawn from THAT.  The
+    released values then carry no row's exact contribution (i32's
+    marginals are exact counts; these are ε-DP), at the cost of
+    slightly perturbed marginals.  Noise and draws are md5-derived, so
+    the oracle replays the entire release, clamp and all.
+
+    Scale: identical profile to i32 — one histogram shuffle, a
+    broadcast CDF, a map-side range-join draw; the noise adds O(bins)
+    scalar work."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    bins = c.groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 500).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    u = hash_uniform(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("bin").cast("string"),
+        ),
+        "dps38|",
+    )
+    noisy_cnt = F.greatest(
+        F.lit(0).cast("long"),
+        F.round(
+            perturb_laplace(F.col("cnt").cast("double"), 1.0, 1.0, 0, uniform=u)
+        ).cast("long"),
+    )
+    noisy = bins.select("c_nationkey", "bin", noisy_cnt.alias("ncnt"))
+    w_cum = Window.partitionBy("c_nationkey").orderBy("bin")
+    w_all = Window.partitionBy("c_nationkey")
+    cdf = (
+        noisy.withColumn("cum_hi", F.sum("ncnt").over(w_cum))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("ncnt"))
+        .withColumn("total", F.sum("ncnt").over(w_all))
+    )
+    draws = c.select(
+        F.col("c_custkey").alias("synth_id"),
+        "c_nationkey",
+        hash_uniform("c_custkey", "dps38d|").alias("u"),
+    )
+    pick = F.floor(F.col("u") * F.col("total"))
+    return (
+        draws.join(F.broadcast(cdf.drop("ncnt")), "c_nationkey")
+        .filter((pick >= F.col("cum_lo")) & (pick < F.col("cum_hi")))
+        .select(
+            "synth_id",
+            "c_nationkey",
+            (F.col("bin") * 500 + 250.0).alias("synth_bal"),
+            F.lit(1.0).alias("epsilon"),
+        )
+    )

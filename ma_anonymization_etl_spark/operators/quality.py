@@ -250,3 +250,57 @@ def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q4_embedding_quality",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN len(e) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(CASE WHEN isnan(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       ROUND(MIN(nrm), 5) AS min_norm,
+       ROUND(MAX(nrm), 5) AS max_norm,
+       ROUND((CAST(SUM(CAST(FLOOR(nrm * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(*), 5) AS avg_norm
+FROM v
+""",
+)
+def q4_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4: embedding-table quality audit — the vector-side q1: dimension
+    conformance, zero/NaN norms (both break every cosine operator
+    downstream, j8-j33), and the norm distribution summary.  The
+    average norm accumulates in scaled int64 (dsum discipline) so the
+    report is engine-exact; min/max are order-free.
+
+    Scale: one map-side fold per vector + one global aggregate — a
+    single pass, no shuffle beyond the 1-row final merge.  Run this
+    gate before building any index; a handful of zero vectors poison
+    IVF centroids (j20) silently otherwise."""
+    from ma_anonymization_etl_spark.functions.vectors import as_double, norm
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    v = e.withColumn("nrm", norm(F.col("e")))
+    return v.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.size("e") != 64).cast("int")).cast("long").alias("n_bad_dim"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_norm"),
+        F.sum(F.isnan("nrm").cast("int")).cast("long").alias("n_nan"),
+        F.round(F.min("nrm"), 5).alias("min_norm"),
+        F.round(F.max("nrm"), 5).alias("max_norm"),
+        F.round(
+            (
+                F.sum(F.floor(F.col("nrm") * 1000000).cast("long")).cast("double")
+                / 1000000
+            )
+            / F.count(F.lit(1)),
+            5,
+        ).alias("avg_norm"),
+    )
