@@ -484,8 +484,11 @@ def i37_rank_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between rank neighbours (1↔2, 3↔4, …; an odd last rank keeps its
     value).  Unlike i15's seeded permutation, the pairing is itself
     deterministic, so the oracle replays the whole release: per-class
-    multiset preserved EXACTLY, every value displaced at most one rank
-    (maximal utility), and each record no longer carries its own value.
+    multiset preserved EXACTLY and every value displaced at most one
+    rank (maximal utility).  A record keeps its own value when its
+    rank-neighbour holds an EQUAL value (the swap is then a no-op —
+    ties are indistinguishable, so nothing is leaked beyond the value's
+    multiplicity) and at an unpaired odd last rank.
     In SDC practice the swap window is p% of ranks; window=1 is the
     strongest-utility instance of the family.
 

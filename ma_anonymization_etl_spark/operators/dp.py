@@ -466,10 +466,14 @@ WITH bins AS (
          SUM(ncnt) OVER (PARTITION BY c_nationkey ORDER BY bin) - ncnt AS cum_lo,
          SUM(ncnt) OVER (PARTITION BY c_nationkey) AS total
   FROM noisy
+), totals AS (
+  SELECT DISTINCT c_nationkey, total FROM cdf WHERE total > 0
 ), draws AS (
-  SELECT c_custkey AS synth_id, c_nationkey,
-         {_sql_uniform('c_custkey', 'dps38d|')} AS u
-  FROM customer
+  SELECT t.c_nationkey,
+         t.c_nationkey * 1000000 + i AS synth_id,
+         {_sql_uniform("t.c_nationkey || '#' || i", 'dps38d|')} AS u
+  FROM totals t,
+       LATERAL (SELECT unnest(range(1, CAST(t.total AS BIGINT) + 1)) AS i) s
 )
 SELECT synth_id, d.c_nationkey, b.bin * 500 + 250.0 AS synth_bal, 1.0 AS epsilon
 FROM draws d
@@ -482,15 +486,21 @@ def i38_dp_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-draw release upgraded to ε-DP: the per-(nation, bin)
     histogram is Laplace-noised FIRST (ε=1, parallel composition across
     bins — the i30 mechanism), clamped at zero and re-accumulated into
-    a noisy CDF, and the synthetic rows are drawn from THAT.  The
-    released values then carry no row's exact contribution (i32's
-    marginals are exact counts; these are ε-DP), at the cost of
-    slightly perturbed marginals.  Noise and draws are md5-derived, so
-    the oracle replays the entire release, clamp and all.
+    a noisy CDF, and EVERYTHING downstream derives from the noisy
+    release alone: the number of synthetic rows per nation is the NOISY
+    total (not the real row count — publishing exact group sizes would
+    be an ε=∞ leak), synth_ids are freshly minted sequence numbers with
+    no linkage to any real key, and each row's value is drawn from the
+    noisy CDF.  The whole release is a post-processing of the ε-DP
+    histogram, so it inherits its guarantee (i32's marginals are exact
+    counts over real keys; this is the DP counterpart).  Noise and
+    draws are md5-derived, so the oracle replays the entire release,
+    clamp and all.
 
     Scale: identical profile to i32 — one histogram shuffle, a
-    broadcast CDF, a map-side range-join draw; the noise adds O(bins)
-    scalar work."""
+    broadcast CDF, and the draw side explodes O(Σ noisy-total) rows
+    from the tiny per-group totals table before a map-side range join;
+    the noise adds O(bins) scalar work."""
     from pyspark.sql import Window
 
     c = load(spark, sf_dir, "customer")
@@ -519,10 +529,21 @@ def i38_dp_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_lo", F.col("cum_hi") - F.col("ncnt"))
         .withColumn("total", F.sum("ncnt").over(w_all))
     )
-    draws = c.select(
-        F.col("c_custkey").alias("synth_id"),
+    totals = cdf.select("c_nationkey", "total").distinct().filter(F.col("total") > 0)
+    draws = totals.select(
         "c_nationkey",
-        hash_uniform("c_custkey", "dps38d|").alias("u"),
+        F.explode(F.expr("sequence(1, total)")).alias("i"),
+    ).select(
+        "c_nationkey",
+        (F.col("c_nationkey") * 1000000 + F.col("i")).alias("synth_id"),
+        hash_uniform(
+            F.concat(
+                F.col("c_nationkey").cast("string"),
+                F.lit("#"),
+                F.col("i").cast("string"),
+            ),
+            "dps38d|",
+        ).alias("u"),
     )
     pick = F.floor(F.col("u") * F.col("total"))
     return (

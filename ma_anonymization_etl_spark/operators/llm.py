@@ -961,10 +961,8 @@ exact AS (
 ),
 est AS (
   SELECT e.word, MIN(c.cell) AS est_n
-  FROM exact e, (SELECT unnest(range(4)) AS r) rs
-  JOIN cells c
-    ON c.r = rs.r
-   AND c.b = (('0x' || substr(md5('cm' || rs.r || '|' || e.word), 1, 15))::BIGINT
+  FROM exact e JOIN cells c
+    ON c.b = (('0x' || substr(md5('cm' || c.r || '|' || e.word), 1, 15))::BIGINT
               % 2147483647) % 256
   GROUP BY e.word
 )

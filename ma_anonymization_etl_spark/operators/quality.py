@@ -199,8 +199,9 @@ WITH s AS (
 ), st AS (
   SELECT c_nationkey, n,
          (sc::DOUBLE / 100) / n AS mu,
-         sqrt((sq::DOUBLE / 10000 - n * ((sc::DOUBLE / 100) / n)
-               * ((sc::DOUBLE / 100) / n)) / (n - 1)) AS sd
+         CASE WHEN n < 2 THEN 0.0
+              ELSE sqrt((sq::DOUBLE / 10000 - n * ((sc::DOUBLE / 100) / n)
+                         * ((sc::DOUBLE / 100) / n)) / (n - 1)) END AS sd
   FROM s
 )
 SELECT c.c_nationkey, CAST(MAX(n) AS BIGINT) AS n,
@@ -215,10 +216,13 @@ def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3: per-group z-score outlier screen (|x − μ| > 2.5σ per
     nation) — the anomaly gate that runs next to q2's hard constraints,
     and the pre-filter an anonymization route consults before
-    top/bottom-coding (i12).  μ and σ derive from EXACT scaled-int64
-    sums (sum and sum-of-squares), so both engines build identical
-    doubles and the boundary comparison cannot flip on float-summation
-    order — the dsum discipline applied to second moments.
+    top/bottom-coding (i12).  μ and σ derive from EXACT integer sums
+    (int64 first moment, decimal(38) second moment — wrap-proof at any
+    group size), so both engines build identical doubles and the
+    boundary comparison cannot flip on float-summation order — the
+    dsum discipline applied to second moments.  Singleton groups
+    release σ = 0 / zero outliers by definition (guarded in both
+    engines).
 
     Scale: one grouped aggregate for the moments (broadcast back) + one
     flagging pass — two scans, no sort; the moment sums merge
@@ -226,15 +230,21 @@ def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n3 pattern)."""
     cents = F.floor(F.col("c_acctbal") * 100).cast("long")
     c = load(spark, sf_dir, "customer")
+    # Sum-of-squares accumulates in DECIMAL(38,0): per-row cents² fits
+    # int64 but a ≥~9M-row group's SUM would wrap silently in Spark's
+    # non-ANSI long sum (DuckDB promotes to HUGEINT); both widen to the
+    # same double at the end.
     s = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sc"),
-        F.sum(cents * cents).alias("sq"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sq"),
     )
     mu = (F.col("sc").cast("double") / 100) / F.col("n")
-    sd = F.sqrt(
-        (F.col("sq").cast("double") / 10000 - F.col("n") * mu * mu)
-        / (F.col("n") - 1)
+    sd = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        F.sqrt(
+            (F.col("sq").cast("double") / 10000 - F.col("n") * mu * mu)
+            / (F.col("n") - 1)
+        )
     )
     st = s.select("c_nationkey", "n", mu.alias("mu"), sd.alias("sd"))
     x = F.floor(F.col("c_acctbal") * 100) / 100.0
@@ -266,7 +276,9 @@ SELECT COUNT(*) AS n_vecs,
        CAST(SUM(CASE WHEN isnan(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
        ROUND(MIN(nrm), 5) AS min_norm,
        ROUND(MAX(nrm), 5) AS max_norm,
-       ROUND((CAST(SUM(CAST(FLOOR(nrm * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+       ROUND((CAST(SUM(CASE WHEN isnan(nrm) THEN 0
+                            ELSE CAST(FLOOR(nrm * 1000000) AS BIGINT) END)
+                   AS DOUBLE) / 1000000)
              / COUNT(*), 5) AS avg_norm
 FROM v
 """,
@@ -276,7 +288,10 @@ def q4_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     conformance, zero/NaN norms (both break every cosine operator
     downstream, j8-j33), and the norm distribution summary.  The
     average norm accumulates in scaled int64 (dsum discipline) so the
-    report is engine-exact; min/max are order-free.
+    report is engine-exact, and NaN norms contribute 0 to the average
+    (they are counted in n_nan — without the guard Spark's (long)NaN→0
+    silently corrupts while DuckDB's CAST raises); min/max are
+    order-free.
 
     Scale: one map-side fold per vector + one global aggregate — a
     single pass, no shuffle beyond the 1-row final merge.  Run this
@@ -297,7 +312,11 @@ def q4_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 5).alias("max_norm"),
         F.round(
             (
-                F.sum(F.floor(F.col("nrm") * 1000000).cast("long")).cast("double")
+                F.sum(
+                    F.when(F.isnan("nrm"), F.lit(0).cast("long")).otherwise(
+                        F.floor(F.col("nrm") * 1000000).cast("long")
+                    )
+                ).cast("double")
                 / 1000000
             )
             / F.count(F.lit(1)),
