@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.registry import register
-from ma_anonymization_etl_spark.sources.io import scratch_dir
+from ma_anonymization_etl_spark.sources.io import load, scratch_dir
 from ma_anonymization_etl_spark.streaming.runner import (
     run_foreach_batch,
     run_to_memory,
@@ -613,4 +613,80 @@ def k21_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value"
             ),
         )
+    )
+
+
+@register(
+    "k22_continuous_aggregate",
+    # Same aggregate contract as k1 — but computed INCREMENTALLY: the
+    # stream is forced through multiple micro-batches
+    # (maxFilesPerTrigger=1 over a two-file staging), each batch writes
+    # only its PARTIAL (count + scaled-int64 sum) per bucket, and the
+    # read side merges partials.  Merged partials ≡ full recompute is
+    # exactly what the oracle checks.
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+       COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def k22_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k22 (extension): CONTINUOUS AGGREGATE maintenance — the
+    hypertable-rollup shape: a streaming pipeline keeps an hourly
+    rollup table up to date by writing per-micro-batch PARTIAL
+    aggregates (count + exact scaled-int64 sum per bucket) and letting
+    reads merge them.  n3 proves the partial-merge algebra batch-side;
+    this runs it through real Structured Streaming micro-batches: the
+    event feed is staged as two files, maxFilesPerTrigger=1 makes
+    availableNow deliver them as separate batches, and each batch's
+    foreachBatch appends only its partial under a batch_id-keyed dir
+    (k21's idempotent-sink pattern, so replays cannot double-count).
+
+    Scale: each micro-batch shuffles only its OWN rows into partials
+    (O(batch) work, not O(history)); the rollup read merges O(buckets ×
+    batches) partial rows, compactable at any time (n4) without
+    changing results because the merge is associative and exact."""
+    import re
+
+    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    stage_dir = scratch_dir(spark, "k22_stage", sfx)
+    marker = f"spark.mael.k22_staged_{sfx}"
+    if not spark.conf.get(marker, None):
+        e = load(spark, sf_dir, "events")
+        cut = "2024-01-16"
+        e.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage_dir, "half=0")
+        )
+        e.filter(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage_dir, "half=1")
+        )
+        spark.conf.set(marker, "1")
+    rollup_dir = scratch_dir(spark, "k22_rollup", sfx)
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+    schema = spark.read.parquet(stage_dir).drop("half").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.floor(F.col("value") * _SCALE)).alias("pscaled"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "pn", "pscaled")
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(rollup_dir, f"batch_id={batch_id}")
+        )
+
+    run_foreach_batch(stream, write_partial)
+    partials = spark.read.parquet(rollup_dir)
+    return partials.groupBy("ws", "event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pscaled").cast("double") / _SCALE).alias("sum_value"),
     )

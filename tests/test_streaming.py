@@ -237,3 +237,23 @@ def test_k21_idempotent_sink_absorbs_replay(spark):
     n_src = load(spark, SF_ORACLE, "events").count()
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_k22_rollup_is_genuinely_incremental(spark):
+    """k22 must have processed the staged feed in >= 2 micro-batches —
+    its point is merging PARTIALS across batches, so a single-batch run
+    would be vacuous.  Partial rows must also exceed final buckets
+    (some buckets received contributions from both batches)."""
+    import re
+
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k22_continuous_aggregate,
+    )
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    final = k22_continuous_aggregate(spark, SF_ORACLE)
+    n_final = final.count()
+    sfx = re.sub(r"\W+", "_", SF_ORACLE.rstrip("/"))
+    partials = spark.read.parquet(scratch_dir(spark, "k22_rollup", sfx))
+    assert partials.select("batch_id").distinct().count() >= 2
+    assert partials.count() >= n_final
