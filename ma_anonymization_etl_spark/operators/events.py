@@ -550,3 +550,55 @@ def k13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "k23_late_data_audit",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_hi
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < wm_hi - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN ts < wm_hi - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS late_frac
+FROM seq GROUP BY event_type
+""",
+)
+def k23_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k23 (extension): per-record late-data audit — for each event,
+    would a 10-minute watermark have classified it late on arrival?
+    Arrival order is the ingestion sequence (event_id), the watermark
+    is the running max event-time over everything that arrived EARLIER,
+    and an event is late when it trails that mark by more than the
+    delay — the exact record-level rule behind withWatermark, which
+    Spark applies but never reports.  k5 measures the window-close drop
+    rule; this quantifies the dead-letter stream an ingestion pipeline
+    should quarantine rather than silently lose (per type, count and
+    share — the number that tells you whether 10 minutes is the right
+    delay).
+
+    Scale note: the demo's global arrival sequence needs ONE ordered
+    window (single-partition sort — the n5 caveat applies).  In
+    production arrival order exists per Kafka partition, so the same
+    window runs partitioned by (topic, partition) and distributes;
+    lateness is always defined per ingestion lane, never globally."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    late = F.col("ts") < F.col("wm_hi") - F.expr("INTERVAL 10 MINUTES")
+    return (
+        e.withColumn("wm_hi", F.max("ts").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late.cast("int")).cast("long").alias("n_late"),
+            F.round(
+                F.sum(late.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+        )
+    )
