@@ -1149,6 +1149,41 @@ def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _j37_oracle() -> str:
+    return f"""
+SELECT d.doc_id, md5(d.text) AS content_hash, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_j23_oracle()}) j23 WHERE NOT is_survivor
+)
+"""
+
+
+@register("j37_dedup_materialize", oracle=_j37_oracle())
+def j37_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j37 (extension): the MATERIALIZED deduplicated corpus — what a
+    user actually writes back out after near-dup analysis: the
+    documents table minus every non-survivor of the j23 cluster pass
+    (min-id survivor per connected component of the verified MinHash
+    pair graph).  j23/j24 report the structure and the counts; this is
+    the corpus itself, projected to (doc_id, content_hash, n_chars) so
+    the release is hash-checkable without shipping text through the
+    comparison harness.
+
+    Scale: one left-anti join of the corpus against the (tiny)
+    non-survivor id set — broadcast at any realistic dedup rate; the
+    cost is the j23 pipeline it consumes (cached per session)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    drop = (
+        j23_dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("content_hash"), "n_chars"
+    )
+
+
 # --- j24: the end-to-end training-data funnel -----------------------------
 
 _J24_STAGES_SQL = """
