@@ -462,6 +462,79 @@ def i34_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i40_microaggregation",
+    oracle="""
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+), g AS (
+  SELECT *, LEAST((rn - 1) // 10, n // 10 - 1) AS grp FROM r
+), m AS (
+  SELECT c_nationkey, grp, COUNT(*) AS grp_size,
+         (CAST(SUM(cents) AS DOUBLE) / 100) / COUNT(*) AS grp_mean
+  FROM g GROUP BY 1, 2
+)
+SELECT g.c_custkey, g.c_nationkey, g.grp, m.grp_size,
+       ROUND(m.grp_mean, 4) AS micro_bal
+FROM g JOIN m ON m.c_nationkey = g.c_nationkey AND m.grp = g.grp
+""",
+)
+def i40_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i40: univariate MICROAGGREGATION (Domingo-Ferrer & Mateo-Sanz,
+    TKDE 2002) — the SDC method the i-family still lacked: within each
+    class, sort the sensitive values and replace each run of k=10
+    consecutive records with their group mean, so every published value
+    is shared by ≥ k records (k-anonymity on the VALUE) while rank
+    structure survives.  The trailing partial group merges into its
+    predecessor (standard rule — group sizes k..2k−1), groups are
+    deterministic (value + key tie-break), and means come from exact
+    cents sums, so the oracle replays the whole release.  Sorted
+    fixed-size grouping is the OPTIMAL univariate partition; the
+    multivariate generalization (MDAV) is Mondrian-adjacent and
+    driver-iterative (i22's shape).
+
+    Scale: one window shuffle on the class key + one group-mean
+    aggregate over #classes·(n/k) tiny groups — i15/i37's profile."""
+    from pyspark.sql import Window
+
+    k = 10
+    w_ord = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_all = Window.partitionBy("c_nationkey")
+    r = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    g = r.withColumn(
+        "grp",
+        F.least(
+            F.expr(f"(rn - 1) div {k}"), F.expr(f"n div {k} - 1")
+        ),
+    )
+    m = g.groupBy("c_nationkey", "grp").agg(
+        F.count(F.lit(1)).alias("grp_size"),
+        ((F.sum("cents").cast("double") / 100) / F.count(F.lit(1))).alias("grp_mean"),
+    )
+    return g.join(m, ["c_nationkey", "grp"]).select(
+        "c_custkey",
+        "c_nationkey",
+        "grp",
+        "grp_size",
+        F.round("grp_mean", 4).alias("micro_bal"),
+    )
+
+
+@register(
     "i37_rank_swap",
     oracle="""
 WITH r AS (

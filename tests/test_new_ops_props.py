@@ -106,3 +106,24 @@ def test_i37_rank_swap_preserves_class_multiset(spark):
         load(spark, SF_ORACLE, "customer"), "c_custkey"
     ).filter("swapped_bal <> c_acctbal")
     assert moved.count() > 0
+
+
+def test_i40_microaggregation_invariants(spark):
+    from ma_anonymization_etl_spark.operators.anonymize_queries import (
+        i40_microaggregation,
+    )
+
+    out = i40_microaggregation(spark, SF_ORACLE).cache()
+    try:
+        # Every group holds between k and 2k-1 records (k = 10).
+        sizes = out.select("c_nationkey", "grp", "grp_size").distinct()
+        assert sizes.filter("grp_size < 10 OR grp_size >= 20").count() == 0
+        # Every published value is shared by grp_size records — value-level
+        # k-anonymity.
+        shared = out.groupBy("c_nationkey", "micro_bal").count()
+        assert shared.filter("count < 10").count() == 0
+        # Row-count preserved.
+        n = load(spark, SF_ORACLE, "customer").count()
+        assert out.count() == n
+    finally:
+        out.unpersist()
