@@ -66,6 +66,7 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
         "pseudonymize_sha2", "pseudonymize_md5", "mask_partial",
         "generalize_numeric", "generalize_range_label", "generalize_date",
         "top_bottom_code", "perturb_uniform", "perturb_laplace",
+        "microaggregate",  # k-member group means rewrite every value in place
     }
     transformed: set[str] = set()
     for s in steps:

@@ -735,3 +735,29 @@ def cell_suppression_release(
         .otherwise(F.col("cnt"))
         .alias("published"),
     )
+
+
+def microaggregate(
+    df: DataFrame, cls: str, col: str, tiebreak: str, k: int = 10, out: str | None = None
+) -> DataFrame:
+    """i40 as a route step: replace ``col`` IN PLACE (or into ``out``)
+    with its k-member sorted-group mean within each ``cls`` class —
+    every published value becomes shared by ≥ k records.  The trailing
+    partial group merges into its predecessor (sizes k..2k−1); the
+    grouping is deterministic given a total order (col, tiebreak)."""
+    out = out or col
+    w_ord = Window.partitionBy(cls).orderBy(col, tiebreak)
+    w_all = Window.partitionBy(cls)
+    g = (
+        df.withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "__grp",
+            F.least(F.expr(f"(__rn - 1) div {k}"), F.expr(f"__n div {k} - 1")),
+        )
+    )
+    w_grp = Window.partitionBy(cls, "__grp")
+    return (
+        g.withColumn(out, F.avg(col).over(w_grp))
+        .drop("__rn", "__n", "__grp")
+    )

@@ -125,6 +125,10 @@ def _step_cell_suppression(df, qis, threshold=5):
     return A.cell_suppression_release(df, qis, threshold)
 
 
+def _step_microaggregate(df, cls, col, tiebreak, k=10, out=None):
+    return A.microaggregate(df, cls, col, tiebreak, k, out)
+
+
 STEPS = {
     "pseudonymize_sha2": _step_pseudonymize_sha2,
     "pseudonymize_md5": _step_pseudonymize_md5,
@@ -150,6 +154,7 @@ STEPS = {
     "dp_sum_clipped": _step_dp_sum_clipped,
     "mondrian_kanon": _step_mondrian_kanon,
     "cell_suppression": _step_cell_suppression,
+    "microaggregate": _step_microaggregate,
 }
 
 # Ops whose OUTPUT contains only their group key and release metrics —

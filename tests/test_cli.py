@@ -259,3 +259,23 @@ def test_route_refuses_cell_suppression_over_di(spark):
     }
     with pytest.raises(SystemExit, match="c_name"):
         run_route(spark, route)
+
+
+def test_route_microaggregate_step(spark):
+    """A route microaggregating the SA in place: every published balance
+    must be shared by >= k records within its class, and the step counts
+    as DI coverage when aimed at a DI column."""
+    route = {
+        "input": {"table": "customer", "sf_dir": SF_ORACLE},
+        "columns": {"c_name": "di", "c_nationkey": "qi", "c_acctbal": "sa"},
+        "steps": [
+            {"op": "pseudonymize_sha2", "col": "c_name", "salt": "ma|"},
+            {"op": "microaggregate", "cls": "c_nationkey", "col": "c_acctbal",
+             "tiebreak": "c_custkey", "k": 10},
+        ],
+    }
+    out = run_route(spark, route)
+    from pyspark.sql import functions as F
+
+    shared = out.groupBy("c_nationkey", "c_acctbal").count()
+    assert shared.filter(F.col("count") < 10).count() == 0
