@@ -296,3 +296,45 @@ def p3_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d").isNull().cast("long")).alias("n_nodes"),
     )
     return hist.unionByName(far)
+
+
+@register(
+    "p4_community_stats",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SUP2_SQL},
+edges AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+sizes AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c)
+SELECT CAST(sz AS BIGINT) AS component_size, COUNT(*) AS n_components
+FROM sizes GROUP BY sz
+""",
+)
+def p4_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p4: community structure of the min-support co-purchase graph —
+    connected components (j23's min-label propagation, reused verbatim)
+    over the ≥2-shared-orders edge set, reported as the component-size
+    histogram: how many product communities exist at each size.  The
+    support filter is what makes communities MEANINGFUL (the full graph
+    is one near-complete blob — see the p2 measurement); the oracle is
+    an exact recursive-CTE transitive closure.
+
+    Scale: the component loop is O(diameter) rounds of edge-join +
+    groupBy-min over the (small) support edge set; the histogram is two
+    tiny aggregates on top."""
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    from ma_anonymization_etl_spark.operators.llm import connected_components
+
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("component_size")).agg(
+        F.count(F.lit(1)).alias("n_components")
+    )

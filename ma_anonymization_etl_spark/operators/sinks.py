@@ -187,3 +187,41 @@ def a9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.count("note").alias("n_with_note")
     )
+
+
+@register(
+    "a2d_text_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(length(CAST(doc_id AS VARCHAR) || '|' || md5(text)))
+            AS BIGINT) AS total_chars,
+       MIN(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS first_line
+FROM documents
+""",
+)
+def a2d_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2 (text variant): the line-oriented text sink + source — the
+    format raw LLM corpora actually arrive in (one record per line; the
+    single `value` column contract of spark.read.text).  Each document
+    serializes to 'doc_id|md5(text)' (content fingerprint keeps lines
+    newline-free by construction), roundtrips through .text, and the
+    read side re-parses and aggregates.  The oracle derives the same
+    report from the original table, so any loss or reordering in the
+    sink/source path mismatches.
+
+    Scale: text read is splittable by line; schema is applied by
+    parsing expressions AFTER the scan, so prefer it only for ingest —
+    columnar formats for everything downstream."""
+    path = _scratch(spark, "a2_text")
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("|"), F.md5("text")
+        ).alias("value")
+    )
+    d.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min("value").alias("first_line"),
+    )
