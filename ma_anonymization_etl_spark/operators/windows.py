@@ -237,3 +237,39 @@ def e9_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("price_cume_dist", F.cume_dist().over(w))
         .drop("o_totalprice")
     )
+
+
+@register(
+    "e10_win_conditional",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+            AS BIGINT) AS clicks_trailing_1h,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
+            AS BIGINT) AS purchases_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def e10_win_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e10 (extension): CONDITIONAL aggregates over a time-range frame —
+    per event, how many clicks and purchases the same user produced in
+    the trailing hour (the behavioral features a real-time model
+    consumes).  Composes e7's microsecond range frame with d8's
+    sum-of-CASE conditionals; both type counters share one window, so
+    Spark computes them in a single pass over one user_id exchange."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w)
+    buys = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        clicks.cast("long").alias("clicks_trailing_1h"),
+        buys.cast("long").alias("purchases_trailing_1h"),
+    )
