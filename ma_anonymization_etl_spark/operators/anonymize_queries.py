@@ -702,7 +702,7 @@ def i35_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COUNT(*) AS n_classes,
        ROUND(AVG(cnt), 4) AS avg_class_size,
-       SUM(cnt * cnt) AS discernibility,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS discernibility,
        ROUND((CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) / 10, 4) AS c_avg
 FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_nationkey, c_mktsegment)
 """,

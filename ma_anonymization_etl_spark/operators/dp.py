@@ -112,7 +112,7 @@ SELECT c_nationkey,
        COUNT(*) AS n_exact,
        ROUND(COUNT(*) + {_sql_laplace(_sql_uniform('c_nationkey', 'dp28|'), 2.0)}, 6)
          AS n_noisy,
-       0.5 AS epsilon
+       CAST(0.5 AS DOUBLE) AS epsilon
 FROM customer
 GROUP BY c_nationkey
 """,
@@ -134,7 +134,7 @@ SELECT c_nationkey,
              + {_sql_laplace(_sql_uniform('c_nationkey', 'dp29|'), 1000.0)}, 6)
          AS sum_noisy,
        COUNT(*) AS n_exact,
-       1.0 AS epsilon
+       CAST(1.0 AS DOUBLE) AS epsilon
 FROM (SELECT c_nationkey,
              CAST(FLOOR(GREATEST(0.0, LEAST(1000.0, c_acctbal)) * 100) AS BIGINT) AS cents
       FROM customer)
@@ -156,7 +156,7 @@ def i29_dp_sum_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT bin,
        COUNT(*) AS n_exact,
        ROUND(COUNT(*) + {_sql_laplace(_sql_uniform('bin', 'dp30|'), 1.0)}, 6) AS n_noisy,
-       1.0 AS epsilon_total,
+       CAST(1.0 AS DOUBLE) AS epsilon_total,
        'laplace-parallel' AS composition
 FROM (SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) * 20000 AS bin FROM orders)
 GROUP BY bin
@@ -200,7 +200,7 @@ c AS (SELECT reported_segment, COUNT(*) AS n_reported FROM rr GROUP BY reported_
 SELECT reported_segment, n_reported,
        ROUND((n_reported / (SELECT SUM(n_reported)::DOUBLE FROM c) - 0.1) / 0.5, 6)
          AS pi_hat,
-       0.5 AS p_truth
+       CAST(0.5 AS DOUBLE) AS p_truth
 FROM c
 """,
 )
@@ -283,7 +283,7 @@ WITH c AS (
 )
 SELECT m.c_nationkey, n_exact, exact_median,
        ROUND(((lo_edge + hi_edge) / 2.0) / 100, 6) AS dp_median,
-       2.772589 AS epsilon
+       CAST(2.772589 AS DOUBLE) AS epsilon
 FROM med m JOIN pick p ON p.c_nationkey = m.c_nationkey AND p.pr = 1
 """,
 )
@@ -398,7 +398,7 @@ draws AS (
   FROM customer
 )
 SELECT synth_id, d.c_nationkey,
-       b.bin * 500 + 250.0 AS synth_bal
+       CAST(b.bin * 500 + 250.0 AS DOUBLE) AS synth_bal
 FROM draws d
 JOIN cdf b ON b.c_nationkey = d.c_nationkey
           AND FLOOR(d.u * b.n) >= b.cum_lo AND FLOOR(d.u * b.n) < b.cum_hi
@@ -475,7 +475,8 @@ WITH bins AS (
   FROM totals t,
        LATERAL (SELECT unnest(range(1, CAST(t.total AS BIGINT) + 1)) AS i) s
 )
-SELECT synth_id, d.c_nationkey, b.bin * 500 + 250.0 AS synth_bal, 1.0 AS epsilon
+SELECT synth_id, d.c_nationkey, CAST(b.bin * 500 + 250.0 AS DOUBLE) AS synth_bal,
+       CAST(1.0 AS DOUBLE) AS epsilon
 FROM draws d
 JOIN cdf b ON b.c_nationkey = d.c_nationkey
           AND FLOOR(d.u * b.total) >= b.cum_lo AND FLOOR(d.u * b.total) < b.cum_hi

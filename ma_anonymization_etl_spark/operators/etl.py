@@ -128,7 +128,7 @@ WITH marked AS (
   SELECT user_id, version, MIN(event_type) AS state, MIN(ts) AS valid_from
   FROM versioned GROUP BY user_id, version
 )
-SELECT user_id, version, state, valid_from,
+SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from,
        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
 FROM per_version

@@ -103,7 +103,8 @@ WITH flagged AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events, {_SQL_SUM_VALUE} AS sum_value
 FROM numbered GROUP BY user_id, session_id
 """

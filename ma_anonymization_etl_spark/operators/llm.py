@@ -1554,7 +1554,7 @@ ranked AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), ''))
          AS clean_hash
 FROM ranked
@@ -2058,7 +2058,7 @@ c AS (
 )
 SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS n_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c

@@ -42,7 +42,7 @@ def a3_json_col_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
 FROM events
 GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) % 7
@@ -299,8 +299,8 @@ SELECT o_orderstatus,
        bit_and(o_orderkey & 255) AS band,
        bit_or(o_orderkey & 255) AS bor,
        bit_xor(o_orderkey & 255) AS bxor,
-       SUM(bit_count(((o_orderkey << 2) | 5)::BIGINT)) AS popcnt_sum,
-       SUM(o_orderkey >> 3) AS shifted_sum
+       CAST(SUM(bit_count(((o_orderkey << 2) | 5)::BIGINT)) AS BIGINT) AS popcnt_sum,
+       CAST(SUM(o_orderkey >> 3) AS BIGINT) AS shifted_sum
 FROM orders
 GROUP BY o_orderstatus
 """,

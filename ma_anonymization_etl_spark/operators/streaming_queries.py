@@ -532,7 +532,7 @@ def k18_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(value % 10 AS BIGINT) AS bucket,
        COUNT(*) AS n,
-       SUM(CAST(value AS BIGINT)) AS sum_value
+       CAST(SUM(value) AS BIGINT) AS sum_value
 FROM range(0, 500) t(value)
 GROUP BY bucket
 """,

@@ -113,6 +113,19 @@ def compare_query(spark, duck, fn, oracle: str, sf_dir: str = SF_ORACLE) -> None
             f"oracle-checked projection has ARRAY column {c}: {t} — "
             "serialize (array_join) before returning"
         )
+    # Representation guard: the driver hashes both sides through Arrow, where
+    # DuckDB HUGEINT (SUM over INTEGER → int128) and DECIMAL (bare literals
+    # like `0.5`) render as decimal128 while Spark emits int64/double — a
+    # guaranteed driver hash MISMATCH even when every value is identical
+    # (the round-4 h8/k3 reds).  fetchall() normalizes these away, so value
+    # comparison alone cannot see them; reject the types outright.
+    for c, t in d_types.items():
+        tu = t.upper()
+        assert "HUGEINT" not in tu and "DECIMAL" not in tu, (
+            f"oracle output column {c} has DuckDB type {t} — renders as "
+            "decimal128 at the driver's Arrow layer vs Spark int64/double; "
+            "CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+        )
     for c in s_cols:
         sf_, df_ = _type_family(s_types[c]), _type_family(d_types[c])
         assert sf_ == df_, f"type family differs for {c}: spark {s_types[c]} vs duckdb {d_types[c]}"

@@ -57,3 +57,35 @@ def test_driver_window_fully_oracle_checked():
     missing = [n for n in window if n not in os_]
     assert not missing, f"driver-window queries without oracle: {missing}"
     assert set(qs) == set(os_), "registry regressed from full oracle coverage"
+
+
+def test_no_oracle_repr_hazard_types(duck):
+    """Representation guard over the WHOLE registry: no oracle output
+    column may bind to DuckDB HUGEINT or DECIMAL.  The driver hashes both
+    sides through Arrow, where those types render as decimal128 while
+    Spark emits int64/double — a hash MISMATCH even when every value is
+    identical (the round-4 h8/k3 driver reds shipped behind a green
+    fetchall()-based self-sweep precisely because value comparison cannot
+    see this).  Binding only — no Spark, no execution, runs in seconds."""
+    hazards = []
+    for name in WITH_ORACLE:
+        rel = duck.sql(ALL[name].oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ).upper()
+            if "HUGEINT" in ts or "DECIMAL" in ts:
+                hazards.append(f"{name}.{col}: {typ}")
+    assert not hazards, f"oracle Arrow-decimal hazard columns: {hazards}"
+
+
+def test_repr_hazard_guard_catches_hugeint(spark, duck):
+    """The guard itself must be live: compare_query must go red on a
+    deliberately-HUGEINT oracle (SUM over INTEGER) even though the values
+    match the Spark side exactly."""
+    from pyspark.sql import functions as F
+
+    def fn(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return df.agg(F.sum("n_regionkey").cast("long").alias("s"))
+
+    with pytest.raises(AssertionError, match="HUGEINT|DECIMAL"):
+        compare_query(spark, duck, fn, "SELECT SUM(n_regionkey) AS s FROM nation")
