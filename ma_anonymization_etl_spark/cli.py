@@ -66,7 +66,10 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
         "pseudonymize_sha2", "pseudonymize_md5", "mask_partial",
         "generalize_numeric", "generalize_range_label", "generalize_date",
         "top_bottom_code", "perturb_uniform", "perturb_laplace",
-        "microaggregate",  # k-member group means rewrite every value in place
+        # k-member group means rewrite every value in place; classes with
+        # n < k are suppressed to NULL by the operator (anonymize.py),
+        # so no raw value survives — the unconditional claim holds.
+        "microaggregate",
     }
     transformed: set[str] = set()
     for s in steps:

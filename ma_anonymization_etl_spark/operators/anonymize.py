@@ -744,7 +744,15 @@ def microaggregate(
     with its k-member sorted-group mean within each ``cls`` class —
     every published value becomes shared by ≥ k records.  The trailing
     partial group merges into its predecessor (sizes k..2k−1); the
-    grouping is deterministic given a total order (col, tiebreak)."""
+    grouping is deterministic given a total order (col, tiebreak).
+
+    Precondition enforced: a class with fewer than k members cannot form
+    any ≥k-shared group (in the extreme, a singleton's "mean" IS the raw
+    value), so its output is SUPPRESSED to NULL rather than published.
+    This keeps the rewrite genuinely unconditional — every emitted value
+    is either a ≥k-member mean or NULL — which is what cli.py's
+    DI-coverage guard assumes when it lists microaggregate among the
+    unconditional_rewrites."""
     out = out or col
     w_ord = Window.partitionBy(cls).orderBy(col, tiebreak)
     w_all = Window.partitionBy(cls)
@@ -758,6 +766,9 @@ def microaggregate(
     )
     w_grp = Window.partitionBy(cls, "__grp")
     return (
-        g.withColumn(out, F.avg(col).over(w_grp))
+        g.withColumn(
+            out,
+            F.when(F.col("__n") >= k, F.avg(col).over(w_grp)),
+        )
         .drop("__rn", "__n", "__grp")
     )

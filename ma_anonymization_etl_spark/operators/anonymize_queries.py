@@ -479,7 +479,7 @@ WITH r AS (
   FROM g GROUP BY 1, 2
 )
 SELECT g.c_custkey, g.c_nationkey, g.grp, m.grp_size,
-       ROUND(m.grp_mean, 4) AS micro_bal
+       CASE WHEN g.n >= 10 THEN ROUND(m.grp_mean, 4) END AS micro_bal
 FROM g JOIN m ON m.c_nationkey = g.c_nationkey AND m.grp = g.grp
 """,
 )
@@ -492,7 +492,9 @@ def i40_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure survives.  The trailing partial group merges into its
     predecessor (standard rule — group sizes k..2k−1), groups are
     deterministic (value + key tie-break), and means come from exact
-    cents sums, so the oracle replays the whole release.  Sorted
+    cents sums, so the oracle replays the whole release.  A class with
+    n < k cannot form any ≥k-shared group, so its micro_bal is
+    suppressed to NULL (no raw value ever publishes).  Sorted
     fixed-size grouping is the OPTIMAL univariate partition; the
     multivariate generalization (MDAV) is Mondrian-adjacent and
     driver-iterative (i22's shape).
@@ -530,7 +532,7 @@ def i40_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "grp",
         "grp_size",
-        F.round("grp_mean", 4).alias("micro_bal"),
+        F.when(F.col("n") >= k, F.round("grp_mean", 4)).alias("micro_bal"),
     )
 
 

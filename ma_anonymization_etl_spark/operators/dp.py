@@ -470,7 +470,7 @@ WITH bins AS (
   SELECT DISTINCT c_nationkey, total FROM cdf WHERE total > 0
 ), draws AS (
   SELECT t.c_nationkey,
-         t.c_nationkey * 1000000 + i AS synth_id,
+         CAST(t.c_nationkey AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS synth_id,
          {_sql_uniform("t.c_nationkey || '#' || i", 'dps38d|')} AS u
   FROM totals t,
        LATERAL (SELECT unnest(range(1, CAST(t.total AS BIGINT) + 1)) AS i) s
@@ -536,7 +536,15 @@ def i38_dp_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(1, total)")).alias("i"),
     ).select(
         "c_nationkey",
-        (F.col("c_nationkey") * 1000000 + F.col("i")).alias("synth_id"),
+        # Collision-free synthetic key (ADVICE r4: an integer stride of
+        # 1e6 collides across nations once a noisy total exceeds it —
+        # inconsistent with the 100 TB claim).  nation '#' seq is unique
+        # by construction at any scale.
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("#"),
+            F.col("i").cast("string"),
+        ).alias("synth_id"),
         hash_uniform(
             F.concat(
                 F.col("c_nationkey").cast("string"),

@@ -590,10 +590,12 @@ def k21_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir(spark, "k21_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    def deliver_once() -> None:
+    def deliver_once() -> set[int]:
         ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+        written: set[int] = set()
 
         def write_batch(batch: DataFrame, batch_id: int) -> None:
+            written.add(batch_id)
             batch.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch_id={batch_id}")
             )
@@ -601,9 +603,25 @@ def k21_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run_foreach_batch creates a FRESH checkpoint per call, so the
         # second call re-delivers every batch under the same batch_ids.
         run_foreach_batch(ev, write_batch)
+        return written
 
-    deliver_once()
-    deliver_once()  # simulated failover replay
+    first = deliver_once()
+    replay = deliver_once()  # simulated failover replay
+    # Enforce — don't assume — idempotence under replay (ADVICE r4): the
+    # overwrite-by-batch-directory guarantee only holds if the replay
+    # rewrote every directory the first delivery created.  If the second
+    # run produced a different batch_id set, stale first-run directories
+    # would survive and double-count, so prune any batch dir the latest
+    # delivery did not rewrite, then assert the sets agreed (this bounded
+    # deterministic source must replay identical batch boundaries).
+    for stale in first - replay:
+        shutil.rmtree(os.path.join(out_dir, f"batch_id={stale}"), ignore_errors=True)
+    if first != replay:
+        raise AssertionError(
+            f"replay batch boundaries diverged: first={sorted(first)} "
+            f"replay={sorted(replay)} — stale dirs pruned, but the "
+            "exactly-once demonstration requires identical batch_ids"
+        )
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")

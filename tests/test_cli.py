@@ -279,3 +279,28 @@ def test_route_microaggregate_step(spark):
 
     shared = out.groupBy("c_nationkey", "c_acctbal").count()
     assert shared.filter(F.col("count") < 10).count() == 0
+
+
+def test_microaggregate_small_class_suppressed(spark):
+    """ADVICE r4: a class with n < k must NOT publish raw values (a
+    singleton's "mean" is the value itself).  The operator suppresses
+    such classes to NULL, keeping the DI-guard's unconditional-rewrite
+    assumption true."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.anonymize import microaggregate
+
+    rows = [("big", i, float(100 + i)) for i in range(12)]
+    rows += [("tiny", 100, 42.0), ("tiny", 101, 43.0)]  # n=2 < k=10
+    df = spark.createDataFrame(rows, "cls string, id int, v double")
+    out = microaggregate(df, "cls", "v", "id", k=10)
+    tiny = out.filter(F.col("cls") == "tiny").select("v").collect()
+    assert all(r.v is None for r in tiny), "n<k class must suppress, not leak raw"
+    big = out.filter(F.col("cls") == "big").select("v").collect()
+    assert all(r.v is not None for r in big)
+    shared = (
+        out.filter(F.col("v").isNotNull())
+        .groupBy("cls", "v").count()
+        .filter(F.col("count") < 10)
+    )
+    assert shared.count() == 0
