@@ -338,3 +338,92 @@ def p4_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("sz").cast("long").alias("component_size")).agg(
         F.count(F.lit(1)).alias("n_components")
     )
+
+
+@register(
+    "p1b_pagerank_converged",
+    # Release-invariant oracle (the d4/i18 exact-value + boolean-claim
+    # pattern): the iteration count is data-dependent, so the oracle
+    # cannot replay the recursion; instead it pins the exact graph
+    # dimensions and the claims the release must satisfy — the run
+    # CONVERGED under the cap and conserved rank mass.  A run that hits
+    # the cap unconverged, or leaks mass, mismatches the oracle.
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT (SELECT n FROM n) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       TRUE AS converged,
+       TRUE AS mass_conserved
+""",
+)
+def p1b_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p1b: p1's PRODUCTION TWIN — same exact-integer damped PageRank,
+    but iterating to an L1-residual fixpoint instead of a fixed 5
+    rounds (NEXT.md item e / judge r4 item 5).  Iterations run in lazy
+    blocks of 5 between materializations (one localCheckpoint + one
+    bounded driver-side residual scalar per block — j23's change-count
+    loop shape), stopping when the block residual Σ|r_t − r_{t−5}| drops
+    to ≤ 1% of total mass, cap 60 iterations.  With damping 0.85 the
+    residual contracts ≥ 0.85× per round, so the cap is ~4× the
+    analytic need — hitting it means the graph broke the contraction
+    assumption, and the release honestly reports converged=false (an
+    oracle mismatch, which is the point).
+
+    Mass invariant: each round truncates < 1 ppb per directed edge
+    (contribution floor-div) and < 2 per node (damping + teleport
+    floors), and the damped fixpoint amplifies per-round loss by
+    0.85/0.15 ≈ 5.7×, so total rank stays within 10·(E+2n) ppb of 1e9.
+
+    Scale: identical per-iteration profile to p1 (one edge-keyed join +
+    one groupBy, O(nodes) state, edges checkpointed once); convergence
+    detection adds one O(nodes) join + scalar agg per 5 rounds.  At
+    100 TB co-partition edges and ranks on the join key so every block
+    reuses one partitioning."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()  # bounded driver scalars, as in p1
+    n_edges = edges.count()
+    teleport = _PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n
+    tol = _PPB // 100
+    block, max_blocks = 5, 12
+    ranks = deg.select(
+        "u", "deg", F.lit(_PPB // n).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_blocks):
+        prev = ranks
+        for _ in range(block):
+            contrib = edges.join(ranks, edges.u == ranks.u).select(
+                F.col("v").alias("node"), F.expr("r div deg").alias("c")
+            )
+            s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = deg.join(s, deg.u == s.node, "left").select(
+                "u",
+                "deg",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{_DAMP_NUM} * coalesce(s, 0L) div {_DAMP_DEN}")
+                ).cast("long").alias("r"),
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+        resid = (
+            prev.select("u", F.col("r").alias("r0"))
+            .join(ranks.select("u", "r"), "u")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r0"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if resid <= tol:
+            converged = True
+            break
+    total = ranks.agg(F.sum("r").alias("t")).collect()[0]["t"]
+    mass_ok = _PPB - 10 * (n_edges + 2 * n) <= total <= _PPB
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(converged).alias("converged"),
+        F.lit(bool(mass_ok)).alias("mass_conserved"),
+    )

@@ -484,9 +484,15 @@ def j3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 12)
 
 
-@register(
-    "j3c_dedup_ngram_jaccard",
-    oracle="""
+# j3c's exhaustive referee oracle — kept for the test-side parity check
+# (tests/test_llm_props.py::test_j3c_exhaustive_referee_parity).  j3c is
+# deliberately NOT registered: it is Θ(Σ df²) in gram document frequency
+# with no scale story (measured round 4: no df-cap separates this corpus
+# without dropping real near-dups), so it must never enter the driver's
+# sampled gate or be mistaken for a production path.  Its referee duty —
+# attesting j3's banded pipeline against exhaustive ground truth — lives
+# entirely in the test suite.
+_J3C_ORACLE_SQL = """
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 1),
@@ -505,11 +511,13 @@ FROM pairs
 JOIN n na ON na.doc_id = a_id
 JOIN n nb ON nb.doc_id = b_id
 WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
-""",
-)
+"""
+
+
 def j3c_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j3 (exhaustive variant): word-2-gram Jaccard ≥ 0.2 pairs via
-    explode + equi-join on shared grams — fully oracle-checked.
+    explode + equi-join on shared grams — oracle-checked in the test
+    suite only (see _J3C_ORACLE_SQL above for why it is unregistered).
 
     This is the REFEREE, inherently Θ(Σ df²) in gram document
     frequency: on the bench corpus (tiny shared vocabulary, every gram
@@ -2096,3 +2104,169 @@ def j31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def heavy_hitters_routed(
+    spark: SparkSession,
+    sf_dir: str,
+    dict_threshold: int = 200_000,
+    force_route: str | None = None,
+) -> DataFrame:
+    """Routed heavy hitters (judge r4 item 6 / NEXT.md item f): ONE
+    entry point that picks the exact path (j22 — full term groupBy,
+    state ~ dictionary size) or the Count-Min path (j36 — fixed
+    ≤1024-cell sketch) by ESTIMATED dictionary cardinality, which is
+    the 100 TB-realistic shape: exact while the dictionary fits
+    executor memory, sketch when it cannot.
+
+    The routing estimate is deterministic and oracle-replayable: 20 ×
+    the distinct-term count of the 5% document sample (doc_id % 20 = 0)
+    — a bounded driver scalar, not a full-corpus COUNT DISTINCT (which
+    would cost the very shuffle the sketch route exists to avoid).
+
+    Sketch route mechanics: candidate terms come from the SAME sample
+    (a ≥0.5%-support term appears in any 5% sample w.h.p.), their
+    counts from the 4×256 CMS built in one (r, bucket)-keyed partial
+    aggregate over the full stream, and the corpus total from sketch
+    row r=0 (each CMS row's cells sum to the stream length) — so the
+    full corpus is scanned ONCE and never shuffled by term.  Released
+    columns are identical across routes (word, cnt, share, route);
+    sketch counts are upper bounds, with the route column declaring
+    the semantics."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_of()).alias("word"))
+    sample = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.explode(words_of()).alias("word")
+    )
+    route = force_route
+    if route is None:
+        est_dict = 20 * sample.distinct().count()  # bounded driver scalar
+        route = "exact" if est_dict <= dict_threshold else "sketch"
+    if route == "exact":
+        counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+        total = counts.agg(F.sum("cnt").alias("__n"))
+        return (
+            counts.join(F.broadcast(total))
+            .filter(F.col("cnt") >= 0.005 * F.col("__n"))
+            .select(
+                "word",
+                "cnt",
+                F.round(F.col("cnt") / F.col("__n"), 6).alias("share"),
+                F.lit("exact").alias("route"),
+            )
+        )
+
+    def bucket(r, word_col):
+        return hash31_md5(F.concat(F.lit(f"cm{r}|"), word_col)) % 256
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r, F.col("word")).alias("b")
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+        # The sketch is ≤1024 rows but feeds TWO consumers (probe join +
+        # total); without materialization each consumer re-scans the full
+        # corpus.  Checkpointing the tiny table makes the full scan happen
+        # exactly once — the property test_j38_sketch_route_avoids_term_shuffle
+        # pins.
+        .localCheckpoint(eager=True)
+    )
+    total = cells.filter(F.col("r") == 0).agg(F.sum("cell").alias("__n"))
+    probes = sample.distinct().select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("pr"), bucket(r, F.col("word")).alias("pb")
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.pr") == F.col("r")) & (F.col("p.pb") == F.col("b")),
+        )
+        .groupBy("word")
+        .agg(F.min("cell").alias("est_n"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .filter(F.col("est_n") >= 0.005 * F.col("__n"))
+        .select(
+            "word",
+            F.col("est_n").cast("long").alias("cnt"),
+            F.round(F.col("est_n") / F.col("__n"), 6).alias("share"),
+            F.lit("sketch").alias("route"),
+        )
+    )
+
+
+_J38_SKETCH_REL = """
+w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+s AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents WHERE doc_id % 20 = 0),
+dict AS (SELECT 20 * COUNT(DISTINCT word) AS est_dict FROM s),
+total AS (SELECT COUNT(*) AS n FROM w),
+exact_rel AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(COUNT(*) / (SELECT n FROM total), 6) AS share,
+         'exact' AS route
+  FROM w GROUP BY word
+  HAVING COUNT(*) >= 0.005 * (SELECT n FROM total)
+),
+cells AS (
+  SELECT r,
+         (('0x' || substr(md5('cm' || r || '|' || word), 1, 15))::BIGINT
+          % 2147483647) % 256 AS b,
+         COUNT(*) AS cell
+  FROM w, (SELECT unnest(range(4)) AS r) rs
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT word FROM s),
+est AS (
+  SELECT c.word, MIN(cells.cell) AS est_n
+  FROM cand c JOIN cells
+    ON cells.b = (('0x' || substr(md5('cm' || cells.r || '|' || c.word), 1, 15))::BIGINT
+                  % 2147483647) % 256
+  GROUP BY c.word
+),
+sketch_rel AS (
+  SELECT word, CAST(est_n AS BIGINT) AS cnt,
+         ROUND(est_n / (SELECT n FROM total), 6) AS share,
+         'sketch' AS route
+  FROM est WHERE est_n >= 0.005 * (SELECT n FROM total)
+)
+"""
+
+
+@register(
+    "j38_heavy_hitters_routed",
+    # The oracle replays the ROUTE DECISION too: both release shapes are
+    # defined, and the sample-estimated dictionary size guards which one
+    # emits rows — so a Spark-side routing regression (wrong branch)
+    # mismatches even if both branches are individually correct.
+    oracle=f"""
+WITH {_J38_SKETCH_REL}
+SELECT * FROM exact_rel WHERE (SELECT est_dict FROM dict) <= 200000
+UNION ALL
+SELECT * FROM sketch_rel WHERE (SELECT est_dict FROM dict) > 200000
+""",
+)
+def j38_heavy_hitters_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j38 (extension): see heavy_hitters_routed — exact-vs-CMS heavy
+    hitters behind one cardinality-routed entry point."""
+    return heavy_hitters_routed(spark, sf_dir)

@@ -196,3 +196,35 @@ def test_j32_df_join_back_not_self_join(spark):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_shuffles <= 5, f"j32 shuffles too much ({n_shuffles}):\n{plan}"
+
+
+def test_j38_sketch_route_avoids_term_shuffle(spark):
+    """The router's whole point at 100 TB: the sketch route must not
+    shuffle the FULL token stream by term.  Its plan reads documents
+    exactly twice — once unfiltered into the fixed (r, bucket)-keyed
+    CMS cells (<=1024 groups), once under the doc_id % 20 sample filter
+    for candidates — so every word-keyed exchange sits above the 5%
+    sample, never the full corpus.  The exact route's plan, by
+    contrast, aggregates the unfiltered stream by word."""
+    from ma_anonymization_etl_spark.operators.llm import heavy_hitters_routed
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    sketch_plan = fmt(heavy_hitters_routed(spark, SF_ORACLE, force_route="sketch"))
+    tree = sketch_plan.split("\n\n")[0]
+    # One full-corpus scan only (the CMS cells aggregate, materialized as a
+    # <=1024-row checkpoint before fan-out); the sampled candidate scan is
+    # the other.
+    assert tree.count("Scan parquet") <= 2, (
+        f"sketch route re-scans the corpus:\n{tree}"
+    )
+    assert "% 20" in sketch_plan, "sample filter missing from sketch plan"
+    exact_plan = fmt(heavy_hitters_routed(spark, SF_ORACLE, force_route="exact"))
+    n_word_ex_sketch = sketch_plan.count("hashpartitioning(word")
+    n_word_ex_exact = exact_plan.count("hashpartitioning(word")
+    assert n_word_ex_exact >= 1, "exact route must shuffle by term"
+    assert n_word_ex_sketch <= n_word_ex_exact
