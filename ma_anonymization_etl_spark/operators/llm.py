@@ -2270,3 +2270,208 @@ def j38_heavy_hitters_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j38 (extension): see heavy_hitters_routed — exact-vs-CMS heavy
     hitters behind one cardinality-routed entry point."""
     return heavy_hitters_routed(spark, sf_dir)
+
+
+# DuckDB replays of dp.hash_uniform(doc_id, salt) for the split/mixture ops.
+_SQL_U39 = ("(('0x' || substr(md5('split39|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT) / {float(1 << 60)!r}")
+_SQL_U40 = ("(('0x' || substr(md5('mix40|' || CAST(d.doc_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT) / {float(1 << 60)!r}")
+
+
+@register(
+    "j39_train_test_split",
+    oracle=f"""
+WITH d AS (
+  SELECT source, n_chars,
+         CASE WHEN {_SQL_U39} < 0.8 THEN 'train'
+              WHEN {_SQL_U39} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS corpus_share
+FROM d GROUP BY split, source
+""",
+)
+def j39_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j39 (extension): deterministic hash-based train/val/test split —
+    the reproducibility primitive of every training-data pipeline: each
+    doc routes to a split by a salted md5-uniform of its id (80/10/10),
+    so membership is a pure function of (salt, doc_id): stable across
+    runs, engines, and repartitions, with no sampling state and no
+    shuffle (assignment is map-side; only the audit agg shuffles tiny
+    (split, source) groups).  Released: the split × source audit table
+    (doc and char counts + corpus share) a pipeline publishes to prove
+    split balance.  The oracle replays every assignment."""
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    d = load(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), "split39|")
+    total = d.count()  # bounded driver scalar for the share denominator
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_chars_total",
+            F.round(F.col("n_docs") / F.lit(total), 6).alias("corpus_share"),
+        )
+    )
+
+
+@register(
+    "j40_mixture_sample",
+    # Temperature-weighted source mixing (alpha = 0.5), all routing
+    # arithmetic in scaled integers so the oracle replays bit-exactly:
+    # w_s = floor(sqrt(n_s)*1e6), quota_s = (N/2)*w_s div sum(w), keep
+    # iff md5-uniform(doc_id) < quota_s/n_s (one IEEE division on each
+    # engine — identical).
+    oracle=f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_source,
+         CAST(FLOOR(SQRT(COUNT(*)) * 1000000.0) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n_source) AS n_total, SUM(w) AS denom FROM c),
+q AS (
+  SELECT source, n_source,
+         CAST((t.n_total // 2) * w // t.denom AS BIGINT) AS quota
+  FROM c CROSS JOIN t
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN q ON q.source = d.source
+  WHERE {_SQL_U40} < CAST(quota AS DOUBLE) / n_source
+  GROUP BY d.source
+)
+SELECT q.source, CAST(q.n_source AS BIGINT) AS n_source, q.quota,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(COALESCE(k.n_kept, 0) / CAST(q.n_source AS DOUBLE), 6) AS kept_rate
+FROM q LEFT JOIN kept k ON k.source = q.source
+""",
+)
+def j40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j40 (extension): TRAINING-MIXTURE sampling — temperature-based
+    source re-weighting (the multilingual/multi-domain standard: sample
+    source s proportional to n_s^alpha, alpha = 0.5, so small sources
+    are up-weighted relative to their raw share) down to a 50% target
+    corpus.  Per-source quotas come from exact integer arithmetic over
+    the tiny source-count table; each doc keeps or drops by comparing
+    its salted md5-uniform to its source's quota rate — a broadcast
+    join + map-side filter, so the corpus is scanned once and never
+    shuffled (only the per-source audit agg shuffles |sources| rows).
+    Released: the per-source audit (population, quota, kept, rate).
+    Every keep/drop decision is oracle-replayed.
+
+    Scale: the routing table is O(sources) and broadcast; the data pass
+    is embarrassingly parallel.  At 100 TB this is exactly the mixture
+    step before tokenization — no part of the plan grows with corpus
+    size except the one linear scan."""
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source")).withColumn(
+        "w", F.floor(F.sqrt(F.col("n_source")) * 1000000.0).cast("long")
+    )
+    t = c.agg(F.sum("n_source").alias("n_total"), F.sum("w").alias("denom"))
+    q = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_source",
+            F.expr("(n_total div 2) * w div denom").cast("long").alias("quota"),
+        )
+        .localCheckpoint(eager=True)  # tiny routing table, reused twice
+    )
+    u = hash_uniform(F.col("doc_id"), "mix40|")
+    kept = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(q), "source")
+        .filter(u < F.col("quota").cast("double") / F.col("n_source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        q.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_source").cast("long").alias("n_source"),
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                / F.col("n_source").cast("double"),
+                6,
+            ).alias("kept_rate"),
+        )
+    )
+
+
+@register(
+    "j41_doc_chunking",
+    # C=64-token chunks, stride S=48 (16-token overlap) — every token
+    # covered, trailing chunk may be short; chunk i exists while
+    # i*S + 1 <= n_tokens.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+       CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_tok,
+       array_to_string(list_slice(w, i * 48 + 1, LEAST(i * 48 + 64, n)), ' ')
+         AS chunk_text
+FROM d, LATERAL (SELECT unnest(range(0, (n - 1) // 48 + 1)) AS i) s
+""",
+)
+def j41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j41 (extension): overlapping-window DOCUMENT CHUNKING — the
+    context-window packing/RAG-indexing primitive: each doc becomes
+    ceil(n/S) chunks of up to C=64 tokens at stride S=48 (16-token
+    overlap so no boundary-spanning phrase is lost).  Fully declarative
+    (split → sequence → explode → slice/concat inside codegen, no
+    Python) and purely map-side: zero shuffles, output size ≈ C/S ×
+    corpus — the shape that holds at 100 TB where chunking must stream
+    through the scan.  The oracle replays every chunk boundary and the
+    chunk text itself."""
+    C, S = 64, 48
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", words_of().alias("w")
+    ).withColumn("n", F.size("w").cast("long"))
+    return (
+        d.select(
+            "doc_id",
+            "n",
+            "w",
+            F.explode(F.expr(f"sequence(0L, (n - 1) div {S})")).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * S + 1).alias("start_tok"),
+            F.least(F.lit(C).cast("long"), F.col("n") - F.col("chunk_idx") * S).alias(
+                "n_tok"
+            ),
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(w, cast(chunk_idx * {S} + 1 as int), {C})"),
+            ).alias("chunk_text"),
+        )
+    )
