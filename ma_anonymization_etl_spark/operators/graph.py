@@ -115,6 +115,32 @@ LIMIT 20
 """
 
 
+def _pagerank_init(deg: DataFrame, n: int) -> DataFrame:
+    """Uniform initial ranks (ppb) joined onto the degree table."""
+    return deg.select("u", F.col("deg"), F.lit(_PPB // n).cast("long").alias("r"))
+
+
+def _pagerank_round(
+    edges: DataFrame, deg: DataFrame, ranks: DataFrame, teleport: int
+) -> DataFrame:
+    """ONE damped-PageRank iteration in exact integer arithmetic —
+    shared verbatim by p1 (fixed 5 rounds, oracle-unrolled) and p1b
+    (convergence-detected), so the 'production twin' claim is enforced
+    by construction rather than by keeping two copies in sync."""
+    contrib = edges.join(ranks, edges.u == ranks.u).select(
+        F.col("v").alias("node"), F.expr("r div deg").alias("c")
+    )
+    s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    return deg.join(s, deg.u == s.node, "left").select(
+        "u",
+        "deg",
+        (
+            F.lit(teleport)
+            + F.expr(f"{_DAMP_NUM} * coalesce(s, 0L) div {_DAMP_DEN}")
+        ).cast("long").alias("r"),
+    )
+
+
 @register("p1_pagerank", oracle=_p1_oracle())
 def p1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p1: 5-iteration damped PageRank over the co-purchase graph, in
@@ -128,20 +154,9 @@ def p1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded driver scalar (node count), like i18's ladder pick
     teleport = _PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n
-    ranks = deg.select("u", F.col("deg"), F.lit(_PPB // n).cast("long").alias("r"))
+    ranks = _pagerank_init(deg, n)
     for _ in range(_ITER):
-        contrib = edges.join(ranks, edges.u == ranks.u).select(
-            F.col("v").alias("node"), F.expr("r div deg").alias("c")
-        )
-        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = deg.join(s, deg.u == s.node, "left").select(
-            "u",
-            "deg",
-            (
-                F.lit(teleport)
-                + F.expr(f"{_DAMP_NUM} * coalesce(s, 0L) div {_DAMP_DEN}")
-            ).cast("long").alias("r"),
-        )
+        ranks = _pagerank_round(edges, deg, ranks, teleport)
     return (
         ranks.select(F.col("u").alias("part_id"), F.col("r").alias("rank_ppb"))
         .orderBy(F.col("rank_ppb").desc(), "part_id")
@@ -390,25 +405,12 @@ def p1b_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = _PPB * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n
     tol = _PPB // 100
     block, max_blocks = 5, 12
-    ranks = deg.select(
-        "u", "deg", F.lit(_PPB // n).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    ranks = _pagerank_init(deg, n).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_blocks):
         prev = ranks
         for _ in range(block):
-            contrib = edges.join(ranks, edges.u == ranks.u).select(
-                F.col("v").alias("node"), F.expr("r div deg").alias("c")
-            )
-            s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = deg.join(s, deg.u == s.node, "left").select(
-                "u",
-                "deg",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"{_DAMP_NUM} * coalesce(s, 0L) div {_DAMP_DEN}")
-                ).cast("long").alias("r"),
-            )
+            ranks = _pagerank_round(edges, deg, ranks, teleport)
         ranks = ranks.localCheckpoint(eager=True)
         resid = (
             prev.select("u", F.col("r").alias("r0"))

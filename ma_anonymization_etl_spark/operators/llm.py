@@ -2272,11 +2272,13 @@ def j38_heavy_hitters_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_routed(spark, sf_dir)
 
 
-# DuckDB replays of dp.hash_uniform(doc_id, salt) for the split/mixture ops.
-_SQL_U39 = ("(('0x' || substr(md5('split39|' || CAST(doc_id AS VARCHAR)), 1, 15))"
-            f"::BIGINT) / {float(1 << 60)!r}")
-_SQL_U40 = ("(('0x' || substr(md5('mix40|' || CAST(d.doc_id AS VARCHAR)), 1, 15))"
-            f"::BIGINT) / {float(1 << 60)!r}")
+# DuckDB replays of dp.hash_uniform(doc_id, salt) for the split/mixture ops —
+# generated by the one canonical replay builder so the three expressions can
+# never drift apart.
+from ma_anonymization_etl_spark.operators.dp import _sql_uniform  # noqa: E402
+
+_SQL_U39 = _sql_uniform("doc_id", "split39|")
+_SQL_U40 = _sql_uniform("d.doc_id", "mix40|")
 
 
 @register(
@@ -2292,7 +2294,7 @@ WITH d AS (
 SELECT split, source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-       ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS corpus_share
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS corpus_share
 FROM d GROUP BY split, source
 """,
 )
@@ -2306,11 +2308,15 @@ def j39_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split, source) groups).  Released: the split × source audit table
     (doc and char counts + corpus share) a pipeline publishes to prove
     split balance.  The oracle replays every assignment."""
+    from pyspark.sql import Window
+
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
     d = load(spark, sf_dir, "documents")
     u = hash_uniform(F.col("doc_id"), "split39|")
-    total = d.count()  # bounded driver scalar for the share denominator
+    # Share denominator = sum over the tiny audit table itself (an
+    # unbounded window over ~|splits × sources| rows) — no second corpus
+    # pass for a number the aggregate already knows.
     return (
         d.select(
             "source",
@@ -2329,18 +2335,26 @@ def j39_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_chars_total",
-            F.round(F.col("n_docs") / F.lit(total), 6).alias("corpus_share"),
+            F.round(
+                F.col("n_docs")
+                / F.sum("n_docs").over(Window.partitionBy()),
+                6,
+            ).alias("corpus_share"),
         )
     )
 
 
 @register(
     "j40_mixture_sample",
-    # Temperature-weighted source mixing (alpha = 0.5), all routing
-    # arithmetic in scaled integers so the oracle replays bit-exactly:
-    # w_s = floor(sqrt(n_s)*1e6), quota_s = (N/2)*w_s div sum(w), keep
-    # iff md5-uniform(doc_id) < quota_s/n_s (one IEEE division on each
-    # engine — identical).
+    # Temperature-weighted source mixing (alpha = 0.5).  Quota
+    # arithmetic runs in IEEE DOUBLE with one fixed operation order —
+    # ((0.5 * N) * w_s) / denom, floored — which both engines evaluate
+    # bit-identically AND which cannot overflow at any corpus size
+    # (an int64 product (N/2)*w_s would wrap around ~2e9 docs — the
+    # same defect class as i38's old synth_id stride).  w_s =
+    # floor(sqrt(n_s)*1e6) keeps 6 significant digits of the
+    # temperature weight; keep iff md5-uniform(doc_id) < quota_s/n_s
+    # (again one IEEE division per engine — identical).
     oracle=f"""
 WITH c AS (
   SELECT source, COUNT(*) AS n_source,
@@ -2350,7 +2364,8 @@ WITH c AS (
 t AS (SELECT SUM(n_source) AS n_total, SUM(w) AS denom FROM c),
 q AS (
   SELECT source, n_source,
-         CAST((t.n_total // 2) * w // t.denom AS BIGINT) AS quota
+         CAST(FLOOR(((0.5 * CAST(t.n_total AS DOUBLE)) * CAST(w AS DOUBLE))
+                    / CAST(t.denom AS DOUBLE)) AS BIGINT) AS quota
   FROM c CROSS JOIN t
 ),
 kept AS (
@@ -2373,15 +2388,19 @@ def j40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.  Per-source quotas come from exact integer arithmetic over
     the tiny source-count table; each doc keeps or drops by comparing
     its salted md5-uniform to its source's quota rate — a broadcast
-    join + map-side filter, so the corpus is scanned once and never
-    shuffled (only the per-source audit agg shuffles |sources| rows).
+    join + map-side filter.  The corpus is read in TWO linear passes
+    (you cannot route without counting first): one partial-aggregated
+    count pass builds the O(sources) routing table, then the keep/drop
+    pass streams through the scan; neither pass shuffles the corpus
+    (only the per-source audit agg shuffles |sources| rows).
     Released: the per-source audit (population, quota, kept, rate).
     Every keep/drop decision is oracle-replayed.
 
-    Scale: the routing table is O(sources) and broadcast; the data pass
-    is embarrassingly parallel.  At 100 TB this is exactly the mixture
-    step before tokenization — no part of the plan grows with corpus
-    size except the one linear scan."""
+    Scale: the routing table is O(sources) and broadcast; both data
+    passes are embarrassingly parallel, and nothing in the plan grows
+    with corpus size beyond those two scans (in a real pipeline the
+    source counts usually come free from catalog statistics, collapsing
+    this to one pass)."""
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
     d = load(spark, sf_dir, "documents")
@@ -2394,7 +2413,13 @@ def j40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_source",
-            F.expr("(n_total div 2) * w div denom").cast("long").alias("quota"),
+            # Same IEEE-double op order as the oracle: ((0.5*N)*w)/denom,
+            # floored — cross-engine identical, overflow-free at any N.
+            F.floor(
+                (F.lit(0.5) * F.col("n_total").cast("double"))
+                * F.col("w").cast("double")
+                / F.col("denom").cast("double")
+            ).cast("long").alias("quota"),
         )
         .localCheckpoint(eager=True)  # tiny routing table, reused twice
     )
@@ -2425,8 +2450,10 @@ def j40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j41_doc_chunking",
     # C=64-token chunks, stride S=48 (16-token overlap) — every token
-    # covered, trailing chunk may be short; chunk i exists while
-    # i*S + 1 <= n_tokens.
+    # covered exactly once by some chunk END: the last chunk index is
+    # ceil((n-C)/S) (0 when n <= C), so a chunk is emitted only when it
+    # extends coverage — never a trailing chunk fully contained in its
+    # predecessor (n mod S in [1, C-S] used to produce one).
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w,
@@ -2438,14 +2465,16 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_tok,
        array_to_string(list_slice(w, i * 48 + 1, LEAST(i * 48 + 64, n)), ' ')
          AS chunk_text
-FROM d, LATERAL (SELECT unnest(range(0, (n - 1) // 48 + 1)) AS i) s
+FROM d, LATERAL (SELECT unnest(range(0, GREATEST(0, (n - 64 + 47) // 48) + 1)) AS i) s
 """,
 )
 def j41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j41 (extension): overlapping-window DOCUMENT CHUNKING — the
     context-window packing/RAG-indexing primitive: each doc becomes
-    ceil(n/S) chunks of up to C=64 tokens at stride S=48 (16-token
-    overlap so no boundary-spanning phrase is lost).  Fully declarative
+    1 + max(0, ceil((n−C)/S)) chunks of up to C=64 tokens at stride
+    S=48 (16-token overlap so no boundary-spanning phrase is lost; a
+    chunk is emitted only when it extends coverage, so no trailing
+    chunk is ever a subset of its predecessor).  Fully declarative
     (split → sequence → explode → slice/concat inside codegen, no
     Python) and purely map-side: zero shuffles, output size ≈ C/S ×
     corpus — the shape that holds at 100 TB where chunking must stream
@@ -2460,7 +2489,9 @@ def j41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n",
             "w",
-            F.explode(F.expr(f"sequence(0L, (n - 1) div {S})")).alias("chunk_idx"),
+            F.explode(
+                F.expr(f"sequence(0L, greatest(0L, (n - {C} + {S - 1}) div {S}))")
+            ).alias("chunk_idx"),
         )
         .select(
             "doc_id",

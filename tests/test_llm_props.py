@@ -474,3 +474,34 @@ def test_j38_sketch_estimates_cover_exact_heavies(spark):
     assert not missed, f"sketch route missed exact heavy hitters: {missed}"
     under = {w for w in exact if sketch[w] < exact[w]}
     assert not under, f"CMS under-counted (impossible for Count-Min): {under}"
+
+
+def test_j41_chunks_cover_without_redundant_tail(spark):
+    """Every token is covered, chunk ends strictly increase (review r5:
+    the original rule emitted a trailing chunk fully contained in its
+    predecessor whenever n mod S fell in [1, C-S]), and only the last
+    chunk may be shorter than C."""
+    import pandas as pd
+
+    from ma_anonymization_etl_spark.operators.llm import j41_doc_chunking
+    from pyspark.sql import functions as F
+
+    out = j41_doc_chunking(spark, SF_ORACLE)
+    pdf = out.select(
+        "doc_id", "chunk_idx", "start_tok", "n_tok"
+    ).toPandas().sort_values(["doc_id", "chunk_idx"])
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    for doc_id, g in pdf.groupby("doc_id"):
+        ends = (g["start_tok"] + g["n_tok"] - 1).tolist()
+        assert ends[-1] == docs[doc_id], f"doc {doc_id}: tail tokens uncovered"
+        assert all(b > a for a, b in zip(ends, ends[1:])), (
+            f"doc {doc_id}: redundant chunk (non-increasing end)"
+        )
+        assert (g["n_tok"].iloc[:-1] == 64).all(), (
+            f"doc {doc_id}: non-final short chunk"
+        )
