@@ -564,3 +564,65 @@ def n9_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_qty"),
     )
+
+
+@register(
+    "n10_schema_evolution",
+    # The staged layout: batch=1 files carry the v1 schema (orderkey,
+    # totalprice), batch=2 files the evolved v2 schema (+ o_channel).
+    # mergeSchema unions the schemas and null-fills v1 rows; the oracle
+    # replays the whole release from the original table (even keys =
+    # v1 legacy rows -> NULL channel).
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_orderkey % 3 AS VARCHAR) END
+         AS o_channel,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_price
+FROM orders
+GROUP BY 1
+""",
+)
+def n10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n10 (extension): SCHEMA EVOLUTION across a table's file history —
+    the unavoidable ETL reality that yesterday's files lack today's
+    columns: a v1 batch (o_orderkey, o_totalprice) and a v2 batch with
+    an added o_channel column land in one dataset; the read side unions
+    them with ``mergeSchema`` (a footer-level schema union — no file
+    rewrite), v1 rows surface NULL for the new column, and the release
+    aggregates across the generations (NULL channel = legacy rows).
+
+    Scale: mergeSchema costs a footer read per file at planning time —
+    at 100 TB pin the evolved schema in a table catalog instead of
+    inferring per query, but the null-fill semantics are identical;
+    column pruning and predicate pushdown still reach each file with
+    its own physical schema."""
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    import os
+    import re
+
+    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    base = scratch_dir(spark, "n10_evo", sfx)
+    marker = f"spark.mael.n10_staged_{sfx}"
+    o = load(spark, sf_dir, "orders")
+    if not spark.conf.get(marker, None):
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 3).cast("string").alias("o_channel"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+        spark.conf.set(marker, "1")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("o_channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("sum_price"),
+    )

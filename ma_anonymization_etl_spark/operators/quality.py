@@ -323,3 +323,126 @@ def q4_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("avg_norm"),
     )
+
+
+@register(
+    "q5_drift_psi",
+    # Population Stability Index between the stream's first and second
+    # half-month, per event_type, over 10 fixed value bins (width 50,
+    # top-coded at bin 9) with +1 Laplace smoothing so empty bins stay
+    # finite.  All densities are IEEE doubles built with one fixed op
+    # order; the 10-term PSI sum rounds to 6 dp (the established
+    # float-accumulation discipline).
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
+  FROM events
+),
+frame AS (
+  SELECT g.event_type, b.bin, h.half
+  FROM (SELECT DISTINCT event_type FROM e) g,
+       (SELECT unnest(range(10)) AS bin) b,
+       (VALUES (0), (1)) h(half)
+),
+cnt AS (SELECT event_type, bin, half, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+f AS (
+  SELECT fr.event_type, fr.bin, fr.half, COALESCE(c.n, 0) AS n
+  FROM frame fr LEFT JOIN cnt c
+    ON c.event_type = fr.event_type AND c.bin = fr.bin AND c.half = fr.half
+),
+tot AS (SELECT event_type, half, SUM(n) AS nh FROM f GROUP BY 1, 2),
+p AS (
+  SELECT f.event_type, f.bin, f.half,
+         (CAST(f.n AS DOUBLE) + 1) / (CAST(t.nh AS DOUBLE) + 10) AS p
+  FROM f JOIN tot t ON t.event_type = f.event_type AND t.half = f.half
+),
+w AS (
+  SELECT b.event_type, b.bin, b.p AS p0, c.p AS p1
+  FROM p b JOIN p c ON c.event_type = b.event_type AND c.bin = b.bin
+  WHERE b.half = 0 AND c.half = 1
+),
+psi AS (
+  SELECT event_type, ROUND(SUM((p1 - p0) * LN(p1 / p0)), 6) AS psi
+  FROM w GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(t0.nh AS BIGINT) AS n_base,
+       CAST(t1.nh AS BIGINT) AS n_current,
+       s.psi,
+       s.psi > 0.1 AS drifted
+FROM psi s
+JOIN tot t0 ON t0.event_type = s.event_type AND t0.half = 0
+JOIN tot t1 ON t1.event_type = s.event_type AND t1.half = 1
+""",
+)
+def q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5: DISTRIBUTION DRIFT detection via the Population Stability
+    Index — the standard production-ML monitor for "has this feature's
+    distribution moved since the baseline window": per event_type, the
+    value distribution of the first half-month (baseline) vs the second
+    (current) over 10 fixed-width bins, PSI = Σ (p_cur − p_base) ·
+    ln(p_cur / p_base) with +1 smoothing; PSI > 0.1 is the conventional
+    investigate threshold, > 0.25 act.  A q1/q2-style release: the
+    audit table a pipeline publishes per monitoring window.
+
+    Scale: one scan → one (type, half, bin)-keyed partial aggregate
+    (≤ types×2×10 groups); the bin frame is built from the distinct
+    types (broadcast) so empty bins participate in smoothing; all
+    downstream algebra runs on the tiny count table.  At 100 TB the
+    same plan holds — drift monitoring is aggregate-sized, not
+    corpus-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("long").alias("bin"),
+        F.when(F.col("ts") < "2024-01-16", 0).otherwise(1).alias("half"),
+    )
+    cnt = e.groupBy("event_type", "bin", "half").agg(F.count(F.lit(1)).alias("n"))
+    frame = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+        .crossJoin(spark.range(2).select(F.col("id").alias("half")))
+    )
+    f = frame.join(cnt, ["event_type", "bin", "half"], "left").select(
+        "event_type", "bin", "half", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    tot = f.groupBy("event_type", "half").agg(F.sum("n").alias("nh"))
+    p = f.join(tot, ["event_type", "half"]).select(
+        "event_type",
+        "bin",
+        "half",
+        (
+            (F.col("n").cast("double") + 1) / (F.col("nh").cast("double") + 10)
+        ).alias("p"),
+    )
+    b = p.filter(F.col("half") == 0).select("event_type", "bin", F.col("p").alias("p0"))
+    c = p.filter(F.col("half") == 1).select("event_type", "bin", F.col("p").alias("p1"))
+    psi = (
+        b.join(c, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0"))),
+                6,
+            ).alias("psi")
+        )
+    )
+    t0 = tot.filter(F.col("half") == 0).select(
+        "event_type", F.col("nh").cast("long").alias("n_base")
+    )
+    t1 = tot.filter(F.col("half") == 1).select(
+        "event_type", F.col("nh").cast("long").alias("n_current")
+    )
+    return (
+        psi.join(t0, "event_type")
+        .join(t1, "event_type")
+        .select(
+            "event_type",
+            "n_base",
+            "n_current",
+            "psi",
+            (F.col("psi") > 0.1).alias("drifted"),
+        )
+    )
