@@ -127,3 +127,79 @@ def test_i40_microaggregation_invariants(spark):
         assert out.count() == n
     finally:
         out.unpersist()
+
+
+# --- round-5 operators -----------------------------------------------------
+
+
+def test_j39_split_partitions_corpus(spark):
+    """The three splits partition the corpus exactly (no doc lost or
+    double-assigned), shares sum to 1 within rounding, and the ratios
+    sit near 80/10/10."""
+    from ma_anonymization_etl_spark.operators.llm import j39_train_test_split
+
+    rows = j39_train_test_split(spark, SF_ORACLE).collect()
+    n_total = load(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / n_total < 0.9
+    assert 0.05 < by_split["val"] / n_total < 0.15
+    assert 0.05 < by_split["test"] / n_total < 0.15
+
+
+def test_j40_mixture_quotas_and_kept_bounds(spark):
+    """Quotas never exceed the 50% target total (floor can only lose),
+    kept never exceeds the source population, and the temperature
+    direction holds: the smallest source's kept_rate >= the largest
+    source's kept_rate (alpha=0.5 up-weights small sources)."""
+    from ma_anonymization_etl_spark.operators.llm import j40_mixture_sample
+
+    rows = j40_mixture_sample(spark, SF_ORACLE).collect()
+    n_total = sum(r.n_source for r in rows)
+    assert sum(r.quota for r in rows) <= n_total // 2
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_source
+    smallest = min(rows, key=lambda r: (r.n_source, r.source))
+    largest = max(rows, key=lambda r: (r.n_source, r.source))
+    assert smallest.quota / smallest.n_source >= largest.quota / largest.n_source
+
+
+def test_q5_psi_is_nonnegative(spark):
+    """Each PSI term (p1-p0)*ln(p1/p0) has both factors of the same
+    sign, so PSI >= 0 always — a meaning check the oracle equality
+    can't provide (both engines could agree on a sign-flipped formula)."""
+    from ma_anonymization_etl_spark.operators.quality import q5_drift_psi
+
+    rows = q5_drift_psi(spark, SF_ORACLE).collect()
+    assert len(rows) == 5  # one audit row per event_type
+    for r in rows:
+        assert r.psi >= 0.0
+        assert r.drifted == (r.psi > 0.1)
+        assert r.n_base > 0 and r.n_current > 0
+
+
+def test_n10_legacy_rows_surface_null_channel(spark):
+    """The merged read must null-fill exactly the v1 (even-key) rows."""
+    from ma_anonymization_etl_spark.operators.etl import n10_schema_evolution
+
+    rows = {r.o_channel: r.n for r in n10_schema_evolution(spark, SF_ORACLE).collect()}
+    o = load(spark, SF_ORACLE, "orders")
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = o.filter(F.col("o_orderkey") % 2 == 1).count()
+    assert rows[None] == n_even
+    assert sum(v for k, v in rows.items() if k is not None) == n_odd
+
+
+def test_p1b_converges_and_agrees_with_p1_direction(spark):
+    """p1b must report convergence on the corpus graph, and because it
+    shares _pagerank_round with p1, five p1b-style rounds equal p1's
+    release exactly (twin-consistency by construction)."""
+    from ma_anonymization_etl_spark.operators.graph import p1b_pagerank_converged
+
+    row = p1b_pagerank_converged(spark, SF_ORACLE).collect()[0]
+    assert row.converged and row.mass_conserved
+    assert row.n_nodes > 0 and row.n_edges > 0
