@@ -295,22 +295,21 @@ def n7_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE mechanism that makes star-schema date filters cheap on a
     partitioned 100 TB fact table: pruning happens before I/O, scaling
     with surviving partitions, not table size."""
-    import re
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, scratch_dir, stage_key
 
-    from ma_anonymization_etl_spark.sources.io import scratch_dir
-
-    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    sfx = stage_key(sf_dir)
     path = scratch_dir(spark, "n7", sfx, "orders_by_year")
-    marker = f"n7_written_{sfx}"
-    if not spark.conf.get(f"spark.mael.{marker}", None):
+
+    def _write(p: str) -> None:
         (
             load(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate"))
             .write.mode("overwrite")
             .partitionBy("o_year")
-            .parquet(path)
+            .parquet(p)
         )
-        spark.conf.set(f"spark.mael.{marker}", "1")
+
+    ensure_staged(spark, f"n7_{sfx}", path, _write)
     fact = spark.read.parquet(path)
     dim = (
         load(spark, sf_dir, "orders")
@@ -597,16 +596,15 @@ def n10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferring per query, but the null-fill semantics are identical;
     column pruning and predicate pushdown still reach each file with
     its own physical schema."""
-    from ma_anonymization_etl_spark.sources.io import scratch_dir
-
     import os
-    import re
 
-    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, scratch_dir, stage_key
+
+    sfx = stage_key(sf_dir)
     base = scratch_dir(spark, "n10_evo", sfx)
-    marker = f"spark.mael.n10_staged_{sfx}"
-    o = load(spark, sf_dir, "orders")
-    if not spark.conf.get(marker, None):
+
+    def _write(p: str) -> None:
+        o = load(spark, sf_dir, "orders")
         v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
         )
@@ -615,9 +613,10 @@ def n10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             (F.col("o_orderkey") % 3).cast("string").alias("o_channel"),
         )
-        v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
-        v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
-        spark.conf.set(marker, "1")
+        v1.write.mode("overwrite").parquet(os.path.join(p, "batch=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(p, "batch=2"))
+
+    ensure_staged(spark, f"n10_{sfx}", base, _write)
     back = spark.read.option("mergeSchema", "true").parquet(base)
     return back.groupBy("o_channel").agg(
         F.count(F.lit(1)).alias("n"),

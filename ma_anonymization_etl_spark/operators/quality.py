@@ -398,9 +398,18 @@ def q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("long").alias("bin"),
         F.when(F.col("ts") < "2024-01-16", 0).otherwise(1).alias("half"),
     )
-    cnt = e.groupBy("event_type", "bin", "half").agg(F.count(F.lit(1)).alias("n"))
+    # The ≤ types×20-row count table feeds MANY consumers (frame, f,
+    # tot, both halves of p, the final count joins); without
+    # materialization each consumer re-derives it from a full corpus
+    # scan (measured: 12 scans).  Checkpointing the tiny table makes the
+    # corpus scan happen exactly once — the j38/cells discipline.
+    cnt = (
+        e.groupBy("event_type", "bin", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     frame = (
-        e.select("event_type")
+        cnt.select("event_type")
         .distinct()
         .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
         .crossJoin(spark.range(2).select(F.col("id").alias("half")))

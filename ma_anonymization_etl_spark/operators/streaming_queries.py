@@ -664,21 +664,22 @@ def k22_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(batch) work, not O(history)); the rollup read merges O(buckets ×
     batches) partial rows, compactable at any time (n4) without
     changing results because the merge is associative and exact."""
-    import re
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, stage_key
 
-    sfx = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    sfx = stage_key(sf_dir)
     stage_dir = scratch_dir(spark, "k22_stage", sfx)
-    marker = f"spark.mael.k22_staged_{sfx}"
-    if not spark.conf.get(marker, None):
+
+    def _write(p: str) -> None:
         e = load(spark, sf_dir, "events")
         cut = "2024-01-16"
         e.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, "half=0")
+            os.path.join(p, "half=0")
         )
         e.filter(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, "half=1")
+            os.path.join(p, "half=1")
         )
-        spark.conf.set(marker, "1")
+
+    ensure_staged(spark, f"k22_{sfx}", stage_dir, _write)
     rollup_dir = scratch_dir(spark, "k22_rollup", sfx)
     shutil.rmtree(rollup_dir, ignore_errors=True)
     schema = spark.read.parquet(stage_dir).drop("half").schema

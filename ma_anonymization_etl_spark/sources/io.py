@@ -65,6 +65,39 @@ def scratch_dir(spark: SparkSession, *parts: str) -> str:
     return d
 
 
+def stage_key(sf_dir: str) -> str:
+    """Collision-resistant conf-key suffix for a staged sf_dir: the
+    readable sanitized path plus an 8-hex digest of the raw string
+    (plain ``\\W+ → _`` sanitization maps '/data/sf-1' and '/data/sf_1'
+    to the same key, silently sharing staged data)."""
+    import hashlib
+    import re
+
+    return (
+        re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
+
+
+def ensure_staged(spark: SparkSession, key: str, path: str, writer) -> str:
+    """Stage-once guard for side-effecting fixtures (n7's partitioned
+    fact, n10's schema generations, k22's split stream): run
+    ``writer(path)`` unless BOTH the session conf marker is set AND the
+    path still exists on disk.  The marker alone is not proof: another
+    application's scratch sweep (see scratch_dir) removes app dirs by
+    top-level mtime, which writes inside subdirectories do not refresh,
+    so a long-lived session could hold a truthy marker for a deleted
+    directory and fail on read."""
+    import os
+
+    marker = f"spark.mael.staged_{key}"
+    if not (spark.conf.get(marker, None) and os.path.exists(path)):
+        writer(path)
+        spark.conf.set(marker, "1")
+    return path
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` (parquet TIMESTAMP(NANOS)) to a µs
     ``TIMESTAMP``, whatever type this Spark build surfaced it as.

@@ -165,6 +165,10 @@ def test_j40_mixture_quotas_and_kept_bounds(spark):
         assert 0 <= r.n_kept <= r.n_source
     smallest = min(rows, key=lambda r: (r.n_source, r.source))
     largest = max(rows, key=lambda r: (r.n_source, r.source))
+    # Assert on the RELEASED kept_rate (realized keeps), not just the
+    # quota ratio — a regression in the keep predicate itself (e.g. an
+    # inverted comparison) must trip this.
+    assert smallest.kept_rate >= largest.kept_rate
     assert smallest.quota / smallest.n_source >= largest.quota / largest.n_source
 
 
