@@ -244,16 +244,13 @@ def test_k22_rollup_is_genuinely_incremental(spark):
     its point is merging PARTIALS across batches, so a single-batch run
     would be vacuous.  Partial rows must also exceed final buckets
     (some buckets received contributions from both batches)."""
-    import re
-
     from ma_anonymization_etl_spark.operators.streaming_queries import (
         k22_continuous_aggregate,
     )
-    from ma_anonymization_etl_spark.sources.io import scratch_dir
+    from ma_anonymization_etl_spark.sources.io import scratch_dir, stage_key
 
     final = k22_continuous_aggregate(spark, SF_ORACLE)
     n_final = final.count()
-    sfx = re.sub(r"\W+", "_", SF_ORACLE.rstrip("/"))
-    partials = spark.read.parquet(scratch_dir(spark, "k22_rollup", sfx))
+    partials = spark.read.parquet(scratch_dir(spark, "k22_rollup", stage_key(SF_ORACLE)))
     assert partials.select("batch_id").distinct().count() >= 2
     assert partials.count() >= n_final
