@@ -373,3 +373,64 @@ def m6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a_id", "b_id"])
     )
     return pairs.filter(F.col("hamming") <= 4)
+
+
+@register(
+    "m7_modality_router",
+    # Routing key = first payload byte mod 3 (the magic-byte sniff,
+    # minus real containers); each branch's feature math is the same
+    # byte arithmetic the m2/m5 oracles replay, so the whole dispatch
+    # is rebuilt from md5 hex pairs.
+    oracle=f"""
+SELECT doc_id,
+       CASE {_m2_byte(0)} % 3 WHEN 0 THEN 'image'
+                              WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS modality,
+       CASE {_m2_byte(0)} % 3
+         WHEN 0 THEN {_m2_byte(0)} || ',' || {_m2_byte(1)} || ',' ||
+                     {_m2_byte(2)} || ',' || {_m2_byte(3)}
+         WHEN 1 THEN CAST({_m2_byte(0)} * {_m2_byte(0)} + {_m2_byte(1)} * {_m2_byte(1)}
+                          + {_m2_byte(2)} * {_m2_byte(2)} + {_m2_byte(3)} * {_m2_byte(3)}
+                     AS VARCHAR)
+         ELSE {_m2_byte(0)} || ',' || {_m2_byte(1)}
+       END AS features
+FROM documents
+""",
+)
+def m7_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m7: MODALITY ROUTING — the dispatch step of a mixed-media
+    pipeline: one Arrow-batched pass sniffs each payload's type (here
+    the first byte mod 3 stands in for magic-byte/container detection)
+    and applies that modality's extractor in place — image → 4-byte
+    features (m2's math), audio → frame energy (m5's Σ sample², first
+    window), video → stride-sampled frames (m3's shape).  The j38
+    routing idea applied to media: ONE entry point, per-row dispatch,
+    union-shaped release (doc_id, modality, features).
+
+    Scale: a single mapInPandas stage — no per-modality re-scan, no
+    shuffle; the dispatch is row-local so the batch shape is identical
+    to m2, and downstream per-modality pipelines filter on the released
+    modality column (a pushdown-able predicate) instead of re-sniffing
+    blobs."""
+    d = with_media_columns(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, feats = [], []
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                m = b[0] % 3
+                if m == 0:
+                    mods.append("image")
+                    feats.append(",".join(str(x) for x in b[:4]))
+                elif m == 1:
+                    mods.append("audio")
+                    feats.append(str(sum(x * x for x in b[:4])))
+                else:
+                    mods.append("video")
+                    feats.append(",".join(str((b * 9)[i]) for i in range(0, 34, 17)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "features": feats}
+            )
+
+    return d.mapInPandas(route, "doc_id LONG, modality STRING, features STRING")

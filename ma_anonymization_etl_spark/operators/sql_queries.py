@@ -369,3 +369,55 @@ _sql_query(
     "cents·n > total, exact on both engines; NOT EXISTS anti-joins "
     "orders.",
 )
+
+
+S23_ANON_RELEASE = """
+WITH g AS (
+  SELECT md5('s23|' || c_name) AS name_token,
+         c_nationkey,
+         CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS bal_bin
+  FROM customer
+),
+k AS (
+  SELECT c_nationkey, bal_bin, COUNT(*) AS class_n
+  FROM g GROUP BY c_nationkey, bal_bin
+)
+SELECT g.name_token, g.c_nationkey, g.bal_bin, k.class_n
+FROM g JOIN k ON k.c_nationkey = g.c_nationkey AND k.bal_bin = g.bal_bin
+WHERE k.class_n >= 8
+"""
+
+_sql_query(
+    "s23_anonymize_sql",
+    S23_ANON_RELEASE,
+    "A complete k-anonymous release written as ONE dialect-portable SQL "
+    "text (pseudonymize the DI with salted md5, generalize the SA into "
+    "500-wide bins, suppress classes under k=8) — the engine's "
+    "anonymization semantics are reachable from the pure SQL surface, "
+    "and the identical text runs on DuckDB as the oracle.  md5 is the "
+    "portable hash (DuckDB spells sha2 differently); COUNT(*) keeps the "
+    "k-filter HUGEINT-free.",
+)
+
+S24_DEDUP_SQL = """
+WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+r AS (
+  SELECT doc_id, source, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM h
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_unique,
+       COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup_dropped
+FROM r GROUP BY source
+"""
+
+_sql_query(
+    "s24_dedup_sql",
+    S24_DEDUP_SQL,
+    "Exact content-hash dedup accounting as ONE portable SQL text "
+    "(md5 → first-occurrence ROW_NUMBER survivorship → per-source audit) "
+    "— j1/j2's semantics from the SQL surface; conditional COUNT (not "
+    "SUM) keeps every output column BIGINT on both engines.",
+)

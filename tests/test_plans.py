@@ -21,6 +21,7 @@ PYTHON_OK = {
     "l1_udf_scalar_py", "l2_udf_pandas_scalar", "l3_udaf_pandas_grouped",
     "l4_grouped_map", "l5_udtf", "l6_udf_pandas_iterator", "j3b_dedup_simhash",
     "m2_decode_features", "m3_frame_sample", "m4_resize", "m5_audio_energy",
+    "m7_modality_router",  # Arrow-batched per-row modality dispatch
     "j21_sim_topk_vectorized",  # deliberate Arrow/numpy perf twin of j8
     "j10b_knn_vectorized",  # deliberate Arrow/numpy perf twin of j10
     "j9b_sim_pair_lsh",  # LSH signatures via Arrow matmul; verify is declarative
