@@ -2506,3 +2506,135 @@ def j41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+def _bpe_merge_round(wcol: Column, a: str, b: str, m: str) -> Column:
+    """Apply merge rule (a, b) -> m positionally in parallel over a
+    symbol list: drop every b whose predecessor is a, rewrite every a
+    whose successor is b.  Correct for a != b (no merge chains are
+    possible: a consumed b can never start another (a, b) pair), which
+    is exactly why j42 restricts argmax to non-self pairs — classic
+    BPE's self-pair merge is an inherently sequential per-word fold.
+    All neighbor probes sit inside F.when so no out-of-range
+    element_at is ever evaluated (Spark 4 ANSI throws on index 0)."""
+    n = F.size(wcol)
+    at = lambda i: F.element_at(wcol, i.cast("int"))  # noqa: E731
+    prev = lambda i: F.when(i > 1, F.element_at(wcol, (i - 1).cast("int")))  # noqa: E731
+    nxt = lambda i: F.when(i < n, F.element_at(wcol, (i + 1).cast("int")))  # noqa: E731
+    kept = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~((at(i) == b) & prev(i).eqNullSafe(F.lit(a))),
+    )
+    return F.transform(
+        kept,
+        lambda i: F.when(
+            (at(i) == a) & nxt(i).eqNullSafe(F.lit(b)), F.lit(m)
+        ).otherwise(at(i)),
+    )
+
+
+def _j42_oracle() -> str:
+    """Three unrolled BPE rounds in DuckDB: per round, weighted
+    non-self adjacent-pair counts over the current symbol lists, argmax
+    with (count desc, a, b) tie-break, positional merge via
+    list_filter/list_transform capturing the 1-row argmax CTE."""
+    rounds = []
+    prev = "s0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+p{r} AS (
+  SELECT w[i] AS a, w[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM {prev}, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE w[i] <> w[i + 1]
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, a || b AS m, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+s{r} AS (
+  SELECT cnt,
+         list_transform(
+           list_filter(range(1, len(w) + 1),
+                       i -> NOT (w[i] = m{r}.b AND i > 1 AND w[i - 1] = m{r}.a)),
+           i -> CASE WHEN w[i] = m{r}.a AND i < len(w) AND w[i + 1] = m{r}.b
+                     THEN m{r}.m ELSE w[i] END) AS w
+  FROM {prev} CROSS JOIN m{r}
+)""")
+        prev = f"s{r}"
+    chain = ",".join(rounds)
+    return f"""
+WITH types AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT cnt,
+         list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS w
+  FROM types
+),
+{chain}
+SELECT CAST(1 AS INTEGER) AS round, a AS left_sym, b AS right_sym,
+       m AS merged, n AS n_weighted FROM m1
+UNION ALL
+SELECT CAST(2 AS INTEGER), a, b, m, n FROM m2
+UNION ALL
+SELECT CAST(3 AS INTEGER), a, b, m, n FROM m3
+"""
+
+
+@register("j42_bpe_vocab_induction", oracle=_j42_oracle())
+def j42_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j42 (extension): BPE VOCABULARY INDUCTION (Sennrich et al. 2016)
+    — the tokenizer-training step of an LLM data pipeline: starting
+    from characters, repeatedly merge the corpus's most frequent
+    adjacent symbol pair (weighted by word frequency), releasing the
+    learned merge table (round, pair, merged symbol, weighted count).
+
+    Variant documented honestly: argmax is restricted to NON-SELF
+    pairs (a != b), which makes every merge positionally parallel —
+    all occurrences rewrite simultaneously, identically on both
+    engines — where classic BPE's self-pair merge ('aa') is a
+    sequential left-to-right fold per word that no set-oriented engine
+    replays cheaply.  Tie-break (count desc, a, b) pins the argmax.
+
+    Scale: the ONE corpus-sized operation is the word-frequency
+    groupBy (j4's shape); every merge round then iterates over the
+    TYPE table (vocab-sized, ~1k rows here, millions at web scale —
+    still executor-trivial), exactly how production BPE trainers work.
+    Per round: one pair-count aggregate over types, one bounded
+    driver-side argmax (the i18/Mondrian discipline), one map-side
+    list rewrite."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(words_of()).alias("word")
+    )
+    types = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cur = types.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    rules = []
+    for rnd in (1, 2, 3):
+        pair_idx = F.when(
+            F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            cur.select("cnt", F.explode(pair_idx).alias("i"), "w")
+            .select(
+                F.element_at("w", F.col("i").cast("int")).alias("a"),
+                F.element_at("w", (F.col("i") + 1).cast("int")).alias("b"),
+                "cnt",
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
+        rules.append((rnd, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
+        cur = cur.select(
+            "cnt", _bpe_merge_round(F.col("w"), top["a"], top["b"], top["a"] + top["b"]).alias("w")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules,
+        "round INT, left_sym STRING, right_sym STRING, merged STRING, n_weighted LONG",
+    )

@@ -207,3 +207,19 @@ def test_p1b_converges_and_agrees_with_p1_direction(spark):
     row = p1b_pagerank_converged(spark, SF_ORACLE).collect()[0]
     assert row.converged and row.mass_conserved
     assert row.n_nodes > 0 and row.n_edges > 0
+
+
+def test_j42_bpe_rules_are_well_formed(spark):
+    """Merge rules: concat invariant, positive weighted support,
+    3 distinct pairs, and no self-pairs (the documented variant)."""
+    from ma_anonymization_etl_spark.operators.llm import j42_bpe_vocab_induction
+
+    rows = j42_bpe_vocab_induction(spark, SF_ORACLE).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    seen = set()
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.left_sym != r.right_sym
+        assert r.n_weighted > 0
+        seen.add((r.left_sym, r.right_sym))
+    assert len(seen) == 3
