@@ -888,3 +888,242 @@ def j28_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.col("i.neighbor_id")) / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+# --- j43/j44: k-means clustering + SemDeDup ---------------------------------
+#
+# Lloyd's k-means with fully deterministic replay: seeds are the k
+# lowest vec_ids, each round assigns by argmax cosine (ties to the
+# lower cluster id) and recomputes 6-dp-rounded per-dimension mean
+# centroids, so DuckDB can replay every round as an unrolled CTE chain.
+# j44 layers SemDeDup (Abbas et al. 2023, arXiv:2303.09540) on top:
+# near-duplicate candidates are confined to k-means cells, giving the
+# cluster-bounded (never all-pairs) semantic-dedup shape.
+_KM_K = 8          # seeds = vec_id 0..7
+_KM_ROUNDS = 2     # Lloyd recompute rounds (then one final assignment)
+_KM_TAU = 0.9      # j44 within-cluster near-dup threshold
+
+
+def _km_sql_assign(src_e: str, src_c: str) -> str:
+    return f"""(SELECT vec_id, cl, v FROM (
+  SELECT e.vec_id, c.cl, e.v,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cos('e.v', 'c.cent')} DESC, c.cl) AS rn
+  FROM {src_e} e, {src_c} c) WHERE rn = 1)"""
+
+
+def _km_sql_recompute(src_a: str) -> str:
+    return f"""(SELECT cl, list(av ORDER BY pos) AS cent FROM (
+  SELECT cl, pos, ROUND(AVG(x), 6) AS av FROM (
+    SELECT cl, unnest(v) AS x, unnest(range(1, 65)) AS pos FROM {src_a})
+  GROUP BY cl, pos) GROUP BY cl)"""
+
+
+def _km_sql_chain() -> str:
+    """CTE chain e -> c0 -> a1 -> c1 -> a2 -> c2 -> a3 (expects an `e`
+    CTE with (vec_id, v) to exist)."""
+    parts = [f"c0 AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < {_KM_K})"]
+    prev_c = "c0"
+    for i in range(1, _KM_ROUNDS + 1):
+        parts.append(f"a{i} AS {_km_sql_assign('e', prev_c)}")
+        parts.append(f"c{i} AS {_km_sql_recompute('a' + str(i))}")
+        prev_c = f"c{i}"
+    parts.append(f"a{_KM_ROUNDS + 1} AS {_km_sql_assign('e', prev_c)}")
+    return ",\n".join(parts)
+
+
+def _km_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (vec_id, v) row to its argmax-cosine centroid."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cl"))
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cosine(F.col("v"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cl", "v")
+    )
+
+
+def _km_recompute(assign: DataFrame) -> DataFrame:
+    per_dim = (
+        assign.select("cl", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cl", "pos0")
+        .agg(F.round(F.avg("x"), 6).alias("av"))
+    )
+    return per_dim.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "av"))), lambda s: s.av
+        ).alias("cent")
+    )
+
+
+def _km_fit(corpus: DataFrame):
+    """Run the deterministic Lloyd loop; returns (final_assign, cents)."""
+    cents = corpus.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cent")
+    )
+    for _ in range(_KM_ROUNDS):
+        cents = _km_recompute(_km_assign(corpus, cents))
+    return _km_assign(corpus, cents), cents
+
+
+@register(
+    "j43_kmeans_clusters",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+{_km_sql_chain()}
+SELECT a.cl AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(ROUND({_sql_cos('a.v', 'c.cent')} * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_qcos,
+       array_to_string(list_transform(c.cent,
+           x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+         AS centroid
+FROM a{_KM_ROUNDS + 1} a JOIN c{_KM_ROUNDS} c ON c.cl = a.cl
+GROUP BY a.cl, centroid
+""",
+)
+def j43_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j43 (extension): deterministic Lloyd k-means over the embedding
+    corpus — the coarse quantizer that IVF (j20), SemDeDup (j44), and
+    curriculum bucketing all sit on.  Seeds are the k lowest vec_ids;
+    each of the 2 rounds assigns by argmax cosine (ties to the lower
+    cluster id) and recomputes 6-dp-rounded per-dim mean centroids, so
+    the DuckDB oracle replays every round exactly (unrolled CTEs).
+    Output: per-cluster member count, scaled-int64 sum of
+    member-to-centroid cosines (order-independent — no float-sum
+    drift), and the serialized centroid.
+
+    100 TB shape: centroids are a k-row broadcast; each assignment is
+    one map-side pass (argmax over k folds per row, no shuffle); each
+    recompute shuffles only (k x 64) partial averages.  Rounds are a
+    bounded driver loop on a cached corpus — the classic distributed
+    Lloyd layout."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign, cents = _km_fit(e)
+    cent_str = cents.select(
+        "cl",
+        F.array_join(
+            F.transform(F.col("cent"), lambda x: F.round(x * 1e6).cast("long").cast("string")),
+            ",",
+        ).alias("centroid"),
+        "cent",
+    )
+    return (
+        assign.join(F.broadcast(cent_str), "cl")
+        .withColumn("qcos", F.round(cosine(F.col("v"), F.col("cent")) * 1e6).cast("long"))
+        .groupBy(F.col("cl").alias("cluster_id"), "centroid")
+        .agg(F.count("*").alias("n_members"), F.sum("qcos").alias("sum_qcos"))
+        .select("cluster_id", "n_members", "sum_qcos", "centroid")
+    )
+
+
+@register(
+    "j44_semantic_dedup",
+    oracle=f"""
+WITH e0 AS (SELECT vec_id AS orig_id, {_SQL_E} AS v FROM embeddings),
+e AS (
+  SELECT orig_id AS vec_id, v FROM e0
+  UNION ALL
+  SELECT orig_id + {_J9B_OFF} AS vec_id,
+         list_transform(v, x -> x * (1 + 0.1 * sin(orig_id + x * 1000)))
+  FROM e0
+),
+{_km_sql_chain()},
+a AS (SELECT * FROM a{_KM_ROUNDS + 1}),
+dropped AS (
+  SELECT x.cl, x.vec_id
+  FROM a x JOIN a y ON y.cl = x.cl AND y.vec_id < x.vec_id
+  WHERE {_sql_cos('x.v', 'y.v')} >= {_KM_TAU}
+  GROUP BY x.cl, x.vec_id
+)
+SELECT m.cl AS cluster_id,
+       m.n AS n_members,
+       COALESCE(d.nd, 0) AS n_dropped,
+       m.n - COALESCE(d.nd, 0) AS n_kept
+FROM (SELECT cl, COUNT(*) AS n FROM a GROUP BY cl) m
+LEFT JOIN (SELECT cl, COUNT(*) AS nd FROM dropped GROUP BY cl) d ON d.cl = m.cl
+""",
+)
+def j44_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j44 (extension): SemDeDup — semantic near-dup removal bounded by
+    k-means cells (arXiv:2303.09540's shape).  The corpus is the j9b
+    fixture (every vector plus a deterministic sin-jittered copy,
+    cos ~= 0.997, because the base corpus is isotropic with no organic
+    pair above 0.6); j43's deterministic Lloyd loop assigns cells; the
+    exact-cosine pair scan runs ONLY within a cell, and a member is
+    dropped when a lower-id cell-mate sits above tau=0.9 (the greedy
+    min-id survivor rule).  Output: per-cluster member/dropped/kept
+    accounting.
+
+    100 TB shape: this is the semantic complement of j9b's LSH route —
+    clustering caps the candidate set at sum(cell^2) with k sized so
+    cells stay ~10k vectors (k ~= N/10k).  After ONE shuffle on cell
+    id, each cell runs locally as an Arrow-batched grouped map: a BLAS
+    gram matrix generates candidates (10k x 10k x 64 = one dgemm), and
+    only the surviving candidates are re-verified with the exact
+    sequential float64 fold, so the output is bit-identical to the
+    declarative/oracle arithmetic while the hot loop stays in BLAS.
+    No all-pairs stage exists at any scale."""
+    e0 = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("orig_id"), as_double(F.col("embedding")).alias("v")
+    )
+    pert = e0.select(
+        (F.col("orig_id") + _J9B_OFF).alias("vec_id"),
+        F.transform(
+            F.col("v"),
+            lambda x: x * (F.lit(1.0) + F.lit(0.1) * F.sin(F.col("orig_id") + x * F.lit(1000.0))),
+        ).alias("v"),
+    )
+    corpus = e0.select(F.col("orig_id").alias("vec_id"), "v").unionByName(pert)
+    assign, _ = _km_fit(corpus)
+    assign = assign.localCheckpoint(eager=False)  # pair scan reads it twice
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # (n, 64)
+        ids = pdf["vec_id"].to_numpy()
+        # BLAS gram over unit vectors generates CANDIDATES with a wide
+        # margin (the corpus gap is 0.60 organic vs ~0.997 planted);
+        # each candidate is then re-verified with the exact sequential
+        # float64 fold — bit-identical to the oracle's
+        # list_dot_product over DOUBLE[] — so the emitted pair set
+        # cannot depend on BLAS summation order.
+        u = m / np.sqrt((m * m).sum(axis=1))[:, None]
+        ai, bi = np.where(np.triu((u @ u.T) >= _KM_TAU - 1e-3, k=1))
+        keep_b = []
+        for i, j in zip(ai, bi):
+            x, y = m[i], m[j]
+            d = dx = dy = 0.0
+            for t in range(x.shape[0]):
+                d += x[t] * y[t]
+                dx += x[t] * x[t]
+                dy += y[t] * y[t]
+            if d / (np.sqrt(dx) * np.sqrt(dy)) >= _KM_TAU:
+                keep_b.append(max(ids[i], ids[j]))
+        out = np.unique(np.array(keep_b, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "cl": np.full(len(out), pdf["cl"].iloc[0], dtype=np.int64),
+                "vec_id": out,
+            }
+        )
+
+    dropped = assign.groupBy("cl").applyInPandas(cell_pairs, "cl BIGINT, vec_id BIGINT")
+    members = assign.groupBy("cl").agg(F.count("*").alias("n_members"))
+    drops = dropped.groupBy("cl").agg(F.count("*").alias("n_dropped0"))
+    return (
+        members.join(drops, "cl", "left")
+        .select(
+            F.col("cl").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_dropped0"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce(F.col("n_dropped0"), F.lit(0))).alias("n_kept"),
+        )
+    )

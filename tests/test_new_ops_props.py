@@ -223,3 +223,37 @@ def test_j42_bpe_rules_are_well_formed(spark):
         assert r.n_weighted > 0
         seen.add((r.left_sym, r.right_sym))
     assert len(seen) == 3
+
+
+def test_j43_kmeans_partitions_corpus(spark):
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _KM_K,
+        j43_kmeans_clusters,
+    )
+
+    rows = j43_kmeans_clusters(spark, SF_ORACLE).collect()
+    n_vecs = load(spark, SF_ORACLE, "embeddings").count()
+    assert len(rows) <= _KM_K
+    assert sum(r.n_members for r in rows) == n_vecs  # exact partition
+    for r in rows:
+        assert len(r.centroid.split(",")) == 64
+        # mean member-to-centroid cosine must be positive (members sit
+        # on the same side as their centroid) and <= 1.
+        assert 0 < r.sum_qcos <= r.n_members * 1_000_000
+
+
+def test_j44_semdedup_drops_planted_copies(spark):
+    from ma_anonymization_etl_spark.operators.similarity import j44_semantic_dedup
+
+    rows = j44_semantic_dedup(spark, SF_ORACLE).collect()
+    n_vecs = load(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n_members for r in rows) == 2 * n_vecs  # corpus = orig + jitter
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_members
+        assert r.n_kept >= 1  # the min-id member always survives
+    # Each planted jittered copy (cos ~= 0.997 with its original) is
+    # dropped whenever it lands in its original's cell — require >=90%
+    # planted recall, and never more drops than planted copies (the
+    # organic corpus has no pair above 0.6, so organics never drop).
+    total_dropped = sum(r.n_dropped for r in rows)
+    assert 0.9 * n_vecs <= total_dropped <= n_vecs
