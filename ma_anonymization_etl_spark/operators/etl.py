@@ -625,3 +625,92 @@ def n10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_price"),
     )
+
+
+@register(
+    "n11_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT CASE WHEN o_orderkey % 20 = 1 THEN o_custkey + 1000000
+              ELSE o_custkey END AS k,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'D'
+              WHEN o_orderkey % 20 = 1 THEN 'I'
+              ELSE 'U' END AS op,
+         o_totalprice AS val
+  FROM orders
+),
+last AS (
+  SELECT k, seq, op, val FROM (
+    SELECT k, seq, op, val,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log) WHERE rn = 1
+),
+base AS (SELECT c_custkey AS k, c_acctbal AS val FROM customer)
+SELECT COALESCE(b.k, l.k) AS key,
+       CASE WHEN l.k IS NULL THEN 'carry'
+            WHEN b.k IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       CAST(ROUND(CASE WHEN l.k IS NULL THEN b.val ELSE l.val END * 100)
+            AS BIGINT) AS value_cents,
+       CAST(l.seq AS BIGINT) AS last_seq
+FROM base b FULL OUTER JOIN last l ON l.k = b.k
+WHERE COALESCE(l.op, '') <> 'D'
+""",
+)
+def n11_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n11: CDC changelog apply — the Debezium/change-data-feed shape
+    that n1's snapshot upsert does not cover: an ORDERED op log with
+    inserts, updates, and delete tombstones is compacted to
+    last-writer-wins per key (one window over the log) and merged onto
+    the base table with a full outer join; a trailing 'D' removes the
+    key even if it exists in the base.  The log is derived
+    deterministically from orders (seq = o_orderkey; keys %20==1
+    become new-key inserts, %20==0 tombstones, the rest updates on
+    customer keys).
+
+    100 TB shape: compaction is ONE shuffle on key (the window), the
+    merge one key-partitioned join — the standard streaming-CDC
+    materialization; no per-op driver loop, no re-scan of the base per
+    batch."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    log = o.select(
+        F.when(F.col("o_orderkey") % 20 == 1, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 20 == 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "seq", "op", "val")
+    )
+    base = c.select(F.col("c_custkey").alias("bk"), F.col("c_acctbal").alias("bval"))
+    merged = base.join(
+        last.select(
+            F.col("k").alias("lk"), F.col("seq").alias("last_seq"), "op",
+            F.col("val").alias("lval"),
+        ),
+        F.col("lk") == F.col("bk"),
+        "full_outer",
+    ).filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+    return merged.select(
+        F.coalesce(F.col("bk"), F.col("lk")).alias("key"),
+        F.when(F.col("lk").isNull(), F.lit("carry"))
+        .when(F.col("bk").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.round(
+            F.when(F.col("lk").isNull(), F.col("bval")).otherwise(F.col("lval")) * 100
+        )
+        .cast("long")
+        .alias("value_cents"),
+        F.col("last_seq"),
+    )

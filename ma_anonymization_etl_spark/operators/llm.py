@@ -2638,3 +2638,59 @@ def j42_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules,
         "round INT, left_sym STRING, right_sym STRING, merged STRING, n_weighted LONG",
     )
+
+
+_J45_ALPHA = 0.4  # global target sampling fraction
+
+
+@register(
+    "j45_balance_resample",
+    oracle=f"""
+WITH s AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM documents)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_sql_uniform('d.doc_id', 'j45')} <
+                          {_J45_ALPHA} * CAST(n_total AS DOUBLE)
+                          / (CAST(n_langs AS DOUBLE) * CAST(n_lang AS DOUBLE))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents d JOIN s ON s.lang = d.lang, t
+GROUP BY d.lang
+""",
+)
+def j45_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j45 (extension): distribution-matching importance resampling —
+    the DSIR-shaped corpus rebalancer (arXiv:2302.03169's acceptance
+    form on a categorical feature): each document is kept with
+    probability proportional to p_target(lang)/p_source(lang) (target
+    = uniform over languages, alpha = 0.4 global rate), so the sampled
+    corpus approaches the target language mix without a global sort or
+    per-group reservoir.  The accept draw is the md5-derived U[0,1)
+    keyed on doc_id, so the DuckDB oracle replays every accept
+    decision exactly.
+
+    100 TB shape: one aggregate for the source distribution (a
+    langs-sized broadcast), then ONE map-side pass computes the accept
+    flag per row — no shuffle of the corpus, no reservoir state; the
+    same two-step works for any categorical target (domain, source,
+    quality bucket)."""
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    thr = (
+        F.lit(_J45_ALPHA)
+        * F.col("n_total").cast("double")
+        / (F.col("n_langs").cast("double") * F.col("n_lang").cast("double"))
+    )
+    return (
+        d.join(F.broadcast(s), "lang")
+        .crossJoin(F.broadcast(t))
+        .withColumn("acc", (hash_uniform("doc_id", "j45") < thr).cast("long"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("acc").alias("n_sampled"))
+    )

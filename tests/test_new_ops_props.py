@@ -257,3 +257,50 @@ def test_j44_semdedup_drops_planted_copies(spark):
     # organic corpus has no pair above 0.6, so organics never drop).
     total_dropped = sum(r.n_dropped for r in rows)
     assert 0.9 * n_vecs <= total_dropped <= n_vecs
+
+
+def test_n11_cdc_last_writer_wins(spark):
+    from ma_anonymization_etl_spark.operators.etl import n11_cdc_apply
+
+    out = n11_cdc_apply(spark, SF_ORACLE)
+    rows = out.collect()
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))  # one row per surviving key
+    acts = {r.action for r in rows}
+    # 'carry' only appears when a base key has NO ops — at the test SFs
+    # every customer key occurs in orders, so require the op-driven two.
+    assert {"insert", "update"} <= acts <= {"carry", "insert", "update"}
+    for r in rows:
+        if r.action == "carry":
+            assert r.last_seq is None
+        else:
+            assert r.last_seq is not None
+    # keys whose LAST op is a tombstone must be gone
+    o = load(spark, SF_ORACLE, "orders")
+    last = (
+        o.withColumn(
+            "k",
+            F.when(F.col("o_orderkey") % 20 == 1, F.col("o_custkey") + 1000000)
+            .otherwise(F.col("o_custkey")),
+        )
+        .groupBy("k")
+        .agg(F.max_by(F.col("o_orderkey") % 20 == 0, "o_orderkey").alias("deleted"))
+    )
+    dead = {r.k for r in last.filter("deleted").collect()}
+    assert dead and not (dead & set(keys))
+
+
+def test_j45_resample_balances_langs(spark):
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J45_ALPHA,
+        j45_balance_resample,
+    )
+
+    rows = j45_balance_resample(spark, SF_ORACLE).collect()
+    n_total = sum(r.n_docs for r in rows)
+    target = _J45_ALPHA * n_total / len(rows)  # per-lang expected sample
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        # each lang's sample lands near the uniform target (binomial
+        # sd ~ sqrt(target) — allow a wide 50% band)
+        assert abs(r.n_sampled - target) < 0.5 * target
