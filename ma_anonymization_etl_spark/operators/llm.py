@@ -2694,3 +2694,42 @@ def j45_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("acc").alias("n_sampled"))
     )
+
+
+@register(
+    "j46_group_sample_exact_k",
+    oracle="""
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('j46' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+""",
+)
+def j46_group_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j46 (extension): EXACTLY-k-per-group sampling via deterministic
+    priority — each row's priority is its md5 digest (keyed on doc_id),
+    so rank-<=-k per group is a uniform without-replacement sample of
+    exactly min(k, n) rows that any engine (and any re-run) reproduces
+    bit-for-bit.  Complements j18 (Bernoulli hash sample — random SIZE)
+    and j19 (stratified fractions): eval sets and human-review batches
+    need exact counts.
+
+    100 TB shape: one shuffle on the group key; per group the
+    TakeOrderedAndProject-style top-k over the priority needs no full
+    sort of the corpus (window + filter prunes at the partial level
+    under AQE; for pathological single-group skew route via f4's
+    two-phase top-k instead)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("j46"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )

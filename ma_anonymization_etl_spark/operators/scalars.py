@@ -321,3 +321,54 @@ def h9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("popcnt_sum"),
         F.sum(F.shiftright(F.col("o_orderkey"), 3)).alias("shifted_sum"),
     )
+
+
+@register(
+    "h10_url_funcs",
+    oracle="""
+SELECT doc_id,
+       'https' AS proto,
+       source || '.example.com' AS host,
+       '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS q_lang,
+       'sec' || CAST(doc_id % 7 AS VARCHAR) AS frag,
+       'com' AS tld,
+       source AS subdomain
+FROM documents
+""",
+)
+def h10_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h10: URL parsing family — the web-corpus preprocessing surface
+    (domain-level dedup, blocklists, per-site quotas all key on these).
+    A deterministic URL is synthesized per document, then every part is
+    recovered with the REAL parser (``parse_url``: PROTOCOL / HOST /
+    PATH / QUERY param / REF) plus ``substring_index`` for the
+    tld/subdomain splits; the oracle reconstructs the same parts from
+    first principles, so a parser that mangled any component would
+    mismatch.  Map-side only — one projection, no shuffle at any
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=feed#sec"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("frag"),
+        F.substring_index(host, ".", -1).alias("tld"),
+        F.substring_index(host, ".", 1).alias("subdomain"),
+    )

@@ -709,3 +709,91 @@ def k22_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         (F.sum("pscaled").cast("double") / _SCALE).alias("sum_value"),
     )
+
+
+@register(
+    "k24_stream_upsert_sink",
+    oracle="""
+SELECT user_id AS key,
+       CAST(event_id AS BIGINT) AS last_seq,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op = 'U'
+""",
+)
+def k24_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k24 (extension): STREAMING upsert materialization — n11's CDC
+    apply run through real micro-batches: the event feed (key =
+    user_id, seq = event_id, every 10th op a delete tombstone) is
+    staged as three files, maxFilesPerTrigger=1 delivers them as
+    separate batches, and each foreachBatch merges its batch into the
+    keyed state table (compact batch -> union previous state ->
+    last-writer-wins by seq).  Tombstones are RETAINED in state so a
+    later batch cannot resurrect a deleted key out of order; the read
+    side filters them.  The oracle is the batch compaction over the
+    whole feed — merge-per-batch must equal compact-once because
+    last-writer-wins by a total seq order is associative.
+
+    Scale: per batch the work is O(batch + state-delta) — one window
+    over the batch, one key-partitioned merge join against current
+    state; this is the foreachBatch MERGE INTO pattern Spark's docs
+    prescribe for streaming upserts (a transactional table format
+    would take the same merge via its commit log)."""
+    from pyspark.sql import Window
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, stage_key
+
+    sfx = stage_key(sf_dir)
+    stage_dir = scratch_dir(spark, "k24_stage", sfx)
+
+    def _write(p: str) -> None:
+        e = load(spark, sf_dir, "events")
+        for i in range(3):
+            e.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(p, f"third={i}"))
+
+    ensure_staged(spark, f"k24_{sfx}", stage_dir, _write)
+    state_root = scratch_dir(spark, "k24_state", sfx)
+    shutil.rmtree(state_root, ignore_errors=True)
+    schema = spark.read.parquet(stage_dir).drop("third").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    w = Window.partitionBy("key").orderBy(F.col("last_seq").desc())
+    cur = {"path": None}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("last_seq"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        if cur["path"] is not None:
+            delta = delta.unionByName(spark.read.parquet(cur["path"]))
+        merged = (
+            delta.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        nxt = os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        cur["path"] = nxt
+
+    run_foreach_batch(stream, merge_batch)
+    if cur["path"] is None:
+        raise AssertionError("k24: stream delivered no batches")
+    return (
+        spark.read.parquet(cur["path"])
+        .filter(F.col("op") != "D")
+        .select("key", "last_seq", "value_cents")
+    )

@@ -178,3 +178,50 @@ def l6_udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_total")
         )
     )
+
+
+@register(
+    "l7_map_in_arrow",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) * 3) AS BIGINT) AS sum_scaled
+FROM events
+WHERE event_id % 2 = 0
+GROUP BY event_type
+""",
+)
+def l7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l7: ``mapInArrow`` — the zero-copy batch surface below the
+    pandas UDFs: the function receives raw ``pyarrow.RecordBatch``es
+    and returns RecordBatches, skipping the Arrow→pandas→Arrow round
+    trip entirely (no pandas object allocation, no dtype coercion).
+    The batch body filters even event_ids and emits a 100-scaled
+    integer triple of ``value`` via pyarrow.compute kernels only; the
+    final aggregate stays declarative.
+
+    100 TB shape: this is the preferred lane for high-throughput
+    columnar Python (feature extraction over binary payloads,
+    tokenizers emitting int lists): one C-level kernel pipeline per
+    batch, nothing row-at-a-time, output batches flow straight back
+    into Tungsten as Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def triple_even(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            keep = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), 0)
+            f = b.filter(keep)
+            scaled = pc.multiply(
+                pc.cast(pc.floor(pc.multiply(f.column("value"), 100.0)), pa.int64()),
+                3,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [f.column("event_type"), scaled], ["event_type", "scaled"]
+            )
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = e.mapInArrow(triple_even, "event_type STRING, scaled BIGINT")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("scaled").alias("sum_scaled")
+    )

@@ -304,3 +304,43 @@ def test_j45_resample_balances_langs(spark):
         # each lang's sample lands near the uniform target (binomial
         # sd ~ sqrt(target) — allow a wide 50% band)
         assert abs(r.n_sampled - target) < 0.5 * target
+
+
+def test_j46_sample_is_exactly_k_per_group(spark):
+    from ma_anonymization_etl_spark.operators.llm import j46_group_sample_exact_k
+
+    out = j46_group_sample_exact_k(spark, SF_ORACLE)
+    sizes = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    d = load(spark, SF_ORACLE, "documents")
+    avail = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(avail)
+    for src, n in sizes.items():
+        assert n == min(5, avail[src])
+    # sampling is without replacement: doc_ids unique
+    ids = [r.doc_id for r in out.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_k24_streaming_merge_equals_batch_compaction(spark):
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k24_stream_upsert_sink,
+    )
+
+    out = {r.key: r for r in k24_stream_upsert_sink(spark, SF_ORACLE).collect()}
+    e = load(spark, SF_ORACLE, "events")
+    last = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("last_seq"),
+            F.max_by(F.round(F.col("value") * 100).cast("long"), "event_id").alias(
+                "vc"
+            ),
+        )
+        .collect()
+    )
+    for r in last:
+        if r.last_seq % 10 == 0:  # final op is a tombstone
+            assert r.user_id not in out
+        else:
+            got = out[r.user_id]
+            assert got.last_seq == r.last_seq and got.value_cents == r.vc
