@@ -429,3 +429,73 @@ def p1b_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(converged).alias("converged"),
         F.lit(bool(mass_ok)).alias("mass_conserved"),
     )
+
+
+def _p5_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for it in (1, 2):
+        rounds.append(f"""
+r{it} AS (
+  SELECT e.u AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.v
+  GROUP BY e.u, l.lbl
+),
+l{it} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM r{it}) WHERE rn = 1
+)""")
+        prev = f"l{it}"
+    return f"""
+WITH {_EDGES_SUP2_SQL},
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+l0 AS (SELECT node, node AS lbl FROM deg),
+{",".join(rounds)}
+SELECT lbl AS community, COUNT(*) AS n_members
+FROM l2 GROUP BY lbl
+"""
+
+
+@register("p5_label_propagation", oracle=_p5_oracle())
+def p5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p5: community detection via SYNCHRONOUS label propagation on the
+    min-support co-purchase graph — each round every node adopts the
+    MODE of its neighbors' labels (ties to the smallest label), two
+    unrolled rounds, seeded with self-labels.  Distinct from j23's
+    connected components (which converges to one label per component
+    regardless of density): LPA's mode update finds dense subgroups
+    inside a connected graph, and the count-desc/label-asc argmax makes
+    every round bit-deterministic, so the oracle replays both rounds.
+
+    Scale: one round = one edge-keyed join against the O(nodes) label
+    table + two groupBys — the same shuffle profile as a PageRank
+    iteration; labels stay co-partitioned with edge sources across
+    rounds, and rounds are a bounded driver loop (asynchronous LPA
+    converges faster but is order-dependent; synchronous is chosen
+    BECAUSE it replays)."""
+    from pyspark.sql import Window
+
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(2):
+        counted = (
+            edges.join(labels.select(F.col("node").alias("v"), "lbl"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

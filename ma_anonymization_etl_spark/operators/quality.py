@@ -455,3 +455,62 @@ def q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi") > 0.1).alias("drifted"),
         )
     )
+
+
+@register(
+    "q6_fd_profile",
+    oracle="""
+SELECT 'events: user_id -> event_type' AS fd,
+       COUNT(*) AS n_lhs,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+       MAX(k) AS max_rhs_per_lhs
+FROM (SELECT user_id, COUNT(DISTINCT event_type) AS k FROM events GROUP BY user_id)
+UNION ALL
+SELECT 'documents: source -> lang',
+       COUNT(*),
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       MAX(k)
+FROM (SELECT source, COUNT(DISTINCT lang) AS k FROM documents GROUP BY source)
+UNION ALL
+SELECT 'orders: o_custkey -> o_orderpriority',
+       COUNT(*),
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       MAX(k)
+FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+      FROM orders GROUP BY o_custkey)
+""",
+)
+def q6_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6: functional-dependency PROFILING — for each candidate FD
+    A -> B, how many A-values map to more than one B (0 violating
+    left-hand sides = the FD holds and B is derivable/suppressible
+    from A; a large count = the dependency is spurious).  The
+    anonymization use is direct: a quasi-identifier that functionally
+    determines a sensitive column is a disclosure channel (i1/i39's
+    classification needs exactly this evidence), and dedup keys are
+    only safe survivor-pickers when key -> payload actually holds.
+
+    Scale: each FD is one two-level aggregate — distinct-count per
+    LHS then a tiny rollup; shuffles carry (lhs, rhs) pairs only.
+    Candidate generation at 100 TB samples first (profile on j18's
+    hash sample, confirm on the full table)."""
+
+    def fd(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("k") > 1).cast("long")).alias("n_violating_lhs"),
+            F.max("k").alias("max_rhs_per_lhs"),
+        )
+
+    e = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+    o = load(spark, sf_dir, "orders")
+    return (
+        fd(e, "events: user_id -> event_type", "user_id", "event_type")
+        .unionByName(fd(d, "documents: source -> lang", "source", "lang"))
+        .unionByName(
+            fd(o, "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority")
+        )
+    )

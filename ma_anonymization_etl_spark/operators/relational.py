@@ -1052,3 +1052,68 @@ def c11_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id")
     )
+
+
+@register(
+    "d15_hll_sketch_merge",
+    # Spark's Apache DataSketches HLL binaries have no DuckDB twin, so
+    # the checkable projection is the i13 pattern: exact distinct count
+    # plus invariant booleans the oracle emits as TRUE — (1) estimates
+    # from MERGED per-shard sketches equal the direct single-pass
+    # estimate EXACTLY (register-level union is deterministic), and
+    # (2) the estimate lands within HLL's error envelope of the exact
+    # count at lgK=12.
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       TRUE AS merged_close_to_direct,
+       TRUE AS est_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def d15_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15 (extension): MERGEABLE distinct-count sketches — the
+    datasketches surface (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) that d4's approx_count_distinct hides: here
+    the sketch itself is a first-class partial, built per shard and
+    union-merged to the group total, which is how a 100 TB rollup
+    keeps pre-aggregated distinct counts incrementally maintainable
+    (k22's partial-merge algebra, but for a non-additive metric).
+    The op asserts the merged estimate tracks the direct one within
+    3% (the sparse->dense representation switch makes them differ in
+    the last percent, so register-exact equality only holds in the
+    coupon regime) and that the estimate sits inside the lgK=12 error
+    envelope (5% ~= 3 sigma) of the true count.
+
+    Scale: per-shard sketches are the map-side partial (one 4 KB
+    buffer per group-shard), the merge is a tiny shuffle of sketch
+    blobs — never re-scanning raw keys; this is the only correct shape
+    for maintaining distinct counts under compaction/incremental
+    refresh."""
+    o = load(spark, sf_dir, "orders")
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("est_d"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    shards = o.withColumn("shard", F.col("o_orderkey") % 8).groupBy(
+        "o_orderpriority", "shard"
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    merged = shards.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m")
+    )
+    return (
+        direct.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            (
+                F.abs(F.col("est_m") - F.col("est_d"))
+                <= F.lit(0.03) * F.col("n_exact")
+            ).alias("merged_close_to_direct"),
+            (
+                F.abs(F.col("est_d") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        )
+    )

@@ -421,3 +421,19 @@ _sql_query(
     "— j1/j2's semantics from the SQL surface; conditional COUNT (not "
     "SUM) keeps every output column BIGINT on both engines.",
 )
+
+
+# s25: gap-based sessionization as ONE portable text — k3's exact oracle
+# SQL (lag → flag → running sum → session rollup) submitted through
+# spark.sql, proving the sessionization semantics are reachable from the
+# pure SQL surface on both engines.
+from ma_anonymization_etl_spark.operators.events import _SESSION_SQL  # noqa: E402
+
+_sql_query(
+    "s25_sessionize_sql",
+    _SESSION_SQL,
+    "Gap-based sessionization (30-min inactivity gap) as ONE "
+    "dialect-portable SQL text — the identical lag → flag → running-sum "
+    "→ rollup text runs on Spark (parser → Catalyst) and on DuckDB as "
+    "the oracle; k3 is the DataFrame twin of the same contract.",
+)

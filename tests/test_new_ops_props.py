@@ -344,3 +344,33 @@ def test_k24_streaming_merge_equals_batch_compaction(spark):
         else:
             got = out[r.user_id]
             assert got.last_seq == r.last_seq and got.value_cents == r.vc
+
+
+def test_d15_sketch_merge_is_sound(spark):
+    from ma_anonymization_etl_spark.operators.relational import d15_hll_sketch_merge
+
+    rows = d15_hll_sketch_merge(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.merged_close_to_direct and r.est_within_5pct
+        assert r.n_exact > 0
+
+
+def test_p5_lpa_communities_partition_nodes(spark):
+    from ma_anonymization_etl_spark.operators.graph import (
+        _copurchase_pairs,
+        p5_label_propagation,
+    )
+
+    out = p5_label_propagation(spark, SF_ORACLE).collect()
+    pairs = _copurchase_pairs(spark, SF_ORACLE, min_support=2)
+    n_nodes = (
+        pairs.select(F.col("u").alias("x"))
+        .unionByName(pairs.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_members for r in out) == n_nodes  # labels partition nodes
+    assert all(r.n_members >= 1 for r in out)
+    # LPA must genuinely coarsen: strictly fewer communities than nodes.
+    assert len(out) < n_nodes
