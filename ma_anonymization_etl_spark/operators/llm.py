@@ -2533,6 +2533,37 @@ def _bpe_merge_round(wcol: Column, a: str, b: str, m: str) -> Column:
     )
 
 
+def _bpe_fit(cur: DataFrame, rounds: int = 3):
+    """Run the bounded BPE merge-learning loop over a symbol-list table
+    ``cur`` carrying at least (cnt, w) — extra columns (e.g. the word
+    key j47 joins back on) ride along untouched.  Per round: one
+    weighted non-self pair aggregate, one bounded driver argmax
+    (count desc, a, b), one positionally-parallel rewrite.  Returns
+    (final table, [(round, a, b, merged, n_weighted)])."""
+    rules = []
+    for rnd in range(1, rounds + 1):
+        pair_idx = F.when(
+            F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            cur.select("cnt", F.explode(pair_idx).alias("i"), "w")
+            .select(
+                F.element_at("w", F.col("i").cast("int")).alias("a"),
+                F.element_at("w", (F.col("i") + 1).cast("int")).alias("b"),
+                "cnt",
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
+        rules.append((rnd, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
+        cur = cur.withColumn(
+            "w", _bpe_merge_round(F.col("w"), top["a"], top["b"], top["a"] + top["b"])
+        ).localCheckpoint(eager=True)
+    return cur, rules
+
+
 def _j42_oracle() -> str:
     """Three unrolled BPE rounds in DuckDB: per round, weighted
     non-self adjacent-pair counts over the current symbol lists, argmax
@@ -2613,27 +2644,7 @@ def j42_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("w"),
     ).localCheckpoint(eager=True)
-    rules = []
-    for rnd in (1, 2, 3):
-        pair_idx = F.when(
-            F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = (
-            cur.select("cnt", F.explode(pair_idx).alias("i"), "w")
-            .select(
-                F.element_at("w", F.col("i").cast("int")).alias("a"),
-                F.element_at("w", (F.col("i") + 1).cast("int")).alias("b"),
-                "cnt",
-            )
-            .filter(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("n"))
-        )
-        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
-        rules.append((rnd, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
-        cur = cur.select(
-            "cnt", _bpe_merge_round(F.col("w"), top["a"], top["b"], top["a"] + top["b"]).alias("w")
-        ).localCheckpoint(eager=True)
+    cur, rules = _bpe_fit(cur)
     return spark.createDataFrame(
         rules,
         "round INT, left_sym STRING, right_sym STRING, merged STRING, n_weighted LONG",
@@ -2732,4 +2743,90 @@ def j46_group_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _j47_oracle() -> str:
+    """j42's 3-round merge chain, but carrying the word key so the
+    final symbol lists can be joined back onto documents (the encode
+    side)."""
+    rounds = []
+    prev = "s0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+p{r} AS (
+  SELECT w[i] AS a, w[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM {prev}, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE w[i] <> w[i + 1]
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, a || b AS m, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+s{r} AS (
+  SELECT word, cnt,
+         list_transform(
+           list_filter(range(1, len(w) + 1),
+                       i -> NOT (w[i] = m{r}.b AND i > 1 AND w[i - 1] = m{r}.a)),
+           i -> CASE WHEN w[i] = m{r}.a AND i < len(w) AND w[i + 1] = m{r}.b
+                     THEN m{r}.m ELSE w[i] END) AS w
+  FROM {prev} CROSS JOIN m{r}
+)""")
+        prev = f"s{r}"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+types AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM docs GROUP BY word),
+s0 AS (
+  SELECT word, cnt,
+         list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS w
+  FROM types
+),
+{",".join(rounds)},
+enc AS (SELECT word, len(w) AS n_bpe FROM s3)
+SELECT d.doc_id,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_char_syms,
+       CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(d.word)) - SUM(e.n_bpe) AS BIGINT) AS n_saved
+FROM docs d JOIN enc e ON e.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+@register("j47_bpe_encode", oracle=_j47_oracle())
+def j47_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j47 (extension): BPE ENCODE — the apply side of j42's learned
+    merge table, done the way production tokenizers amortize it: the
+    3 merges are applied once per word TYPE (vocab-sized table), then
+    the encoded lengths JOIN back onto the token stream (broadcast —
+    the type table is tiny next to the corpus), so no document is ever
+    re-folded.  Output per doc: initial character-symbol count, BPE
+    token count after 3 merges, and symbols saved — the
+    compression-accounting a tokenizer-budget planner consumes.
+
+    Scale: learning is j42's bounded loop; ENCODING adds one
+    vocab-sized broadcast join + one doc-keyed aggregate over the
+    already-exploded token stream — the same single-shuffle profile as
+    j4's word count.  Nothing per-document is iterative."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words_of()).alias("word"))
+    types = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cur = types.select(
+        "word",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    final, _rules = _bpe_fit(cur)
+    enc = final.select("word", F.size("w").cast("long").alias("n_bpe"))
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word").cast("long")).alias("n_char_syms"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            (
+                F.sum(F.length("word").cast("long")) - F.sum("n_bpe")
+            ).alias("n_saved"),
+        )
     )

@@ -1117,3 +1117,70 @@ def d15_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_5pct"),
         )
     )
+
+
+@register(
+    "c12_interval_overlap_join",
+    oracle="""
+WITH promos AS (
+  SELECT n_nationkey AS promo_id,
+         TIMESTAMP '1995-01-01' + (n_nationkey * 90) * INTERVAL 1 DAY AS p_start,
+         TIMESTAMP '1995-01-01' + (n_nationkey * 90 + 30) * INTERVAL 1 DAY AS p_end
+  FROM nation
+),
+o AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate AS a_start,
+         o_orderdate + 7 * INTERVAL 1 DAY AS a_end
+  FROM orders
+)
+SELECT promo_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM o JOIN promos ON a_start < p_end AND p_start < a_end
+GROUP BY promo_id
+""",
+)
+def c12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c12: INTERVAL-OVERLAP join — both sides are intervals (order
+    activity window [orderdate, +7d) x promotion window [start, +30d)),
+    matched on the half-open overlap predicate a_start < b_end AND
+    b_start < a_end; c6/c11 cover point-in-range, this is the
+    campaign-attribution / validity-intersection shape.  The promo
+    dimension is broadcast, so the overlap predicate evaluates
+    map-side — no shuffle of the fact.
+
+    Scale: when BOTH interval sets are large, bin each interval to the
+    fixed-width buckets it spans (explode), equi-join on bucket, then
+    re-check the exact predicate and dedup — c11's binned-range
+    machinery verbatim; here the dimension side is small so broadcast
+    is the right plan and the bins would only add work."""
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    promos = n.select(
+        F.col("n_nationkey").alias("promo_id"),
+        F.expr(
+            "timestamp'1995-01-01 00:00:00' + make_dt_interval(n_nationkey * 90, 0, 0, 0)"
+        ).alias("p_start"),
+        F.expr(
+            "timestamp'1995-01-01 00:00:00' + make_dt_interval(n_nationkey * 90 + 30, 0, 0, 0)"
+        ).alias("p_end"),
+    )
+    facts = o.select(
+        "o_totalprice",
+        F.col("o_orderdate").alias("a_start"),
+        F.expr("o_orderdate + make_dt_interval(7, 0, 0, 0)").alias("a_end"),
+    )
+    return (
+        facts.join(
+            F.broadcast(promos),
+            (F.col("a_start") < F.col("p_end")) & (F.col("p_start") < F.col("a_end")),
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )

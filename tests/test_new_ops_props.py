@@ -374,3 +374,36 @@ def test_p5_lpa_communities_partition_nodes(spark):
     assert all(r.n_members >= 1 for r in out)
     # LPA must genuinely coarsen: strictly fewer communities than nodes.
     assert len(out) < n_nodes
+
+
+def test_j47_encode_conserves_symbols(spark):
+    from ma_anonymization_etl_spark.operators.llm import j47_bpe_encode
+
+    out = j47_bpe_encode(spark, SF_ORACLE)
+    n_docs = load(spark, SF_ORACLE, "documents").count()
+    assert out.count() == n_docs
+    # each merge can only SHORTEN a word, never below 1 symbol, and with
+    # 3 learned merges something must actually compress corpus-wide
+    assert out.filter("n_bpe_tokens > n_char_syms OR n_bpe_tokens < 1").count() == 0
+    assert out.filter("n_saved != n_char_syms - n_bpe_tokens").count() == 0
+    assert out.agg(F.sum("n_saved")).first()[0] > 0
+
+
+def test_c12_overlap_matches_bruteforce_semantics(spark):
+    from ma_anonymization_etl_spark.operators.relational import (
+        c12_interval_overlap_join,
+    )
+
+    rows = {r.promo_id: r for r in c12_interval_overlap_join(spark, SF_ORACLE).collect()}
+    # brute-force recount for one mid-range promo via plain filters
+    import datetime
+
+    pid = 10
+    p_start = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=pid * 90)
+    p_end = p_start + datetime.timedelta(days=30)
+    o = load(spark, SF_ORACLE, "orders")
+    n = o.filter(
+        (F.col("o_orderdate") < F.lit(p_end))
+        & (F.lit(p_start) < F.col("o_orderdate") + F.expr("make_dt_interval(7,0,0,0)"))
+    ).count()
+    assert rows[pid].n_orders == n > 0
