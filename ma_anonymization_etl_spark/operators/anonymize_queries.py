@@ -902,3 +902,100 @@ def i39_cross_table_pseudo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("integrity_preserved"),
         )
     )
+
+
+_I41_P_KEEP = 0.8  # PRAM diagonal: P(released = original)
+
+
+def _i41_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.dp import _sql_uniform
+
+    u = _sql_uniform("c.c_custkey", "i41")
+    return f"""
+WITH cats AS (
+  SELECT seg, ROW_NUMBER() OVER (ORDER BY seg) - 1 AS idx
+  FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+),
+k AS (SELECT COUNT(*) AS k FROM cats),
+drawn AS (
+  SELECT c.c_mktsegment AS orig, cat.idx AS own, {u} AS u, k.k
+  FROM customer c JOIN cats cat ON cat.seg = c.c_mktsegment, k
+),
+released AS (
+  SELECT orig,
+         CASE WHEN u < {_I41_P_KEEP} THEN own
+              ELSE CASE
+                WHEN CAST(FLOOR((u - {_I41_P_KEEP})
+                          / ((1.0 - {_I41_P_KEEP}) / (CAST(k AS DOUBLE) - 1.0)))
+                     AS BIGINT) < own
+                THEN CAST(FLOOR((u - {_I41_P_KEEP})
+                          / ((1.0 - {_I41_P_KEEP}) / (CAST(k AS DOUBLE) - 1.0)))
+                     AS BIGINT)
+                ELSE CAST(FLOOR((u - {_I41_P_KEEP})
+                          / ((1.0 - {_I41_P_KEEP}) / (CAST(k AS DOUBLE) - 1.0)))
+                     AS BIGINT) + 1
+              END END AS rel_idx
+  FROM drawn
+)
+SELECT r.orig, c2.seg AS released, COUNT(*) AS n
+FROM released r JOIN cats c2 ON c2.idx = r.rel_idx
+GROUP BY r.orig, c2.seg
+"""
+
+
+@register("i41_pram_categorical", oracle=_i41_oracle())
+def i41_pram_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i41: PRAM (Post-RAndomization Method, Gouweleeuw et al. 1998) —
+    the general categorical perturbation i31's binary randomized
+    response is a special case of: each record keeps its category with
+    p = 0.8, otherwise transitions uniformly to one of the k-1 others.
+    The draw is the md5-derived U[0,1) keyed on c_custkey, so the
+    DuckDB oracle replays every transition; the released artifact here
+    is the orig x released TRANSITION MATRIX (k x k counts), which is
+    exactly what a downstream bias-correcting estimator (the PRAM
+    matrix inverse) consumes.
+
+    Scale: the category dictionary (k rows, window-numbered) is a
+    broadcast; the transition itself is ONE map-side expression per
+    row — no shuffle beyond the final k x k rollup.  A non-uniform
+    transition matrix swaps the closed-form bucket for a per-category
+    cumulative-probability lookup in the same broadcast."""
+    from pyspark.sql import Window
+
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    c = load(spark, sf_dir, "customer")
+    cats = (
+        c.select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("seg")) - 1)
+    )
+    k = cats.agg(F.count(F.lit(1)).alias("k"))
+    p = F.lit(_I41_P_KEEP)
+    j = F.floor(
+        (F.col("u") - p) / ((F.lit(1.0) - p) / (F.col("k").cast("double") - F.lit(1.0)))
+    ).cast("long")
+    drawn = (
+        c.join(F.broadcast(cats), F.col("c_mktsegment") == F.col("seg"))
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("c_mktsegment").alias("orig"),
+            F.col("idx").alias("own"),
+            hash_uniform("c_custkey", "i41").alias("u"),
+            "k",
+        )
+    )
+    released = drawn.select(
+        "orig",
+        F.when(F.col("u") < p, F.col("own"))
+        .otherwise(F.when(j < F.col("own"), j).otherwise(j + 1))
+        .alias("rel_idx"),
+    )
+    return (
+        released.join(
+            F.broadcast(cats.select(F.col("idx").alias("rel_idx"), F.col("seg").alias("released"))),
+            "rel_idx",
+        )
+        .groupBy("orig", "released")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -2830,3 +2830,93 @@ def j47_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_saved"),
         )
     )
+
+
+@register(
+    "j48_bigram_lm_score",
+    # Same micro-nat discipline as j30: per-bigram log-probs rounded to
+    # 6 dp BEFORE the scaled-int64 sum, so per-doc accumulation is
+    # order-independent and engine-identical.
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+       FROM w, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
+ctx AS (SELECT a, COUNT(*) AS ctx FROM bg GROUP BY a),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+lp AS (SELECT c2.a, c2.b,
+              CAST(ROUND(ln((c2.c + 1.0) / (ctx.ctx + v.v)) * 1000000) AS BIGINT)
+                AS lnp6
+       FROM c2 JOIN ctx ON ctx.a = c2.a, v),
+d AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lnp6) AS BIGINT) AS s
+      FROM bg JOIN lp ON lp.a = bg.a AND lp.b = bg.b GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       ((-s) // n_bigrams) / 1000000.0 AS avg_nll,
+       ((-s) // n_bigrams) <= 3390000 AS keep
+FROM d
+""",
+)
+def j48_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j48 (extension): BIGRAM LM quality scoring — j30's unigram
+    filter upgraded one Markov order: Laplace-smoothed P(b|a) =
+    (c(a,b)+1)/(c(a·)+V) trained on the corpus itself, per-doc average
+    NLL in exact micro-nats (per-bigram log-probs rounded to 6 dp,
+    then an order-independent int64 sum — no float accumulation
+    drift), keep-threshold at the corpus median (3.39 nats).  Bigram
+    scores catch word-salad documents whose unigram profile looks
+    normal — the CCNet/Gopher-style fluency signal.
+
+    Scale: the bigram stream is a map-side zip of adjacent tokens (no
+    self-join on position); the model is two groupBys (bigram counts,
+    context counts); scoring joins the stream against the model on
+    (a, b) — at 100 TB hash-partition the model by its first token so
+    stream and model co-shuffle once, and cap the model to top-M
+    bigrams with a default-backoff row exactly like production CCNet
+    filters."""
+    d = load(spark, sf_dir, "documents").select("doc_id", words_of().alias("toks"))
+    n = F.size("toks")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("a"),
+                    F.slice("toks", 2, n - 1).alias("b"),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ctx"))
+    v = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(words_of()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lp = (
+        c2.join(ctx, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("ctx") + F.col("v"))) * 1e6
+            )
+            .cast("long")
+            .alias("lnp6"),
+        )
+    )
+    per_doc = (
+        bg.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lnp6").alias("s"))
+    )
+    nll6 = F.floor((-F.col("s")) / F.col("n_bigrams")).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (nll6 / 1e6).alias("avg_nll"),
+        (nll6 <= F.lit(3390000)).alias("keep"),
+    )

@@ -407,3 +407,45 @@ def test_c12_overlap_matches_bruteforce_semantics(spark):
         & (F.lit(p_start) < F.col("o_orderdate") + F.expr("make_dt_interval(7,0,0,0)"))
     ).count()
     assert rows[pid].n_orders == n > 0
+
+
+def test_i41_pram_matrix_shape(spark):
+    from ma_anonymization_etl_spark.operators.anonymize_queries import (
+        i41_pram_categorical,
+    )
+
+    rows = i41_pram_categorical(spark, SF_ORACLE).collect()
+    c = load(spark, SF_ORACLE, "customer")
+    class_sizes = {
+        r.c_mktsegment: r.n
+        for r in c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    # row sums reproduce the original class sizes (PRAM is a bijective
+    # relabeling per record, never a suppression)
+    by_orig = {}
+    diag = {}
+    for r in rows:
+        by_orig[r.orig] = by_orig.get(r.orig, 0) + r.n
+        if r.orig == r.released:
+            diag[r.orig] = r.n
+    assert by_orig == class_sizes
+    # diagonal dominance near p=0.8 (binomial sd ~ sqrt(n*0.16) — 10% band)
+    for seg, total in class_sizes.items():
+        assert abs(diag[seg] / total - 0.8) < 0.1
+
+
+def test_j48_bigram_scores_are_sane(spark):
+    from ma_anonymization_etl_spark.operators.llm import j48_bigram_lm_score
+
+    out = j48_bigram_lm_score(spark, SF_ORACLE).cache()
+    try:
+        n_docs = load(spark, SF_ORACLE, "documents").count()
+        assert out.count() == n_docs  # every doc has >= 2 tokens here
+        assert out.filter("avg_nll <= 0 OR n_bigrams < 1").count() == 0
+        # keep is exactly the threshold predicate, and the median-pinned
+        # threshold must actually split the corpus
+        assert out.filter("keep != (avg_nll <= 3.39)").count() == 0
+        kept = out.filter("keep").count()
+        assert 0 < kept < n_docs
+    finally:
+        out.unpersist()
