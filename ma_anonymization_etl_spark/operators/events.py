@@ -92,14 +92,14 @@ def k2_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared sessionization SQL (k3 oracle; also the k4 cross-check base).
 _SESSION_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -147,14 +147,14 @@ def k3_win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k4_win_session_native",
     oracle=f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -2808,7 +2808,9 @@ def j47_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-exploded token stream — the same single-shuffle profile as
     j4's word count.  Nothing per-document is iterative."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(words_of()).alias("word"))
+    toks = d.select("doc_id", F.explode(words_of()).alias("word")).localCheckpoint(
+        eager=True
+    )  # read twice: the types aggregate and the final encode join
     types = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     cur = types.select(
         "word",
@@ -2838,13 +2840,13 @@ def j47_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 dp BEFORE the scaled-int64 sum, so per-doc accumulation is
     # order-independent and engine-identical.
     oracle="""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
 bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
        FROM w, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t),
 c2 AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
 ctx AS (SELECT a, COUNT(*) AS ctx FROM bg GROUP BY a),
 v AS (SELECT COUNT(DISTINCT tok) AS v
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
 lp AS (SELECT c2.a, c2.b,
               CAST(ROUND(ln((c2.c + 1.0) / (ctx.ctx + v.v)) * 1000000) AS BIGINT)
                 AS lnp6
@@ -2888,12 +2890,13 @@ def j48_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
         ).alias("p"),
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # bg feeds three subtrees (bigram counts, context counts, the scoring
+    # join) — checkpoint so the split+zip+explode runs once, not thrice.
+    bg = bg.localCheckpoint(eager=True)
     c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     ctx = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ctx"))
-    v = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(words_of()).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
+    v = d.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
     )
     lp = (
         c2.join(ctx, "a")

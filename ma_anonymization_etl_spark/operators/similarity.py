@@ -960,7 +960,11 @@ def _km_recompute(assign: DataFrame) -> DataFrame:
 
 
 def _km_fit(corpus: DataFrame):
-    """Run the deterministic Lloyd loop; returns (final_assign, cents)."""
+    """Run the deterministic Lloyd loop; returns (final_assign, cents).
+    The corpus is checkpointed on entry: three assignments and two
+    recomputes would otherwise each re-derive its full lineage (for
+    j44 that is load + cast + sin-perturbation + union, ~5 times)."""
+    corpus = corpus.localCheckpoint(eager=True)
     cents = corpus.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cl"), F.col("v").alias("cent")
     )

@@ -429,9 +429,11 @@ def test_i41_pram_matrix_shape(spark):
         if r.orig == r.released:
             diag[r.orig] = r.n
     assert by_orig == class_sizes
-    # diagonal dominance near p=0.8 (binomial sd ~ sqrt(n*0.16) — 10% band)
+    # diagonal dominance near p=0.8 — band is 3.5 binomial sigmas so the
+    # test holds at every SF (a 23-row segment at sf0.001 has sd ~ 0.083)
     for seg, total in class_sizes.items():
-        assert abs(diag[seg] / total - 0.8) < 0.1
+        sd = (0.8 * 0.2 / total) ** 0.5
+        assert abs(diag[seg] / total - 0.8) < max(0.1, 3.5 * sd)
 
 
 def test_j48_bigram_scores_are_sane(spark):
