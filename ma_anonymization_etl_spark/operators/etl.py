@@ -714,3 +714,63 @@ def n11_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.col("last_seq"),
     )
+
+
+@register(
+    "n12_partition_overwrite_backfill",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                     THEN CAST(FLOOR((o_totalprice + 1) * 100) AS BIGINT)
+                     ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY 1
+""",
+)
+def n12_partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n12: DYNAMIC partition overwrite — the backfill primitive: a
+    correction job rewrites exactly ONE partition (o_year=1997 gets a
+    +$1.00 price fix; the oracle replays the identical float-then-floor
+    arithmetic rather than assuming +100 cents survives IEEE addition)
+    while
+    every other partition's files are untouched; with static overwrite
+    (the default) the same write would have DELETED all other years.
+    The corrected rows derive from the source table, not the staged
+    dir, so re-runs are idempotent rather than compounding.  The read
+    back aggregates the whole table and the oracle recomputes the
+    expected post-backfill state from first principles.
+
+    Scale: overwrite cost is O(one partition), not O(table) — at
+    100 TB with daily partitions a backfill touches 1/3650th of the
+    data; commit atomicity is per-partition-directory (a table format
+    upgrades that to a transaction, same write shape)."""
+    import os
+
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, scratch_dir, stage_key
+
+    sfx = stage_key(sf_dir)
+    base = scratch_dir(spark, "n12_base", sfx)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+
+    def _write(p: str) -> None:
+        o.write.mode("overwrite").partitionBy("o_year").parquet(p)
+
+    ensure_staged(spark, f"n12_{sfx}", base, _write)
+    fix = o.filter(F.col("o_year") == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+    )

@@ -514,3 +514,69 @@ def q6_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             fd(o, "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority")
         )
     )
+
+
+@register(
+    "q7_volume_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n,
+         COUNT(n) OVER win AS k,
+         SUM(n) OVER win AS s,
+         SUM(n * n) OVER win AS q
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n, CAST(k AS BIGINT) AS k_window,
+       (k >= 2 AND
+        (n * k - s) * (n * k - s) * (k - 1) > 9 * k * (k * q - s * s))
+         AS is_anomaly
+FROM w
+""",
+)
+def q7_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7: ingest-volume anomaly detection — each day's event count is
+    tested against the trailing 7-day baseline (window EXCLUDES the
+    current day, so a spike cannot inflate its own baseline) with a
+    3-sigma rule evaluated ENTIRELY in integer arithmetic:
+    |n - mean| > 3*sd  <=>  (n*k - S)^2 * (k-1) > 9*k*(k*Q - S^2)
+    over the window's count/sum/sum-of-squares — no float mean, no
+    stddev accumulation-order drift, bit-identical across engines.
+    (Magnitudes here keep every product inside int64; beyond ~1e6
+    events/day route the squares through DECIMAL.)  Days with fewer
+    than 2 baseline days report is_anomaly = false.
+
+    Scale: the daily rollup is one aggregate (partial-merged
+    map-side); the window runs over O(days) rows — trivially small
+    forever.  This is the volume-freshness gate a pipeline runs before
+    trusting a day's partition (pairs with k23's lateness audit)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = (
+        daily.withColumn("k", F.count("n").over(win))
+        .withColumn("s", F.sum("n").over(win))
+        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(win))
+    )
+    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (
+        F.col("n") * F.col("k") - F.col("s")
+    )
+    var_k = F.col("k") * F.col("q") - F.col("s") * F.col("s")
+    return w.select(
+        "day",
+        "n",
+        F.col("k").cast("long").alias("k_window"),
+        (
+            (F.col("k") >= 2)
+            & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
+        ).alias("is_anomaly"),
+    )

@@ -1184,3 +1184,80 @@ def c12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "d16_histogram_quantile_merge",
+    oracle="""
+WITH b AS (
+  SELECT o_orderstatus, CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bin, c,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+  FROM b
+)
+SELECT o_orderstatus,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN bin END) * 10000 AS BIGINT)
+         AS p50_bin_lo,
+       CAST(MIN(CASE WHEN cc * 20 >= n * 19 THEN bin END) * 10000 AS BIGINT)
+         AS p95_bin_lo
+FROM cum GROUP BY o_orderstatus
+""",
+)
+def d16_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16 (extension): MERGEABLE quantile summaries — the fixed-bin
+    histogram partial that d13's approx_percentile hides: per-shard
+    bin counts are the map-side partial (here sharded on
+    o_orderkey%8, then SUM-merged per group — d15's sketch-merge
+    algebra, but for quantiles, and EXACT under merge because bin
+    counting is additive), and any quantile reads off the merged
+    cumulative histogram as the first bin whose cumulative count
+    crosses q*n (integer comparisons only — cc*2 >= n, cc*20 >= 19n —
+    so both engines pick identical bins with no float thresholds).
+    Resolution is the bin width (10k here); production systems nest a
+    second finer histogram inside hot bins.
+
+    Scale: partials are O(groups x bins) rows regardless of data size,
+    maintainable incrementally under n3/k22's partial-refresh shape —
+    the only way percentile dashboards survive 100 TB without
+    re-scanning history."""
+    o = load(spark, sf_dir, "orders")
+    shard_partials = (
+        o.withColumn("shard", F.col("o_orderkey") % 8)
+        .withColumn("bin", F.floor(F.col("o_totalprice") / 10000).cast("long"))
+        .groupBy("o_orderstatus", "shard", "bin")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    merged = shard_partials.groupBy("o_orderstatus", "bin").agg(
+        F.sum("pc").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderstatus")
+    cum = merged.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    return cum.groupBy("o_orderstatus").agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bin"))) * 10000
+        )
+        .cast("long")
+        .alias("p50_bin_lo"),
+        (
+            F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))) * 10000
+        )
+        .cast("long")
+        .alias("p95_bin_lo"),
+    )

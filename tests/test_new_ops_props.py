@@ -451,3 +451,82 @@ def test_j48_bigram_scores_are_sane(spark):
         assert 0 < kept < n_docs
     finally:
         out.unpersist()
+
+
+def test_d16_quantile_bins_bracket_exact_percentiles(spark):
+    from ma_anonymization_etl_spark.operators.relational import (
+        d16_histogram_quantile_merge,
+    )
+
+    rows = {r.o_orderstatus: r for r in d16_histogram_quantile_merge(spark, SF_ORACLE).collect()}
+    o = load(spark, SF_ORACLE, "orders")
+    for status, r in rows.items():
+        exact = o.filter(F.col("o_orderstatus") == status).agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        assert r.n == exact.n
+        # the bin lower edge brackets the exact percentile within bin width
+        assert r.p50_bin_lo <= exact.p50 < r.p50_bin_lo + 10000
+        assert r.p95_bin_lo <= exact.p95 < r.p95_bin_lo + 10000
+
+
+def test_n12_backfill_touches_only_target_partition(spark):
+    from ma_anonymization_etl_spark.operators.etl import (
+        n12_partition_overwrite_backfill,
+    )
+
+    rows = {r.o_year: r for r in n12_partition_overwrite_backfill(spark, SF_ORACLE).collect()}
+    o = load(spark, SF_ORACLE, "orders").withColumn("y", F.year("o_orderdate"))
+    base = {
+        r.y: (r.n, r.s)
+        for r in o.groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    for y, (n, s) in base.items():
+        assert rows[y].n == n
+        if y == 1997:
+            assert rows[y].sum_cents > s  # corrected partition moved
+        else:
+            assert rows[y].sum_cents == s  # untouched partitions identical
+
+
+def test_q7_flags_injected_spike(spark):
+    """The integer 3-sigma rule must fire on a genuine spike: rerun the
+    same window math over the daily series with one day's count
+    multiplied 10x and assert that day flags."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, SF_ORACLE, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spiked = daily.withColumn(
+        "n",
+        F.when(F.col("day") == F.lit("2024-01-20 00:00:00").cast("timestamp"), F.col("n") * 10)
+        .otherwise(F.col("n")),
+    )
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = (
+        spiked.withColumn("k", F.count("n").over(win))
+        .withColumn("s", F.sum("n").over(win))
+        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(win))
+    )
+    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (F.col("n") * F.col("k") - F.col("s"))
+    var_k = F.col("k") * F.col("q") - F.col("s") * F.col("s")
+    flagged = w.filter(
+        (F.col("k") >= 2) & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
+    ).select("day").collect()
+    assert any(str(r.day).startswith("2024-01-20") for r in flagged)
+    # and on the REAL series the op itself reports mostly-calm traffic
+    from ma_anonymization_etl_spark.operators.quality import q7_volume_anomaly
+
+    real = q7_volume_anomaly(spark, SF_ORACLE)
+    assert real.count() == 30
+    assert real.filter("is_anomaly").count() <= 3
