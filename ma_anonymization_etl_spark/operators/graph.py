@@ -499,3 +499,90 @@ def p5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def _p6_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+d{r} AS (
+  SELECT node, MIN(val) AS dist FROM (
+    SELECT node, dist AS val FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, p.dist + e.w AS val
+    FROM wedges e JOIN {prev} p ON p.node = e.u
+  ) GROUP BY node
+)""")
+        prev = f"d{r}"
+    return f"""
+WITH spairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+),
+wedges AS (
+  SELECT u, v, 1000 // support AS w FROM spairs
+  UNION ALL
+  SELECT v, u, 1000 // support FROM spairs
+),
+src AS (SELECT MIN(u) AS s FROM wedges),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src),
+{",".join(rounds)}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+@register("p6_sssp_bounded", oracle=_p6_oracle())
+def p6_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p6: BOUNDED weighted shortest paths (Bellman-Ford, 3 relaxation
+    rounds) from the smallest node of the min-support co-purchase
+    graph — edge weight 1000 // support (integer: frequently
+    co-purchased parts are 'closer'), so every relaxation is exact
+    integer min-plus with no float-path-sum ambiguity, and the oracle
+    replays all three rounds.  Like p3, the hop bound is part of the
+    SEMANTICS (cheapest path using <= 3 edges), not a convergence
+    hope — the honest contract when the diameter is unknown.  Nodes
+    not reachable within 3 edges are absent.
+
+    Scale: each round is one edge-keyed join against the O(reached)
+    distance table + one min-aggregate — PageRank's shuffle profile;
+    rounds are a bounded driver loop over a checkpointed edge list."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    spairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    w = F.expr("1000 div support")
+    wedges = (
+        spairs.select("u", "v", w.alias("w"))
+        .unionByName(
+            spairs.select(F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = wedges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = src
+    for _ in range(3):
+        relaxed = wedges.join(
+            dist.select(F.col("node").alias("u"), F.col("dist").alias("du")), "u"
+        ).select(F.col("v").alias("node"), (F.col("du") + F.col("w")).alias("val"))
+        dist = (
+            dist.select("node", F.col("dist").alias("val"))
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("val").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

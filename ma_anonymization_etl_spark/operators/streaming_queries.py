@@ -797,3 +797,106 @@ def k24_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("key", "last_seq", "value_cents")
     )
+
+
+@register(
+    "k25_stream_histogram_maintenance",
+    # d16's mergeable-histogram algebra run through real micro-batches:
+    # per-batch BIN-COUNT partials land under batch_id dirs (k21's
+    # idempotent sink), the read side SUM-merges and takes quantile
+    # edges via integer cumulative crossings.  Merged partials == full
+    # recompute is exactly what the oracle checks.
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN bin END) * 25 AS BIGINT) AS p50_bin_lo,
+       CAST(MIN(CASE WHEN cc * 20 >= n * 19 THEN bin END) * 25 AS BIGINT)
+         AS p95_bin_lo
+FROM cum GROUP BY event_type
+""",
+)
+def k25_stream_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k25 (extension): STREAMING maintenance of d16's mergeable
+    quantile histogram — the event feed arrives as three micro-batches
+    (maxFilesPerTrigger=1 over a three-way staging); each foreachBatch
+    writes only its own per-(event_type, bin) COUNT partial under a
+    batch_id-keyed dir (k21's idempotent overwrite sink, so replays
+    cannot double-count), and the read side SUM-merges partials and
+    reads p50/p95 off the cumulative histogram with the same integer
+    crossings as d16.  Merging per-batch partials must equal the
+    full-corpus histogram because bin counting is additive — which is
+    precisely the property the oracle's direct recompute checks.
+
+    Scale: per batch the work is O(batch) plus a (types x bins)-row
+    write; the dashboard read merges O(types x bins x batches) partial
+    rows and never re-scans history — quantile monitoring that stays
+    O(1)-ish per refresh at any corpus size (compact partials with n4
+    whenever batches accumulate)."""
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, stage_key
+
+    sfx = stage_key(sf_dir)
+    stage_dir = scratch_dir(spark, "k25_stage", sfx)
+
+    def _write(p: str) -> None:
+        e = load(spark, sf_dir, "events")
+        for i in range(3):
+            e.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(p, f"third={i}"))
+
+    ensure_staged(spark, f"k25_{sfx}", stage_dir, _write)
+    part_dir = scratch_dir(spark, "k25_partials", sfx)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    schema = spark.read.parquet(stage_dir).drop("third").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        partial = batch.groupBy(
+            "event_type", F.floor(F.col("value") / 25).cast("long").alias("bin")
+        ).agg(F.count(F.lit(1)).alias("pc"))
+        partial.write.mode("overwrite").parquet(
+            os.path.join(part_dir, f"batch_id={batch_id}")
+        )
+
+    run_foreach_batch(stream, write_partial)
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(part_dir)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("pc").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = merged.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bin"))) * 25)
+        .cast("long")
+        .alias("p50_bin_lo"),
+        (F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))) * 25)
+        .cast("long")
+        .alias("p95_bin_lo"),
+    )

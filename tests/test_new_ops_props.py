@@ -530,3 +530,34 @@ def test_q7_flags_injected_spike(spark):
     real = q7_volume_anomaly(spark, SF_ORACLE)
     assert real.count() == 30
     assert real.filter("is_anomaly").count() <= 3
+
+
+def test_p6_distances_triangle_inequality_vs_hops(spark):
+    from ma_anonymization_etl_spark.operators.graph import p6_sssp_bounded
+
+    rows = {r.node: r.dist for r in p6_sssp_bounded(spark, SF_ORACLE).collect()}
+    src = min(rows)
+    assert rows[src] == 0
+    others = {n: d for n, d in rows.items() if n != src}
+    assert others and all(d > 0 for d in others.values())
+    # max weight per edge is 1000//2 = 500, 3 relaxation rounds -> <= 1500
+    assert max(rows.values()) <= 1500
+
+
+def test_k25_stream_histogram_equals_batch_d16_algebra(spark):
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k25_stream_histogram_maintenance,
+    )
+
+    rows = {r.event_type: r for r in k25_stream_histogram_maintenance(spark, SF_ORACLE).collect()}
+    e = load(spark, SF_ORACLE, "events")
+    for et, r in rows.items():
+        sub = e.filter(F.col("event_type") == et)
+        exact = sub.agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        assert r.n == exact.n
+        assert r.p50_bin_lo <= exact.p50 < r.p50_bin_lo + 25
+        assert r.p95_bin_lo <= exact.p95 < r.p95_bin_lo + 25
