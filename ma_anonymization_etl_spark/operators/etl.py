@@ -746,8 +746,6 @@ def n12_partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFr
     100 TB with daily partitions a backfill touches 1/3650th of the
     data; commit atomicity is per-partition-directory (a table format
     upgrades that to a transaction, same write shape)."""
-    import os
-
     from ma_anonymization_etl_spark.sources.io import ensure_staged, scratch_dir, stage_key
 
     sfx = stage_key(sf_dir)
@@ -770,7 +768,10 @@ def n12_partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(base)
     )
     back = spark.read.parquet(base)
-    return back.groupBy("o_year").agg(
+    # partitionColumnTypeInference types the o_year directory key as INT
+    # regardless of the long written upstream — re-cast so the released
+    # schema matches the oracle's BIGINT.
+    return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
     )

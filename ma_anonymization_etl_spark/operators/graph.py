@@ -525,9 +525,9 @@ WITH spairs AS (
   HAVING COUNT(DISTINCT a.l_orderkey) >= 2
 ),
 wedges AS (
-  SELECT u, v, 1000 // support AS w FROM spairs
+  SELECT u, v, GREATEST(1, 1000 // support) AS w FROM spairs
   UNION ALL
-  SELECT v, u, 1000 // support FROM spairs
+  SELECT v, u, GREATEST(1, 1000 // support) FROM spairs
 ),
 src AS (SELECT MIN(u) AS s FROM wedges),
 d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src),
@@ -540,7 +540,7 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
 def p6_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p6: BOUNDED weighted shortest paths (Bellman-Ford, 3 relaxation
     rounds) from the smallest node of the min-support co-purchase
-    graph — edge weight 1000 // support (integer: frequently
+    graph — edge weight max(1, 1000 // support) (integer: frequently
     co-purchased parts are 'closer'), so every relaxation is exact
     integer min-plus with no float-path-sum ambiguity, and the oracle
     replays all three rounds.  Like p3, the hop bound is part of the
@@ -563,7 +563,9 @@ def p6_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.l_orderkey").alias("support"))
         .filter(F.col("support") >= 2)
     )
-    w = F.expr("1000 div support")
+    # floor at 1: support > 1000 must not mint zero-weight edges that
+    # collapse path distances (plausible on real co-purchase graphs).
+    w = F.expr("greatest(1L, 1000 div support)")
     wedges = (
         spairs.select("u", "v", w.alias("w"))
         .unionByName(

@@ -516,6 +516,34 @@ def q6_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def volume_anomaly_flags(daily: DataFrame) -> DataFrame:
+    """q7's integer 3-sigma rule over a (day, n) series — shared with
+    the spike-injection test so the test exercises the SHIPPED rule,
+    not a copy: |n - mean| > 3*sd over the trailing-7 self-exclusive
+    window rewritten as (n*k - S)^2 * (k-1) > 9*k*(k*Q - S^2)."""
+    from pyspark.sql import Window
+
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = (
+        daily.withColumn("k", F.count("n").over(win))
+        .withColumn("s", F.sum("n").over(win))
+        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(win))
+    )
+    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (
+        F.col("n") * F.col("k") - F.col("s")
+    )
+    var_k = F.col("k") * F.col("q") - F.col("s") * F.col("s")
+    return w.select(
+        "day",
+        "n",
+        F.col("k").cast("long").alias("k_window"),
+        (
+            (F.col("k") >= 2)
+            & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
+        ).alias("is_anomaly"),
+    )
+
+
 @register(
     "q7_volume_anomaly",
     oracle="""
@@ -554,29 +582,9 @@ def q7_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side); the window runs over O(days) rows — trivially small
     forever.  This is the volume-freshness gate a pipeline runs before
     trusting a day's partition (pairs with k23's lateness audit)."""
-    from pyspark.sql import Window
-
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    win = Window.orderBy("day").rowsBetween(-7, -1)
-    w = (
-        daily.withColumn("k", F.count("n").over(win))
-        .withColumn("s", F.sum("n").over(win))
-        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(win))
-    )
-    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (
-        F.col("n") * F.col("k") - F.col("s")
-    )
-    var_k = F.col("k") * F.col("q") - F.col("s") * F.col("s")
-    return w.select(
-        "day",
-        "n",
-        F.col("k").cast("long").alias("k_window"),
-        (
-            (F.col("k") >= 2)
-            & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
-        ).alias("is_anomaly"),
-    )
+    return volume_anomaly_flags(daily)

@@ -1186,6 +1186,37 @@ def c12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_quantiles(binned: "DataFrame", group_col: str, bin_width: int) -> "DataFrame":
+    """Shared read-side of the mergeable fixed-bin quantile histogram
+    (d16 batch, k25 streaming): given (group_col, bin, c) counts,
+    return per-group n and the p50/p95 bin lower edges via integer
+    cumulative crossings (cc*2 >= n, cc*20 >= 19n) — the first bin
+    whose cumulative count reaches ceil(q*n), i.e. the bin holding the
+    ceil(q*n)-th order statistic.  Integer comparisons only, so both
+    engines (and any future nested-refinement level) pick identical
+    bins."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = binned.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    return cum.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n"),
+        (F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bin"))) * bin_width)
+        .cast("long")
+        .alias("p50_bin_lo"),
+        (F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))) * bin_width)
+        .cast("long")
+        .alias("p95_bin_lo"),
+    )
+
+
 @register(
     "d16_histogram_quantile_merge",
     oracle="""
@@ -1237,27 +1268,4 @@ def d16_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = shard_partials.groupBy("o_orderstatus", "bin").agg(
         F.sum("pc").alias("c")
     )
-    from pyspark.sql import Window
-
-    w_cum = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("o_orderstatus")
-    cum = merged.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(w_all)
-    )
-    return cum.groupBy("o_orderstatus").agg(
-        F.max("n").cast("long").alias("n"),
-        (
-            F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bin"))) * 10000
-        )
-        .cast("long")
-        .alias("p50_bin_lo"),
-        (
-            F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))) * 10000
-        )
-        .cast("long")
-        .alias("p95_bin_lo"),
-    )
+    return histogram_quantiles(merged, "o_orderstatus", 10000)

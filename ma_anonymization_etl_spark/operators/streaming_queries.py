@@ -875,28 +875,11 @@ def k25_stream_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     run_foreach_batch(stream, write_partial)
-    from pyspark.sql import Window
+    from ma_anonymization_etl_spark.operators.relational import histogram_quantiles
 
     merged = (
         spark.read.parquet(part_dir)
         .groupBy("event_type", "bin")
         .agg(F.sum("pc").alias("c"))
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("event_type")
-    cum = merged.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(w_all)
-    )
-    return cum.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n"),
-        (F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bin"))) * 25)
-        .cast("long")
-        .alias("p50_bin_lo"),
-        (F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))) * 25)
-        .cast("long")
-        .alias("p95_bin_lo"),
-    )
+    return histogram_quantiles(merged, "event_type", 25)

@@ -458,18 +458,25 @@ def test_d16_quantile_bins_bracket_exact_percentiles(spark):
         d16_histogram_quantile_merge,
     )
 
+    import math
+
     rows = {r.o_orderstatus: r for r in d16_histogram_quantile_merge(spark, SF_ORACLE).collect()}
     o = load(spark, SF_ORACLE, "orders")
     for status, r in rows.items():
-        exact = o.filter(F.col("o_orderstatus") == status).agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        assert r.n == exact.n
-        # the bin lower edge brackets the exact percentile within bin width
-        assert r.p50_bin_lo <= exact.p50 < r.p50_bin_lo + 10000
-        assert r.p95_bin_lo <= exact.p95 < r.p95_bin_lo + 10000
+        vals = sorted(
+            x.o_totalprice
+            for x in o.filter(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        assert r.n == len(vals)
+        # the histogram's crossing rule picks the bin holding the
+        # ceil(q*n)-th order statistic — compare against THAT, not the
+        # interpolated percentile (which can straddle a bin boundary)
+        os50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        os95 = vals[math.ceil(0.95 * len(vals)) - 1]
+        assert r.p50_bin_lo <= os50 < r.p50_bin_lo + 10000
+        assert r.p95_bin_lo <= os95 < r.p95_bin_lo + 10000
 
 
 def test_n12_backfill_touches_only_target_partition(spark):
@@ -500,7 +507,7 @@ def test_q7_flags_injected_spike(spark):
     """The integer 3-sigma rule must fire on a genuine spike: rerun the
     same window math over the daily series with one day's count
     multiplied 10x and assert that day flags."""
-    from pyspark.sql import Window
+    from ma_anonymization_etl_spark.operators.quality import volume_anomaly_flags
 
     daily = (
         load(spark, SF_ORACLE, "events")
@@ -512,17 +519,8 @@ def test_q7_flags_injected_spike(spark):
         F.when(F.col("day") == F.lit("2024-01-20 00:00:00").cast("timestamp"), F.col("n") * 10)
         .otherwise(F.col("n")),
     )
-    win = Window.orderBy("day").rowsBetween(-7, -1)
-    w = (
-        spiked.withColumn("k", F.count("n").over(win))
-        .withColumn("s", F.sum("n").over(win))
-        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(win))
-    )
-    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (F.col("n") * F.col("k") - F.col("s"))
-    var_k = F.col("k") * F.col("q") - F.col("s") * F.col("s")
-    flagged = w.filter(
-        (F.col("k") >= 2) & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
-    ).select("day").collect()
+    # the OPERATOR's own rule (q7 calls this same helper) must flag it
+    flagged = volume_anomaly_flags(spiked).filter("is_anomaly").select("day").collect()
     assert any(str(r.day).startswith("2024-01-20") for r in flagged)
     # and on the REAL series the op itself reports mostly-calm traffic
     from ma_anonymization_etl_spark.operators.quality import q7_volume_anomaly
@@ -549,15 +547,17 @@ def test_k25_stream_histogram_equals_batch_d16_algebra(spark):
         k25_stream_histogram_maintenance,
     )
 
+    import math
+
     rows = {r.event_type: r for r in k25_stream_histogram_maintenance(spark, SF_ORACLE).collect()}
     e = load(spark, SF_ORACLE, "events")
     for et, r in rows.items():
-        sub = e.filter(F.col("event_type") == et)
-        exact = sub.agg(
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        assert r.n == exact.n
-        assert r.p50_bin_lo <= exact.p50 < r.p50_bin_lo + 25
-        assert r.p95_bin_lo <= exact.p95 < r.p95_bin_lo + 25
+        vals = sorted(
+            x.value
+            for x in e.filter(F.col("event_type") == et).select("value").collect()
+        )
+        assert r.n == len(vals)
+        os50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        os95 = vals[math.ceil(0.95 * len(vals)) - 1]
+        assert r.p50_bin_lo <= os50 < r.p50_bin_lo + 25
+        assert r.p95_bin_lo <= os95 < r.p95_bin_lo + 25
