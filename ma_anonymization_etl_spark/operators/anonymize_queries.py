@@ -999,3 +999,57 @@ def i41_pram_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("orig", "released")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "i42_t_closeness_enforce",
+    oracle="""
+WITH g AS (SELECT c_mktsegment,
+                  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM customer) AS p_global
+           FROM customer GROUP BY c_mktsegment),
+ct AS (SELECT c_nationkey, COUNT(*) AS n_class FROM customer GROUP BY c_nationkey),
+cd AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cell
+       FROM customer GROUP BY c_nationkey, c_mktsegment),
+t AS (SELECT c_nationkey,
+             ROUND(0.5 * (SUM(ABS(CAST(n_cell AS DOUBLE) / n_class - p_global))
+                          + (1 - SUM(p_global))), 6) AS t_closeness
+      FROM cd JOIN ct USING (c_nationkey) JOIN g USING (c_mktsegment)
+      GROUP BY c_nationkey),
+ranked AS (SELECT c_nationkey, t_closeness,
+                  ROW_NUMBER() OVER (ORDER BY t_closeness, c_nationkey) AS rn,
+                  COUNT(*) OVER () AS n_classes
+           FROM t)
+SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, r.t_closeness
+FROM customer c JOIN ranked r ON r.c_nationkey = c.c_nationkey
+WHERE r.rn * 2 <= r.n_classes
+""",
+)
+def i42_t_closeness_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i42: t-closeness ENFORCEMENT — the release step i20's metric
+    feeds (the i16→i17 measure→enforce symmetry, completed for t):
+    classes are ranked by their sensitive-attribute divergence and only
+    the closest HALF of classes (rank*2 <= n_classes, ties to the lower
+    nationkey) release their rows — a rank budget rather than a fixed
+    threshold, because an absolute t cut-off that splits one SF
+    suppresses everything (or nothing) at another; rank semantics hold
+    at every corpus size.  Each released row carries its class's t so
+    the downstream consumer can audit the bound actually achieved.
+
+    Scale: the metric is two small aggregates + a segments-sized
+    broadcast (i20's shape); ranking is a window over O(classes) rows;
+    the release join broadcasts the class verdicts back onto the
+    corpus — one map-side filter, no second corpus shuffle."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    t = A.t_closeness_metric(c, ["c_nationkey"], "c_mktsegment")
+    w = Window.orderBy("t_closeness", "c_nationkey")
+    ranked = (
+        t.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_classes", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rn") * 2 <= F.col("n_classes"))
+        .select("c_nationkey", "t_closeness")
+    )
+    return c.join(F.broadcast(ranked), "c_nationkey").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "t_closeness"
+    )

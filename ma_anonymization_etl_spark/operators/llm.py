@@ -2923,3 +2923,53 @@ def j48_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nll6 / 1e6).alias("avg_nll"),
         (nll6 <= F.lit(3390000)).alias("keep"),
     )
+
+
+@register(
+    "j49_domain_quota",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, source || '.example.com' AS host FROM documents
+),
+r AS (
+  SELECT host, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY md5('j49' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM u
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+FROM r GROUP BY host
+""",
+)
+def j49_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j49 (extension): PER-DOMAIN quota capping — the Common-Crawl-style
+    guard against any single site dominating the corpus: documents are
+    keyed by host (h10's parse_url surface; here the deterministic
+    per-doc host), ranked within each host by md5 priority (j46's
+    uniform without-replacement order), and at most Q=10 survive per
+    host.  Released accounting per host: total, kept, capped — the
+    dashboard row a crawl-curation run publishes.
+
+    Scale: one shuffle on host; within-host ranking prunes at the
+    partial level (WindowGroupLimit); the md5 priority makes the KEPT
+    SET — not just the count — deterministic and replayable, so
+    re-crawls keep the same survivors and downstream dedup stays
+    stable."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat(F.lit("j49"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    r = d.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rk") <= 10).cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") > 10).cast("long")).alias("n_capped"),
+    )

@@ -561,3 +561,34 @@ def test_k25_stream_histogram_equals_batch_d16_algebra(spark):
         os95 = vals[math.ceil(0.95 * len(vals)) - 1]
         assert r.p50_bin_lo <= os50 < r.p50_bin_lo + 25
         assert r.p95_bin_lo <= os95 < r.p95_bin_lo + 25
+
+
+def test_i42_releases_exactly_the_closest_half(spark):
+    from ma_anonymization_etl_spark.operators.anonymize_queries import (
+        i20_t_closeness,
+        i42_t_closeness_enforce,
+    )
+
+    t = {r.c_nationkey: r.t_closeness for r in i20_t_closeness(spark, SF_ORACLE).collect()}
+    released = i42_t_closeness_enforce(spark, SF_ORACLE)
+    rel_classes = {r.c_nationkey for r in released.select("c_nationkey").distinct().collect()}
+    assert len(rel_classes) == len(t) // 2
+    # every released class has t <= every suppressed class's t
+    worst_released = max(t[k] for k in rel_classes)
+    best_suppressed = min(t[k] for k in set(t) - rel_classes)
+    assert worst_released <= best_suppressed
+    # row-complete release for surviving classes
+    c = load(spark, SF_ORACLE, "customer")
+    expected = c.filter(F.col("c_nationkey").isin(list(rel_classes))).count()
+    assert released.count() == expected
+
+
+def test_j49_quota_caps_every_host(spark):
+    from ma_anonymization_etl_spark.operators.llm import j49_domain_quota
+
+    rows = j49_domain_quota(spark, SF_ORACLE).collect()
+    d = load(spark, SF_ORACLE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.n_kept == min(10, r.n_docs)
+        assert r.n_kept + r.n_capped == r.n_docs
