@@ -116,3 +116,87 @@ def i1_classify_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     roles = classify_columns(CUSTOMER_ROLES)
     rows = [(col, role) for role in sorted(roles) for col in sorted(roles[role])]
     return spark.createDataFrame(rows, "column_name STRING, role STRING")
+
+
+@register(
+    "a11_csv_malformed_handling",
+    oracle="""
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+         AS sum_chars_good
+FROM documents
+""",
+)
+def a11_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a11: malformed-record handling on the CSV source — the
+    dirty-ingest surface every real feed needs: a staged CSV where
+    every 13th record carries an extra column is read under PERMISSIVE
+    mode with columnNameOfCorruptRecord, and the release is the triage
+    accounting (total / corrupt / good) plus a checksum over the GOOD
+    rows only — proving both that corrupt rows are flagged (not
+    silently dropped or silently parsed) and that good-row values
+    arrive intact.  (DROPMALFORMED is deliberately not used for
+    counts: CSV column pruning can skip malformed detection under a
+    count-only projection — a documented Spark sharp edge.)
+
+    Scale: PERMISSIVE parsing is map-side streaming; the corrupt
+    column materializes only for bad rows; triage is one aggregate.
+    Quarantine-then-reprocess routes filter on the corrupt column and
+    write the two streams separately — same single pass."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ma_anonymization_etl_spark.sources.io import ensure_staged, scratch_dir, stage_key
+
+    sfx = stage_key(sf_dir)
+    stage_dir = scratch_dir(spark, "a11_stage", sfx)
+
+    def _write(p: str) -> None:
+        d = load(spark, sf_dir, "documents")
+        line = F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+        lines = d.select(
+            F.when(F.col("doc_id") % 13 == 0, F.concat(line, F.lit(",XTRA")))
+            .otherwise(line)
+            .alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(os.path.join(p, "feed"))
+
+    ensure_staged(spark, f"a11_{sfx}", stage_dir, _write)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(stage_dir, "feed"))
+        # materialize FULL rows before aggregating: under column pruning
+        # the CSV parser skips token-count validation for unreferenced
+        # columns, so an aggregate-only consumer would see zero corrupt
+        # records (the same sharp edge that breaks DROPMALFORMED counts).
+        .localCheckpoint(eager=True)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(bad.cast("long")).alias("n_corrupt"),
+        F.sum((~bad).cast("long")).alias("n_good"),
+        F.sum(F.when(bad, F.lit(0)).otherwise(F.col("n_chars"))).alias(
+            "sum_chars_good"
+        ),
+    )

@@ -592,3 +592,19 @@ def test_j49_quota_caps_every_host(spark):
     for r in rows:
         assert r.n_kept == min(10, r.n_docs)
         assert r.n_kept + r.n_capped == r.n_docs
+
+
+def test_a11_corrupt_rows_flagged_not_dropped(spark):
+    from ma_anonymization_etl_spark.operators.sources_queries import (
+        a11_csv_malformed_handling,
+    )
+
+    r = a11_csv_malformed_handling(spark, SF_ORACLE).first()
+    d = load(spark, SF_ORACLE, "documents")
+    n = d.count()
+    n_bad = d.filter("doc_id % 13 = 0").count()
+    assert r.n_total == n  # PERMISSIVE keeps every record
+    assert r.n_corrupt == n_bad > 0
+    assert r.n_good == n - n_bad
+    good_sum = d.filter("doc_id % 13 != 0").agg(F.sum("n_chars")).first()[0]
+    assert r.sum_chars_good == good_sum
