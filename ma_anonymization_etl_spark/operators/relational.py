@@ -1269,3 +1269,40 @@ def d16_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("c")
     )
     return histogram_quantiles(merged, "o_orderstatus", 10000)
+
+
+@register(
+    "d17_agg_argminmax",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+       CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS top_cents,
+       arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
+       CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS bottom_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def d17_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d17 (extension): ARG-MAX/MIN aggregates (max_by / min_by,
+    count_if-style conditional count) — 'which row holds the extreme',
+    answered in ONE aggregate pass instead of the window-rank +
+    filter=1 detour (f4's shape) or a self-join back to the extreme
+    value.  Deterministic here because the EXTREME o_totalprice per
+    priority group is held by exactly one row at every SF (asserted by
+    the property test, not assumed — max_by ties are engine-arbitrary;
+    duplicate non-extreme prices exist and are harmless).
+
+    Scale: same partial-aggregate profile as any min/max — each
+    partial carries (value, key) pairs, merge keeps the winner; no
+    second pass, no join, no window."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.floor(F.max("o_totalprice") * 100).cast("long").alias("top_cents"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+        F.floor(F.min("o_totalprice") * 100).cast("long").alias("bottom_cents"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+    )

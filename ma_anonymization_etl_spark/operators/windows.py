@@ -273,3 +273,69 @@ def e10_win_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.cast("long").alias("clicks_trailing_1h"),
         buys.cast("long").alias("purchases_trailing_1h"),
     )
+
+
+@register(
+    "e11_win_ignore_nulls",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN value END AS v
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(FLOOR(COALESCE(
+         LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING),
+         -1) * 100) AS BIGINT) AS carried_cents,
+       CAST(FLOOR(COALESCE(
+         FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN CURRENT ROW
+                                           AND UNBOUNDED FOLLOWING),
+         -1) * 100) AS BIGINT) AS next_cents
+FROM sparse
+""",
+)
+def e11_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e11: IGNORE NULLS window navigation — the sparse-measurement
+    primitive under k19's LOCF resampling, exposed as its own surface:
+    only every 5th event carries a reading; LAST_VALUE ... IGNORE
+    NULLS carries the latest known reading forward per user
+    (forward-fill) and FIRST_VALUE over the forward frame finds the
+    next known reading (back-fill) — the two halves of every gap-fill
+    / as-of lookup.  Rows before the first reading release -1
+    sentinels (COALESCE), so the output is total.  Values ship as
+    floor-cents; one shuffle on user_id."""
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        F.floor(
+            F.coalesce(F.last("v", ignorenulls=True).over(w_back), F.lit(-1)) * 100
+        )
+        .cast("long")
+        .alias("carried_cents"),
+        F.floor(
+            F.coalesce(F.first("v", ignorenulls=True).over(w_fwd), F.lit(-1)) * 100
+        )
+        .cast("long")
+        .alias("next_cents"),
+    )

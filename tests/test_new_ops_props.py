@@ -608,3 +608,59 @@ def test_a11_corrupt_rows_flagged_not_dropped(spark):
     assert r.n_good == n - n_bad
     good_sum = d.filter("doc_id % 13 != 0").agg(F.sum("n_chars")).first()[0]
     assert r.sum_chars_good == good_sum
+
+
+def test_e11_carries_most_recent_reading(spark):
+    from ma_anonymization_etl_spark.operators.windows import e11_win_ignore_nulls
+
+    out = e11_win_ignore_nulls(spark, SF_ORACLE)
+    e = load(spark, SF_ORACLE, "events")
+    assert out.count() == e.count()
+    # rows that ARE readings carry their own value forward
+    joined = out.join(e, ["user_id", "event_id"])
+    readings = joined.filter("event_id % 5 = 0")
+    assert readings.filter(
+        F.col("carried_cents") != F.floor(F.col("value") * 100).cast("long")
+    ).count() == 0
+    # sentinel only before a user's first reading; never both sentinels
+    # unless the user has no readings at all
+    sentinel_rows = out.filter("carried_cents = -100 AND next_cents = -100")
+    users_without = {
+        r.user_id
+        for r in e.groupBy("user_id")
+        .agg(F.sum((F.col("event_id") % 5 == 0).cast("int")).alias("k"))
+        .filter("k = 0")
+        .collect()
+    }
+    for r in sentinel_rows.select("user_id").distinct().collect():
+        assert r.user_id in users_without
+
+
+def test_d17_extremes_are_unique_and_match_window_rank(spark):
+    from pyspark.sql import Window
+
+    from ma_anonymization_etl_spark.operators.relational import d17_agg_argminmax
+
+    rows = {r.o_orderpriority: r for r in d17_agg_argminmax(spark, SF_ORACLE).collect()}
+    o = load(spark, SF_ORACLE, "orders")
+    # tie-safety precondition: the extreme price is held by exactly one
+    # row per group (max_by/arg_max ties would be engine-arbitrary)
+    ext = o.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("mx"), F.min("o_totalprice").alias("mn")
+    )
+    dup = (
+        o.join(ext, "o_orderpriority")
+        .filter((F.col("o_totalprice") == F.col("mx")) | (F.col("o_totalprice") == F.col("mn")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c != 2")
+    )
+    assert dup.count() == 0
+    # cross-check the released keys against the window-rank detour
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    top = {
+        r.o_orderpriority: r.o_orderkey
+        for r in o.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    for pr, r in rows.items():
+        assert r.top_orderkey == top[pr]
