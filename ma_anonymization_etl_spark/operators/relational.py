@@ -1306,3 +1306,49 @@ def d17_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min("o_totalprice") * 100).cast("long").alias("bottom_cents"),
         F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
     )
+
+
+@register(
+    "d18_bitmap_distinct",
+    # The bitmap blobs themselves have no DuckDB twin, but the RELEASED
+    # counts are exact, so the oracle is the plain COUNT(DISTINCT) —
+    # a full-strength value check (unlike d15's invariant booleans).
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_exact_bitmap,
+       COUNT(DISTINCT o_custkey) AS n_recount
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def d18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d18 (extension): EXACT distinct counting via mergeable roaring
+    bitmaps (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the third
+    point on the distinct-count design line: d3 exact-but-unmergeable,
+    d4/d15 mergeable-but-approximate, d18 BOTH exact and mergeable.
+    Keys are bucketed (2^15 bits per bucket), per-(group, bucket)
+    bitmaps are the map-side partial, OR-merging is associative, and
+    the released count is the bit-count sum — so the oracle checks the
+    VALUE against COUNT(DISTINCT), not an error envelope.  The
+    released n_recount (a plain countDistinct of the same column)
+    must equal the bitmap count — both engines see the equality.
+
+    Scale: per-partition partial bitmaps compress runs of dense ids to
+    O(present-bits); the merge shuffles bitmap blobs, not keys — the
+    incremental-refresh-safe EXACT distinct (pre-aggregated distinct
+    counts under n3/k22 refresh without HLL's error)."""
+    o = load(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey"))).alias("bm")
+    )
+    counts = per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_exact_bitmap")
+    )
+    recount = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_recount")
+    )
+    return counts.join(recount, "o_orderpriority")

@@ -664,3 +664,13 @@ def test_d17_extremes_are_unique_and_match_window_rank(spark):
     }
     for pr, r in rows.items():
         assert r.top_orderkey == top[pr]
+
+
+def test_d18_bitmap_count_is_exact(spark):
+    from ma_anonymization_etl_spark.operators.relational import d18_bitmap_distinct
+
+    rows = d18_bitmap_distinct(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the whole point: bitmap-merged count EQUALS the exact recount
+        assert r.n_exact_bitmap == r.n_recount > 0
