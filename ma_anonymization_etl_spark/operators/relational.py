@@ -1273,15 +1273,26 @@ def d16_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d17_agg_argminmax",
+    # DuckDB's arg_max cannot take a composite (value, tie-break) key,
+    # so the oracle makes the tie-break explicit with two row_number
+    # orderings instead — same deterministic row the Spark struct key
+    # picks even if an extreme price is ever held by two rows.
     oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
+  FROM orders)
 SELECT o_orderpriority,
-       arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+       MAX(CASE WHEN rt = 1 THEN o_orderkey END) AS top_orderkey,
        CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS top_cents,
-       arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
+       MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS bottom_orderkey,
        CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS bottom_cents,
        CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
          AS n_finished
-FROM orders
+FROM r
 GROUP BY o_orderpriority
 """,
 )
@@ -1290,19 +1301,21 @@ def d17_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_if-style conditional count) — 'which row holds the extreme',
     answered in ONE aggregate pass instead of the window-rank +
     filter=1 detour (f4's shape) or a self-join back to the extreme
-    value.  Deterministic here because the EXTREME o_totalprice per
-    priority group is held by exactly one row at every SF (asserted by
-    the property test, not assumed — max_by ties are engine-arbitrary;
-    duplicate non-extreme prices exist and are harmless).
+    value.  The ordering key is a STRUCT (price, orderkey) so ties on
+    the extreme price break deterministically to the extreme orderkey
+    — max_by/min_by tie behavior is otherwise engine- and
+    partition-order-arbitrary, and relying on tie-uniqueness at the
+    tested SFs would be a latent nondeterminism at any other SF.
 
     Scale: same partial-aggregate profile as any min/max — each
     partial carries (value, key) pairs, merge keeps the winner; no
     second pass, no join, no window."""
     o = load(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
         F.floor(F.max("o_totalprice") * 100).cast("long").alias("top_cents"),
-        F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
         F.floor(F.min("o_totalprice") * 100).cast("long").alias("bottom_cents"),
         F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
     )

@@ -303,10 +303,12 @@ def j10_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j11_label_centroids",
     oracle="""
 SELECT label,
-       array_to_string(list(CAST(CAST(ROUND(avg_v * 1000000) AS BIGINT) AS VARCHAR)
+       array_to_string(list(CAST(CAST(ROUND(
+           CAST(sv AS DOUBLE) / n) AS BIGINT) AS VARCHAR)
                             ORDER BY pos), ',') AS centroid
 FROM (
-  SELECT label, pos, AVG(v) AS avg_v
+  SELECT label, pos,
+         SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS sv, COUNT(*) AS n
   FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(1, 65)) AS pos
         FROM embeddings)
@@ -327,7 +329,17 @@ def j11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim = (
         e.select("label", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg("v") * 1e6).cast("long").alias("sv"))
+        .agg(
+            # order-independent mean (int64 sum of quantized inputs,
+            # one division) — a raw AVG's float accumulation order
+            # could flip the released integer at a .5 ulp boundary
+            F.round(
+                F.sum(F.round(F.col("v") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("sv")
+        )
     )
     return per_dim.groupBy("label").agg(
         F.array_join(
@@ -377,7 +389,9 @@ def j12_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SQL_CENTROIDS = """
 centroids AS (
   SELECT label, list(avg_v ORDER BY pos) AS cent
-  FROM (SELECT label, pos, ROUND(AVG(v), 6) AS avg_v
+  FROM (SELECT label, pos,
+               CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS avg_v
         FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                      unnest(range(1, 65)) AS pos
               FROM embeddings)
@@ -426,7 +440,14 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim = (
         e.select("label", F.posexplode("v").alias("pos0", "x"))
         .groupBy("label", "pos0")
-        .agg(F.round(F.avg("x"), 6).alias("avg_v"))
+        .agg(
+            # order-independent mean — see _km_sql_recompute
+            (
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("avg_v")
+        )
     )
     cents = per_dim.groupBy("label").agg(
         F.transform(
@@ -913,8 +934,15 @@ def _km_sql_assign(src_e: str, src_c: str) -> str:
 
 
 def _km_sql_recompute(src_a: str) -> str:
+    # Per-dim mean as (exact int64 sum of 1e-6-quantized inputs) / n /
+    # 1e6: the sum is order-independent, so the centroid double cannot
+    # flip with Spark's partial-aggregate merge order the way a raw
+    # float AVG can (an ulp at a ROUND boundary would cascade through
+    # every subsequent Lloyd round).  Same formula on the Spark side.
     return f"""(SELECT cl, list(av ORDER BY pos) AS cent FROM (
-  SELECT cl, pos, ROUND(AVG(x), 6) AS av FROM (
+  SELECT cl, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS av FROM (
     SELECT cl, unnest(v) AS x, unnest(range(1, 65)) AS pos FROM {src_a})
   GROUP BY cl, pos) GROUP BY cl)"""
 
@@ -947,10 +975,18 @@ def _km_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_recompute(assign: DataFrame) -> DataFrame:
+    # Order-independent mean (see _km_sql_recompute): exact int64 sum
+    # of 1e-6-quantized inputs, one double division per dimension.
     per_dim = (
         assign.select("cl", F.posexplode("v").alias("pos0", "x"))
         .groupBy("cl", "pos0")
-        .agg(F.round(F.avg("x"), 6).alias("av"))
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("av")
+        )
     )
     return per_dim.groupBy("cl").agg(
         F.transform(
