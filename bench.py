@@ -47,6 +47,13 @@ HEADLINE = [
     "j21_sim_topk_vectorized",
     "j10b_knn_vectorized",
     "j9b_sim_pair_lsh",
+    # Round-6 additions (BASELINE.md round-6 note): the rounds-4/5
+    # marquee operators, appended so the 23 legacy entries above stay
+    # comparable across BENCH_r* history.
+    "i22c_mondrian_hybrid",
+    "p1b_pagerank_converged",
+    "j38_heavy_hitters_routed",
+    "j44_semantic_dedup",
 ]
 
 
@@ -56,6 +63,26 @@ def materialize(df) -> int:
         return -1
     except Exception:
         return len(df.collect())
+
+
+def noise_floor(spark) -> float:
+    """Median wall-time of a FIXED data-independent calibration job
+    (sum over a 50M-row range — pure codegen arithmetic, no IO, no
+    shuffle reads).  Its cost depends only on ambient machine load, so
+    an inflated capture carries its own explanation: compare
+    noise_floor across BENCH_r* records before reading anything into
+    per-query deltas (BENCH_r05's +20-60% uniform shift was exactly
+    this — concurrent load, not a plan change)."""
+    job = lambda: materialize(  # noqa: E731
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s")
+    )
+    job()  # warm (codegen compile)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
 
 
 def main() -> None:
@@ -68,6 +95,13 @@ def main() -> None:
 
     all_q = registry.load_all()
     names = [n for n in HEADLINE if n in all_q]
+
+    # Calibration first: a load-sensitive constant-work yardstick.
+    floor = noise_floor(spark)
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
 
     # Warm pass: run every query once untimed so timed runs measure
     # steady-state execution, not first-run codegen compilation.
@@ -94,6 +128,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "noise_floor": floor,
+        "loadavg_1m": load_1m,
     }))
     spark.stop()
 

@@ -57,22 +57,25 @@ _OPERATOR_MODULES = [
 # relational anchors.  tests/test_survey_coverage.py locks the
 # composition against registration-order drift.
 DRIVER_WINDOW = [
-    # relational anchors (15)
+    # relational anchors (9; round-6 rotation swapped six long-green
+    # basics — b4, c10, d4, d5, f1, g3b — for round-5 marquee surface
+    # so the gate attests the newest operators, per VERDICT r5 item 3)
     "d1_agg_hash_pricing_summary",
     "b2_filter_pred",
-    "b4_case_when",
     "c1_join_broadcast",
     "c2_join_shuffle",
     "c6_join_range_theta",
     "c7_join_asof",
-    "c10_join_salted",
-    "d4_approx_count_distinct",
-    "d5_grouping_sets",
     "d11_median_percentile",
-    "f1_sort_global",
     "f4_topk_per_group",
-    "g3b_intersect_all",
     "g4_except",
+    # rounds-4/5 extension flagships (6)
+    "d18_bitmap_distinct",
+    "i42_t_closeness_enforce",
+    "j38_heavy_hitters_routed",
+    "j44_semantic_dedup",
+    "n11_cdc_apply",
+    "p1b_pagerank_converged",
     # sources / sinks (3)
     "a1_parquet_scan",
     "a2_csv_roundtrip",
