@@ -1272,6 +1272,149 @@ def d16_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d16b_histogram_hot_bin_refine",
+    oracle="""
+WITH fine AS (
+  SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS fbin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+coarse AS (
+  SELECT event_type, fbin // 10 AS bin, SUM(c) AS c
+  FROM fine GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(c) AS n FROM coarse GROUP BY 1),
+hot AS (
+  SELECT c.event_type, c.bin
+  FROM coarse c JOIN tot t USING (event_type)
+  WHERE c.c * 10 > t.n
+),
+mixed AS (
+  SELECT f.event_type, f.fbin * 10 AS lo, CAST(10 AS BIGINT) AS w, f.c
+  FROM fine f JOIN hot h
+    ON h.event_type = f.event_type AND h.bin = f.fbin // 10
+  UNION ALL
+  SELECT c.event_type, c.bin * 100, CAST(100 AS BIGINT), c.c
+  FROM coarse c LEFT JOIN hot h
+    ON h.event_type = c.event_type AND h.bin = c.bin
+  WHERE h.bin IS NULL
+),
+cum AS (
+  SELECT event_type, lo, w, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY lo
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM mixed
+),
+picks AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cc * 2 >= n THEN lo END) AS p50_lo,
+         MIN(CASE WHEN cc * 20 >= n * 19 THEN lo END) AS p95_lo
+  FROM cum GROUP BY event_type
+)
+SELECT p.event_type, p.n,
+       CAST(p.p50_lo AS BIGINT) AS p50_lo,
+       CAST(m50.w AS BIGINT) AS p50_width,
+       CAST(p.p95_lo AS BIGINT) AS p95_lo,
+       CAST(m95.w AS BIGINT) AS p95_width
+FROM picks p
+JOIN mixed m50 ON m50.event_type = p.event_type AND m50.lo = p.p50_lo
+JOIN mixed m95 ON m95.event_type = p.event_type AND m95.lo = p.p95_lo
+""",
+)
+def d16b_histogram_hot_bin_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16b (extension): d16's PRODUCTION REFINEMENT — a second, 10x
+    finer histogram level nested inside HOT coarse bins (the
+    refinement d16's docstring promises): any width-100 coarse bin
+    holding >10% of its group's mass is replaced by its ten width-10
+    sub-bins, so the released p50/p95 carry width-10 resolution
+    wherever the distribution concentrates, and width-100 elsewhere.
+    Runs on events.value per event_type — an exponential-shaped
+    metric whose bottom bin holds ~86% of mass, exactly the regime
+    hot-bin refinement exists for (both released quantiles come back
+    width-10 here; o_totalprice's flat spread never trips the
+    refinement, which is why d16 releases width-10000 there).  Bin
+    counting is additive at every depth, so the merged release is
+    EXACT under sharding/refresh just like d16, and the whole
+    construction is integer arithmetic both engines replay
+    identically.  Output: per-group n, quantile bin lower edge AND
+    the width of the bin that answered it (10 = refined).
+
+    Scale: one scan builds the fine partials (O(groups x 10·bins)
+    rows, still data-size independent); coarse derives from fine by
+    an additive rollup, hot-bin detection and the mixed histogram are
+    arithmetic on those partials.  At 100 TB the fine level would be
+    kept only inside hot bins (two-pass or conditional binning) —
+    the release here is identical because cold fine bins are
+    discarded before the crossing scan."""
+    e = load(spark, sf_dir, "events")
+    fine = (
+        e.withColumn("fbin", F.floor(F.col("value") / 10).cast("long"))
+        .groupBy("event_type", "fbin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # reused 3x; O(groups x bins) rows
+    )
+    coarse = fine.groupBy(
+        "event_type", F.expr("fbin div 10").alias("bin")
+    ).agg(F.sum("c").alias("c"))
+    tot = coarse.groupBy("event_type").agg(F.sum("c").alias("n"))
+    hot = (
+        coarse.join(tot, "event_type")
+        .filter(F.col("c") * 10 > F.col("n"))
+        .select("event_type", "bin")
+    )
+    fine_hot = (
+        fine.withColumn("bin", F.expr("fbin div 10"))
+        .join(F.broadcast(hot), ["event_type", "bin"], "left_semi")
+        .select(
+            "event_type",
+            (F.col("fbin") * 10).alias("lo"),
+            F.lit(10).cast("long").alias("w"),
+            "c",
+        )
+    )
+    coarse_cold = (
+        coarse.join(F.broadcast(hot), ["event_type", "bin"], "left_anti")
+        .select(
+            "event_type",
+            (F.col("bin") * 100).alias("lo"),
+            F.lit(100).cast("long").alias("w"),
+            "c",
+        )
+    )
+    mixed = fine_hot.unionByName(coarse_cold).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = mixed.withColumn("cc", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    picks = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lo"))).alias("p50_lo"),
+        F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("lo"))).alias(
+            "p95_lo"
+        ),
+    )
+    m50 = mixed.select(
+        "event_type", F.col("lo").alias("p50_lo"), F.col("w").alias("p50_width")
+    )
+    m95 = mixed.select(
+        "event_type", F.col("lo").alias("p95_lo"), F.col("w").alias("p95_width")
+    )
+    return (
+        picks.join(m50, ["event_type", "p50_lo"])
+        .join(m95, ["event_type", "p95_lo"])
+        .select("event_type", "n", "p50_lo", "p50_width", "p95_lo", "p95_width")
+    )
+
+
+@register(
     "d17_agg_argminmax",
     # DuckDB's arg_max cannot take a composite (value, tie-break) key,
     # so the oracle makes the tie-break explicit with two row_number

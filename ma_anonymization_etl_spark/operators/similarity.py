@@ -1167,3 +1167,146 @@ def j44_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - F.coalesce(F.col("n_dropped0"), F.lit(0))).alias("n_kept"),
         )
     )
+
+
+# --- j43b: convergence-driven Lloyd (production twin of j43) -----------------
+
+_KMB_EPS_MICRO = 10   # converged when every centroid moves <= 10 micro-units L1
+_KMB_MAX_ROUNDS = 30  # ~6x the observed need on this corpus
+
+
+def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
+    """Map-side argmax-cosine assignment against DRIVER-HELD centroids
+    (k x 64 doubles folded into the plan as literals) — no crossJoin, no
+    window, no shuffle: the shape a distributed Lloyd actually runs,
+    where centroids live on the driver between rounds and ship with the
+    task closure.  Ties go to the lower cluster id (strict > keeps the
+    earlier candidate), matching j43's window tie-break."""
+    best = None
+    for cl, cent in cents_py:
+        cent_col = F.array(*[F.lit(float(x)) for x in cent])
+        cand = F.struct(
+            cosine(F.col("v"), cent_col).alias("c"),
+            F.lit(int(cl)).cast("long").alias("cl"),
+        )
+        best = cand if best is None else F.when(cand["c"] > best["c"], cand).otherwise(best)
+    return corpus.withColumn("cl", best["cl"])
+
+
+def kmeans_fit_converged(
+    corpus: DataFrame,
+    k: int = _KM_K,
+    eps_micro: int = _KMB_EPS_MICRO,
+    max_rounds: int = _KMB_MAX_ROUNDS,
+):
+    """SPHERICAL Lloyd iterated to a centroid-movement fixpoint (p1b's
+    convergence discipline applied to j43, NEXT.md item h): vectors
+    are unit-normalized once up front, so cosine assignment + mean
+    update is the textbook spherical k-means step whose objective
+    sum_i cos(v_i, c_a(i)) is monotone non-decreasing — both half
+    steps maximize it — and the loop terminates at an assignment
+    fixpoint (j43's raw-vector variant has no such guarantee: with
+    unnormalized means the two half-steps optimize DIFFERENT
+    objectives and assignments can 2-cycle forever, observed on this
+    very corpus).  Stop when the max per-cluster L1 centroid
+    movement, in exact 1e-6-quantized units, drops to <= eps_micro.
+    Because centroid means are order-independent quantized values
+    (see _km_sql_recompute) and assignment ties break
+    deterministically (lower cluster id, candidates scanned in
+    sorted-cl order), the movement sequence is reproducible
+    run-to-run at any partition count.  Returns
+    (assign_df, cents_py, converged, rounds_used).
+
+    Per round: one map-side assignment pass (centroids are literals —
+    zero shuffle) + one (k x 64)-row partial-aggregate recompute + one
+    k-row driver collect.  Driver state is O(k x dims), bounded."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    corpus = corpus.withColumn(
+        "v", F.transform(F.col("v"), lambda x: x / nrm)
+    ).localCheckpoint(eager=True)
+    cents_py = sorted(
+        (r["cl"], r["cent"])
+        for r in corpus.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cl"), F.col("v").alias("cent"))
+        .collect()
+    )
+    prev_q = {cl: [round(x * 1e6) for x in cent] for cl, cent in cents_py}
+    converged, rounds_used = False, 0
+    for _ in range(max_rounds):
+        rounds_used += 1
+        assign = _km_assign_literal(corpus, cents_py)
+        cents_py = [
+            (r["cl"], r["cent"])
+            for r in _km_recompute(assign).collect()
+        ]
+        new_q = {cl: [round(x * 1e6) for x in cent] for cl, cent in cents_py}
+        move = max(
+            (
+                sum(abs(a - b) for a, b in zip(new_q[cl], prev_q[cl]))
+                for cl in new_q
+                if cl in prev_q
+            ),
+            default=0,
+        )
+        lost_cluster = set(prev_q) - set(new_q)
+        prev_q = new_q
+        if not lost_cluster and move <= eps_micro:
+            converged = True
+            break
+    return _km_assign_literal(corpus, cents_py), cents_py, converged, rounds_used
+
+
+@register(
+    "j43b_kmeans_converged",
+    # Release-invariant oracle (p1b's exact-value + boolean-claim
+    # pattern): the round count is data-dependent so the oracle cannot
+    # replay the loop; it pins the exact corpus size and the claims the
+    # release must satisfy — the loop CONVERGED under the cap and every
+    # vector landed in exactly one cluster.  An unconverged run or a
+    # member-accounting leak mismatches the oracle.
+    oracle=f"""
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       CAST({_KM_K} AS BIGINT) AS k_seeds,
+       TRUE AS converged,
+       TRUE AS members_accounted
+""",
+)
+def j43b_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j43b (extension): j43's PRODUCTION TWIN — same deterministic
+    Lloyd k-means (lowest-vec_id seeds, argmax-cosine assignment with
+    ties to the lower cluster id, order-independent quantized-mean
+    centroids), but iterated to a centroid-movement fixpoint (max
+    cluster L1 movement <= 10 micro-units, cap 30 rounds) instead of
+    j43's fixed 2 rounds — NEXT.md item h / VERDICT r5 item 6.
+
+    Two plan upgrades over j43, both the real distributed-Lloyd shape:
+    assignment is MAP-SIDE against driver-held literal centroids (no
+    crossJoin, no row_number window — zero shuffle per assignment),
+    and the only per-round shuffle is the (k x 64)-row centroid
+    partial-aggregate.  The corpus is checkpointed once; driver state
+    is O(k x dims).
+
+    Scale: per round = one codegen pass over N rows + one tiny
+    aggregate; rounds are data-bounded by the fixpoint (observed 4-6
+    on this corpus).  At 100 TB the same loop holds: centroids are
+    always small enough to ship in the task closure."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign, cents_py, converged, _rounds = kmeans_fit_converged(e)
+    n_vectors = e.count()
+    n_assigned = assign.groupBy("cl").agg(F.count("*").alias("n")).agg(
+        F.sum("n").alias("t")
+    ).collect()[0]["t"]
+    return spark.range(1).select(
+        F.lit(n_vectors).cast("long").alias("n_vectors"),
+        F.lit(_KM_K).cast("long").alias("k_seeds"),
+        F.lit(bool(converged)).alias("converged"),
+        F.lit(bool(n_assigned == n_vectors)).alias("members_accounted"),
+    )

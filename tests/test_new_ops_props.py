@@ -479,6 +479,52 @@ def test_d16_quantile_bins_bracket_exact_percentiles(spark):
         assert r.p95_bin_lo <= os95 < r.p95_bin_lo + 10000
 
 
+def test_d16b_refined_quantiles_bracket_exact_within_released_width(spark):
+    """d16b's hot-bin refinement: the released quantile bin must
+    bracket the exact ceil-rank order statistic within the RELEASED
+    width (10 inside hot bins — a 10x tighter error bound than the
+    coarse 100), and the released width must be refined IF AND ONLY
+    IF the quantile's coarse parent bin is hot (>10% of group mass)."""
+    from ma_anonymization_etl_spark.operators.relational import (
+        d16b_histogram_hot_bin_refine,
+    )
+
+    import math
+
+    rows = {
+        r.event_type: r
+        for r in d16b_histogram_hot_bin_refine(spark, SF_ORACLE).collect()
+    }
+    e = load(spark, SF_ORACLE, "events")
+    refined_seen = 0
+    for etype, r in rows.items():
+        vals = sorted(
+            x.value
+            for x in e.filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+        )
+        assert r.n == len(vals)
+        os50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        os95 = vals[math.ceil(0.95 * len(vals)) - 1]
+        assert r.p50_lo <= os50 < r.p50_lo + r.p50_width
+        assert r.p95_lo <= os95 < r.p95_lo + r.p95_width
+        for lo, width in ((r.p50_lo, r.p50_width), (r.p95_lo, r.p95_width)):
+            assert width in (10, 100)
+            coarse_lo = (lo // 100) * 100
+            in_bin = sum(1 for v in vals if coarse_lo <= v < coarse_lo + 100)
+            is_hot = in_bin * 10 > len(vals)
+            assert (width == 10) == is_hot, (
+                f"{etype}: released width {width} at lo={lo} but coarse bin "
+                f"holds {in_bin}/{len(vals)} rows (hot={is_hot})"
+            )
+            refined_seen += width == 10
+    # events.value is exponential-shaped (~86% of mass in the bottom
+    # width-100 bin) — the released quantiles must actually exercise
+    # the fine level
+    assert refined_seen > 0
+
+
 def test_n12_backfill_touches_only_target_partition(spark):
     from ma_anonymization_etl_spark.operators.etl import (
         n12_partition_overwrite_backfill,
