@@ -20,7 +20,10 @@ __version__ = "0.1.0"
 _API = {
     "anonymize": "ma_anonymization_etl_spark.operators.anonymize",
     "dp": "ma_anonymization_etl_spark.operators.dp",
+    "etl": "ma_anonymization_etl_spark.operators.etl",
+    "graph": "ma_anonymization_etl_spark.operators.graph",
     "llm": "ma_anonymization_etl_spark.operators.llm",
+    "quality": "ma_anonymization_etl_spark.operators.quality",
     "similarity": "ma_anonymization_etl_spark.operators.similarity",
     "pipeline": "ma_anonymization_etl_spark.plans.pipeline",
     "registry": "ma_anonymization_etl_spark.registry",

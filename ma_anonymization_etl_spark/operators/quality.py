@@ -109,6 +109,57 @@ def q1_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_constraint_checks(checks) -> DataFrame:
+    """Parameterized constraint engine behind q2: each check is a dict —
+
+    - ``{"name", "type": "unique", "df", "col"}`` — duplicate count;
+    - ``{"name", "type": "fk", "child", "child_key", "parent",
+      "parent_key"}`` — orphan count via a key-only anti-join;
+    - ``{"name", "type": "violation", "df", "predicate"}`` — rows where
+      the (Column) predicate is TRUE.
+
+    Returns one ``(check_name, n_violations)`` row per check, unioned
+    in input order; 0 everywhere = the suite passed.  Each check is a
+    single aggregate (anti-join + count for FKs) — the same plan the
+    inline version built."""
+    parts = []
+    for ck in checks:
+        kind = ck["type"]
+        if kind == "unique":
+            parts.append(
+                ck["df"].agg(
+                    F.lit(ck["name"]).alias("check_name"),
+                    (F.count(F.lit(1)) - F.countDistinct(ck["col"])).alias(
+                        "n_violations"
+                    ),
+                )
+            )
+        elif kind == "fk":
+            parts.append(
+                ck["child"]
+                .join(
+                    ck["parent"],
+                    ck["child"][ck["child_key"]] == ck["parent"][ck["parent_key"]],
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(F.lit(ck["name"]).alias("check_name"), "n_violations")
+            )
+        elif kind == "violation":
+            parts.append(
+                ck["df"].agg(
+                    F.lit(ck["name"]).alias("check_name"),
+                    F.sum(ck["predicate"].cast("long")).alias("n_violations"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown check type: {kind!r}")
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 @register(
     "q2_constraint_check",
     oracle="""
@@ -146,45 +197,29 @@ def q2_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks are key-only anti-joins; everything else folds into single
     aggregates.  This is the gate an ETL runs post-write: a route that
     broke referential integrity (e.g. pseudonymized one side of a key
-    but not the other) fails HERE, loudly, not downstream."""
+    but not the other) fails HERE, loudly, not downstream.
+
+    Delegates to ``run_constraint_checks`` — the parameterized library
+    entry point a user points at their own tables and rules."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-
-    uniq = o.agg(
-        F.lit("orderkey_unique").alias("check_name"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    return run_constraint_checks(
+        [
+            {"name": "orderkey_unique", "type": "unique", "df": o, "col": "o_orderkey"},
+            {"name": "orders_custkey_fk", "type": "fk", "child": o,
+             "child_key": "o_custkey", "parent": c, "parent_key": "c_custkey"},
+            {"name": "lineitem_orderkey_fk", "type": "fk", "child": li,
+             "child_key": "l_orderkey", "parent": o.select("o_orderkey"),
+             "parent_key": "o_orderkey"},
+            {"name": "totalprice_positive", "type": "violation", "df": o,
+             "predicate": F.col("o_totalprice") <= 0},
+            {"name": "orderstatus_domain", "type": "violation", "df": o,
+             "predicate": ~F.col("o_orderstatus").isin("O", "F", "P")},
+            {"name": "custname_complete", "type": "violation", "df": c,
+             "predicate": F.col("c_name").isNull() | (F.col("c_name") == "")},
+        ]
     )
-    fk_orders = (
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_violations")
-    )
-    fk_lines = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "n_violations")
-    )
-    rng = o.agg(
-        F.lit("totalprice_positive").alias("check_name"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_violations"),
-    )
-    dom = o.agg(
-        F.lit("orderstatus_domain").alias("check_name"),
-        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
-            "n_violations"
-        ),
-    )
-    comp = c.agg(
-        F.lit("custname_complete").alias("check_name"),
-        F.sum(
-            (F.col("c_name").isNull() | (F.col("c_name") == "")).cast("long")
-        ).alias("n_violations"),
-    )
-    out = uniq
-    for part in (fk_orders, fk_lines, rng, dom, comp):
-        out = out.unionByName(part)
-    return out
 
 
 @register(
@@ -227,14 +262,35 @@ def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one grouped aggregate for the moments (broadcast back) + one
     flagging pass — two scans, no sort; the moment sums merge
     associatively, so the stats table can be maintained incrementally
-    (n3 pattern)."""
-    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    (n3 pattern).
+
+    Delegates to ``group_zscore_outliers`` — point it at any
+    (group, value) pair with your own z threshold."""
     c = load(spark, sf_dir, "customer")
-    # Sum-of-squares accumulates in DECIMAL(38,0): per-row cents² fits
-    # int64 but a ≥~9M-row group's SUM would wrap silently in Spark's
+    return group_zscore_outliers(c, "c_nationkey", "c_acctbal", z=2.5).select(
+        "c_nationkey",
+        "n",
+        F.col("mean_value").alias("mean_bal"),
+        F.col("std_value").alias("std_bal"),
+        "n_outliers",
+    )
+
+
+def group_zscore_outliers(
+    df: DataFrame, group_col: str, value_col: str, z: float = 2.5
+) -> DataFrame:
+    """q3's engine, parameterized: per-group exact-integer moments
+    (cents-scaled int64 first moment, decimal(38) second moment --
+    wrap-proof at any group size), broadcast back, |x - mu| > z*sigma
+    flagged in one pass.  Returns (group_col, n, mean_value,
+    std_value, n_outliers); singleton groups release sigma = 0 and
+    zero outliers."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    # Sum-of-squares accumulates in DECIMAL(38,0): per-row cents^2 fits
+    # int64 but a >=~9M-row group's SUM would wrap silently in Spark's
     # non-ANSI long sum (DuckDB promotes to HUGEINT); both widen to the
     # same double at the end.
-    s = c.groupBy("c_nationkey").agg(
+    s = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sc"),
         F.sum((cents * cents).cast("decimal(38,0)")).alias("sq"),
@@ -246,17 +302,17 @@ def q3_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         )
     )
-    st = s.select("c_nationkey", "n", mu.alias("mu"), sd.alias("sd"))
-    x = F.floor(F.col("c_acctbal") * 100) / 100.0
+    st = s.select(group_col, "n", mu.alias("mu"), sd.alias("sd"))
+    x = F.floor(F.col(value_col) * 100) / 100.0
     return (
-        c.join(F.broadcast(st), "c_nationkey")
-        .groupBy("c_nationkey")
+        df.join(F.broadcast(st), group_col)
+        .groupBy(group_col)
         .agg(
             F.max("n").cast("long").alias("n"),
-            F.round(F.max("mu"), 4).alias("mean_bal"),
-            F.round(F.max("sd"), 4).alias("std_bal"),
+            F.round(F.max("mu"), 4).alias("mean_value"),
+            F.round(F.max("sd"), 4).alias("std_value"),
             F.sum(
-                (F.abs(x - F.col("mu")) > 2.5 * F.col("sd")).cast("int")
+                (F.abs(x - F.col("mu")) > F.lit(float(z)) * F.col("sd")).cast("int")
             ).cast("long").alias("n_outliers"),
         )
     )
@@ -296,16 +352,30 @@ def q4_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side fold per vector + one global aggregate — a
     single pass, no shuffle beyond the 1-row final merge.  Run this
     gate before building any index; a handful of zero vectors poison
-    IVF centroids (j20) silently otherwise."""
+    IVF centroids (j20) silently otherwise.
+
+    Delegates to ``embedding_quality_report`` — point it at any
+    array<float/double> column with your expected dimension."""
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_quality_report(e, vec_col="embedding", dims=64)
+
+
+def embedding_quality_report(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """q4's engine, parameterized: one-pass vector-table audit —
+    dimension conformance against ``dims``, zero/NaN norm counts, and
+    the norm distribution (min/max order-free, average in scaled int64
+    so the report is engine-exact; NaN norms contribute 0 to the
+    average and are counted in n_nan)."""
     from ma_anonymization_etl_spark.functions.vectors import as_double, norm
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+    v = df.select(as_double(F.col(vec_col)).alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
     )
-    v = e.withColumn("nrm", norm(F.col("e")))
     return v.agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.size("e") != 64).cast("int")).cast("long").alias("n_bad_dim"),
+        F.sum((F.size("e") != dims).cast("int")).cast("long").alias("n_bad_dim"),
         F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_norm"),
         F.sum(F.isnan("nrm").cast("int")).cast("long").alias("n_nan"),
         F.round(F.min("nrm"), 5).alias("min_norm"),
@@ -392,45 +462,63 @@ def q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     types (broadcast) so empty bins participate in smoothing; all
     downstream algebra runs on the tiny count table.  At 100 TB the
     same plan holds — drift monitoring is aggregate-sized, not
-    corpus-sized."""
+    corpus-sized.
+
+    Delegates to ``psi_drift`` — hand it any (key, bin, half)
+    assignment built from your own feature and window split."""
     e = load(spark, sf_dir, "events").select(
-        "event_type",
+        F.col("event_type").alias("key"),
         F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("long").alias("bin"),
         F.when(F.col("ts") < "2024-01-16", 0).otherwise(1).alias("half"),
     )
-    # The ≤ types×20-row count table feeds MANY consumers (frame, f,
+    return psi_drift(e, n_bins=10, threshold=0.1).select(
+        F.col("key").alias("event_type"), "n_base", "n_current", "psi", "drifted"
+    )
+
+
+def psi_drift(
+    binned: DataFrame, n_bins: int = 10, threshold: float = 0.1
+) -> DataFrame:
+    """q5's engine, parameterized: Population Stability Index between
+    half 0 (baseline) and half 1 (current) per key, over a ``binned``
+    DataFrame of (key, bin, half) rows with bin in [0, n_bins) —
+    +1 Laplace smoothing over the full bin frame so empty bins stay
+    finite.  Returns (key, n_base, n_current, psi, drifted)."""
+    spark = binned.sparkSession
+    # The ≤ keys×2×n_bins-row count table feeds MANY consumers (frame, f,
     # tot, both halves of p, the final count joins); without
     # materialization each consumer re-derives it from a full corpus
     # scan (measured: 12 scans).  Checkpointing the tiny table makes the
     # corpus scan happen exactly once — the j38/cells discipline.
     cnt = (
-        e.groupBy("event_type", "bin", "half")
+        binned.groupBy("key", "bin", "half")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     frame = (
-        cnt.select("event_type")
+        cnt.select("key")
         .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+        .crossJoin(spark.range(n_bins).select(F.col("id").alias("bin")))
         .crossJoin(spark.range(2).select(F.col("id").alias("half")))
     )
-    f = frame.join(cnt, ["event_type", "bin", "half"], "left").select(
-        "event_type", "bin", "half", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    f = frame.join(cnt, ["key", "bin", "half"], "left").select(
+        "key", "bin", "half", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
-    tot = f.groupBy("event_type", "half").agg(F.sum("n").alias("nh"))
-    p = f.join(tot, ["event_type", "half"]).select(
-        "event_type",
+    tot = f.groupBy("key", "half").agg(F.sum("n").alias("nh"))
+    p = f.join(tot, ["key", "half"]).select(
+        "key",
         "bin",
         "half",
         (
-            (F.col("n").cast("double") + 1) / (F.col("nh").cast("double") + 10)
+            (F.col("n").cast("double") + 1)
+            / (F.col("nh").cast("double") + F.lit(float(n_bins)))
         ).alias("p"),
     )
-    b = p.filter(F.col("half") == 0).select("event_type", "bin", F.col("p").alias("p0"))
-    c = p.filter(F.col("half") == 1).select("event_type", "bin", F.col("p").alias("p1"))
+    b = p.filter(F.col("half") == 0).select("key", "bin", F.col("p").alias("p0"))
+    c = p.filter(F.col("half") == 1).select("key", "bin", F.col("p").alias("p1"))
     psi = (
-        b.join(c, ["event_type", "bin"])
-        .groupBy("event_type")
+        b.join(c, ["key", "bin"])
+        .groupBy("key")
         .agg(
             F.round(
                 F.sum((F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0"))),
@@ -439,20 +527,20 @@ def q5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t0 = tot.filter(F.col("half") == 0).select(
-        "event_type", F.col("nh").cast("long").alias("n_base")
+        "key", F.col("nh").cast("long").alias("n_base")
     )
     t1 = tot.filter(F.col("half") == 1).select(
-        "event_type", F.col("nh").cast("long").alias("n_current")
+        "key", F.col("nh").cast("long").alias("n_current")
     )
     return (
-        psi.join(t0, "event_type")
-        .join(t1, "event_type")
+        psi.join(t0, "key")
+        .join(t1, "key")
         .select(
-            "event_type",
+            "key",
             "n_base",
             "n_current",
             "psi",
-            (F.col("psi") > 0.1).alias("drifted"),
+            (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
         )
     )
 
@@ -493,26 +581,41 @@ def q6_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each FD is one two-level aggregate — distinct-count per
     LHS then a tiny rollup; shuffles carry (lhs, rhs) pairs only.
     Candidate generation at 100 TB samples first (profile on j18's
-    hash sample, confirm on the full table)."""
+    hash sample, confirm on the full table).
 
-    def fd(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
-        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
-        return per.agg(
-            F.lit(name).alias("fd"),
-            F.count(F.lit(1)).alias("n_lhs"),
-            F.sum((F.col("k") > 1).cast("long")).alias("n_violating_lhs"),
-            F.max("k").alias("max_rhs_per_lhs"),
-        )
-
+    Delegates to ``fd_violation_profile`` per candidate dependency."""
     e = load(spark, sf_dir, "events")
     d = load(spark, sf_dir, "documents")
     o = load(spark, sf_dir, "orders")
     return (
-        fd(e, "events: user_id -> event_type", "user_id", "event_type")
-        .unionByName(fd(d, "documents: source -> lang", "source", "lang"))
-        .unionByName(
-            fd(o, "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority")
+        fd_violation_profile(
+            e, "user_id", "event_type", name="events: user_id -> event_type"
         )
+        .unionByName(
+            fd_violation_profile(d, "source", "lang", name="documents: source -> lang")
+        )
+        .unionByName(
+            fd_violation_profile(
+                o, "o_custkey", "o_orderpriority",
+                name="orders: o_custkey -> o_orderpriority",
+            )
+        )
+    )
+
+
+def fd_violation_profile(
+    df: DataFrame, lhs: str, rhs: str, name: str | None = None
+) -> DataFrame:
+    """q6's engine, parameterized: profile one candidate functional
+    dependency lhs -> rhs — how many lhs values map to >1 rhs (0 = the
+    FD holds).  Returns one (fd, n_lhs, n_violating_lhs,
+    max_rhs_per_lhs) row; union several for a suite."""
+    per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+    return per.agg(
+        F.lit(name or f"{lhs} -> {rhs}").alias("fd"),
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum((F.col("k") > 1).cast("long")).alias("n_violating_lhs"),
+        F.max("k").alias("max_rhs_per_lhs"),
     )
 
 

@@ -1172,7 +1172,8 @@ def j44_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- j43b: convergence-driven Lloyd (production twin of j43) -----------------
 
 _KMB_EPS_MICRO = 10   # converged when every centroid moves <= 10 micro-units L1
-_KMB_MAX_ROUNDS = 30  # ~6x the observed need on this corpus
+_KMB_MAX_ROUNDS = 60  # observed need: 5-6 rounds at sf0.001/0.01, 35 at sf0.1
+                      # (movement hits exactly 0 — an assignment fixpoint)
 
 
 def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
@@ -1180,17 +1181,25 @@ def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
     (k x 64 doubles folded into the plan as literals) — no crossJoin, no
     window, no shuffle: the shape a distributed Lloyd actually runs,
     where centroids live on the driver between rounds and ship with the
-    task closure.  Ties go to the lower cluster id (strict > keeps the
-    earlier candidate), matching j43's window tie-break."""
-    best = None
-    for cl, cent in cents_py:
-        cent_col = F.array(*[F.lit(float(x)) for x in cent])
-        cand = F.struct(
-            cosine(F.col("v"), cent_col).alias("c"),
-            F.lit(int(cl)).cast("long").alias("cl"),
+    task closure.  Ties go to the lower cluster id.
+
+    The argmax is LINEAR-SIZE in k: one struct(cosine_i, -cl_i) per
+    centroid, reduced by ``F.array_max`` (struct max = lexicographic:
+    highest cosine first, then highest -cl = LOWEST cluster id on an
+    exact tie — scan-order independent).  The round-6 version folded
+    ``F.when(cand.c > best.c, cand).otherwise(best)``, which references
+    the accumulated ``best`` twice per step, doubling the Catalyst
+    expression tree per centroid: size ~ 2^k x |candidate| killed the
+    driver JVM on 500 rows (VERDICT r6 item 1).  This shape is
+    O(k x |candidate|)."""
+    cands = [
+        F.struct(
+            cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in cent])).alias("c"),
+            F.lit(-int(cl)).cast("long").alias("ncl"),
         )
-        best = cand if best is None else F.when(cand["c"] > best["c"], cand).otherwise(best)
-    return corpus.withColumn("cl", best["cl"])
+        for cl, cent in sorted(cents_py)
+    ]
+    return corpus.withColumn("cl", -F.array_max(F.array(*cands))["ncl"])
 
 
 def kmeans_fit_converged(
@@ -1198,6 +1207,7 @@ def kmeans_fit_converged(
     k: int = _KM_K,
     eps_micro: int = _KMB_EPS_MICRO,
     max_rounds: int = _KMB_MAX_ROUNDS,
+    track_objective: bool = False,
 ):
     """SPHERICAL Lloyd iterated to a centroid-movement fixpoint (p1b's
     convergence discipline applied to j43, NEXT.md item h): vectors
@@ -1212,10 +1222,14 @@ def kmeans_fit_converged(
     movement, in exact 1e-6-quantized units, drops to <= eps_micro.
     Because centroid means are order-independent quantized values
     (see _km_sql_recompute) and assignment ties break
-    deterministically (lower cluster id, candidates scanned in
-    sorted-cl order), the movement sequence is reproducible
-    run-to-run at any partition count.  Returns
-    (assign_df, cents_py, converged, rounds_used).
+    deterministically (lower cluster id, via the struct-max argmax —
+    scan-order independent), the movement sequence is reproducible
+    run-to-run at any partition count.  An emptied cluster is tracked
+    across ALL rounds (``saw_cluster_loss``) — not just the round it
+    happens — so a release cannot silently report k surviving
+    clusters after a mid-run shrink (ADVICE r6).  Returns
+    (assign_df, cents_py, converged, rounds_used, saw_cluster_loss[,
+    objective_trace when track_objective=True]).
 
     Per round: one map-side assignment pass (centroids are literals —
     zero shuffle) + one (k x 64)-row partial-aggregate recompute + one
@@ -1237,14 +1251,45 @@ def kmeans_fit_converged(
         .collect()
     )
     prev_q = {cl: [round(x * 1e6) for x in cent] for cl, cent in cents_py}
-    converged, rounds_used = False, 0
+    converged, rounds_used, saw_cluster_loss = False, 0, False
+    objective_trace = []
     for _ in range(max_rounds):
         rounds_used += 1
         assign = _km_assign_literal(corpus, cents_py)
-        cents_py = [
-            (r["cl"], r["cent"])
-            for r in _km_recompute(assign).collect()
-        ]
+        if track_objective:
+            # sum_i cos(v_i, c_{a(i)}) under the CURRENT centroids —
+            # the spherical objective both half-steps maximize.
+            cent_arr = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for _, cent in sorted(cents_py)
+                ]
+            )
+            cl_idx = {cl: i for i, (cl, _) in enumerate(sorted(cents_py))}
+            idx_expr = F.element_at(
+                F.create_map(
+                    *[
+                        lit
+                        for cl, i in cl_idx.items()
+                        for lit in (F.lit(int(cl)), F.lit(i + 1))
+                    ]
+                ),
+                F.col("cl"),
+            )
+            objective_trace.append(
+                assign.select(
+                    F.sum(
+                        cosine(F.col("v"), F.element_at(cent_arr, idx_expr))
+                    ).alias("obj")
+                ).collect()[0]["obj"]
+            )
+        # sorted(): collect order is arbitrary; the rebuild must hand
+        # _km_assign_literal a canonical order so the movement sequence
+        # (and any order-sensitive consumer) stays deterministic
+        # run-to-run (ADVICE r6).
+        cents_py = sorted(
+            (r["cl"], r["cent"]) for r in _km_recompute(assign).collect()
+        )
         new_q = {cl: [round(x * 1e6) for x in cent] for cl, cent in cents_py}
         move = max(
             (
@@ -1255,11 +1300,19 @@ def kmeans_fit_converged(
             default=0,
         )
         lost_cluster = set(prev_q) - set(new_q)
+        saw_cluster_loss = saw_cluster_loss or bool(lost_cluster)
         prev_q = new_q
         if not lost_cluster and move <= eps_micro:
             converged = True
             break
-    return _km_assign_literal(corpus, cents_py), cents_py, converged, rounds_used
+    out = (
+        _km_assign_literal(corpus, cents_py),
+        cents_py,
+        converged,
+        rounds_used,
+        saw_cluster_loss,
+    )
+    return out + (objective_trace,) if track_objective else out
 
 
 @register(
@@ -1267,13 +1320,17 @@ def kmeans_fit_converged(
     # Release-invariant oracle (p1b's exact-value + boolean-claim
     # pattern): the round count is data-dependent so the oracle cannot
     # replay the loop; it pins the exact corpus size and the claims the
-    # release must satisfy — the loop CONVERGED under the cap and every
-    # vector landed in exactly one cluster.  An unconverged run or a
-    # member-accounting leak mismatches the oracle.
+    # release must satisfy — the loop CONVERGED under the cap, all k
+    # seeded clusters SURVIVED every round and are non-empty in the
+    # final assignment, and the per-cluster counts sum back to the
+    # corpus size.  An unconverged run, a silently-shrunk k, an empty
+    # final cluster, or a member-accounting leak mismatches the oracle.
     oracle=f"""
 SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
        CAST({_KM_K} AS BIGINT) AS k_seeds,
+       CAST({_KM_K} AS BIGINT) AS n_clusters_final,
        TRUE AS converged,
+       FALSE AS saw_cluster_loss,
        TRUE AS members_accounted
 """,
 )
@@ -1282,7 +1339,7 @@ def j43b_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd k-means (lowest-vec_id seeds, argmax-cosine assignment with
     ties to the lower cluster id, order-independent quantized-mean
     centroids), but iterated to a centroid-movement fixpoint (max
-    cluster L1 movement <= 10 micro-units, cap 30 rounds) instead of
+    cluster L1 movement <= 10 micro-units, cap 60 rounds) instead of
     j43's fixed 2 rounds — NEXT.md item h / VERDICT r5 item 6.
 
     Two plan upgrades over j43, both the real distributed-Lloyd shape:
@@ -1293,20 +1350,34 @@ def j43b_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(k x dims).
 
     Scale: per round = one codegen pass over N rows + one tiny
-    aggregate; rounds are data-bounded by the fixpoint (observed 4-6
-    on this corpus).  At 100 TB the same loop holds: centroids are
-    always small enough to ship in the task closure."""
+    aggregate; rounds are data-bounded by the fixpoint (observed 5-6
+    at sf0.001/0.01, 35 at sf0.1).  At 100 TB the same loop holds:
+    centroids are always small enough to ship in the task closure."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    assign, cents_py, converged, _rounds = kmeans_fit_converged(e)
+    assign, cents_py, converged, _rounds, saw_loss = kmeans_fit_converged(e)
     n_vectors = e.count()
-    n_assigned = assign.groupBy("cl").agg(F.count("*").alias("n")).agg(
-        F.sum("n").alias("t")
-    ).collect()[0]["t"]
+    # Falsifiable accounting (ADVICE r6 — "every row gets a cl via
+    # withColumn" is vacuous): per-cluster counts must (a) cover
+    # EXACTLY the surviving centroid ids — no stray id, no empty final
+    # cluster — and (b) sum back to the pre-normalization corpus count
+    # (the localCheckpoint + unit-normalize pipeline dropped no rows).
+    counts = {
+        r["cl"]: r["n"]
+        for r in assign.groupBy("cl").agg(F.count("*").alias("n")).collect()
+    }
+    surviving = {cl for cl, _ in cents_py}
+    members_accounted = (
+        set(counts) == surviving
+        and all(n > 0 for n in counts.values())
+        and sum(counts.values()) == n_vectors
+    )
     return spark.range(1).select(
         F.lit(n_vectors).cast("long").alias("n_vectors"),
         F.lit(_KM_K).cast("long").alias("k_seeds"),
+        F.lit(len(surviving)).cast("long").alias("n_clusters_final"),
         F.lit(bool(converged)).alias("converged"),
-        F.lit(bool(n_assigned == n_vectors)).alias("members_accounted"),
+        F.lit(bool(saw_loss)).alias("saw_cluster_loss"),
+        F.lit(bool(members_accounted)).alias("members_accounted"),
     )

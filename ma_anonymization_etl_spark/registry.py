@@ -88,12 +88,11 @@ DRIVER_WINDOW = [
     "h2_datetime_funcs",
     "h6_hash_funcs",
     "h8_variant_semi_structured",
-    # anonymization flagship (12)
+    # anonymization flagship (11)
     "i1_classify_columns",
     "i2_pseudonymize_sha2",
     "i4_tokenize_consistent",
     "i8_generalize_numeric",
-    "i13_perturb_uniform",
     "i16_k_anonymity_metric",
     "i17_k_enforce_suppress",
     "i18_k_enforce_generalize",
@@ -101,8 +100,11 @@ DRIVER_WINDOW = [
     "i20_t_closeness",
     "i22_mondrian_kanon",
     "i23_anonymize_pipeline",
-    # dedup / text / similarity (7)
+    # dedup / text / similarity (8; round-7 rotation swapped the
+    # long-green i13 for the round-6 fix j43b per VERDICT r6 item 8 —
+    # the newest surface belongs inside the gate)
     "j2_dedup_content_hash",
+    "j43b_kmeans_converged",
     "j3_dedup_near_minhash",
     "j8_sim_topk",
     "j9b_sim_pair_lsh",
