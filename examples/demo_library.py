@@ -87,6 +87,30 @@ def main() -> int:
     top_parts = p1_pagerank(spark, sf_dir).limit(3)
     print("8. pagerank top-3 parts:", [tuple(r) for r in top_parts.collect()])
 
+    # 9. Curation library on YOUR OWN DataFrames (the parameterized
+    # df-first API the registered demos delegate to).
+    docs = mael.io.load(spark, sf_dir, "documents")
+    kept = mael.llm.repetition_signals(docs, dup2_max=0.05, top_max=0.12)
+    audit = mael.llm.split_audit(
+        mael.llm.split_assign(docs, "doc_id", salt="demo|"), "source"
+    )
+    print(f"9. curation: {kept.filter('keep').count()} docs pass repetition, "
+          f"split audit {audit.count()} rows")
+
+    # 10. CDC apply (n11's library form) on a toy base + changelog.
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, val double")
+    log = spark.createDataFrame(
+        [(2, 1, "U", 25.0), (3, 2, "I", 30.0), (1, 3, "D", 0.0)],
+        "k long, seq long, op string, val double",
+    )
+    merged = {r.key: r.action for r in mael.etl.cdc_apply(base, log).collect()}
+    assert merged == {2: "update", 3: "insert"}, merged
+    print(f"10. cdc apply: {merged}")
+
+    # 11. Quality library on an arbitrary table.
+    psi = mael.quality.fd_violation_profile(docs, "source", "lang")
+    print("11. fd profile:", [tuple(r) for r in psi.collect()])
+
     spark.stop()
     print("demo OK")
     return 0

@@ -116,7 +116,12 @@ def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
     out = anonymize_pipeline(df, route.get("steps", []))
     sink = route.get("output")
     if sink:
-        write_parquet(out, sink["path"], sink.get("partition_by"))
+        write_parquet(
+            out,
+            sink["path"],
+            sink.get("partition_by"),
+            dynamic=bool(sink.get("dynamic_partition_overwrite", False)),
+        )
     return out
 
 

@@ -477,20 +477,43 @@ def n8_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("c_mktsegment") == F.col("d_seg"), 1).otherwise(0)
         + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 0.5, 2).otherwise(0)
     )
-    pairs = c.join(
-        dirty,
+    block = (
         (dirty.d_nat == c.c_nationkey)
         & (dirty.d_seg == c.c_mktsegment)
-        & (F.floor(dirty.d_bal / 100) == F.floor(c.c_acctbal / 100)),
-    ).select("c_custkey", "d_key", score.alias("score"))
-    is_m = F.col("score") >= 5
-    is_t = is_m & (F.col("c_custkey") == F.col("d_key"))
+        & (F.floor(dirty.d_bal / 100) == F.floor(c.c_acctbal / 100))
+    )
+    return record_linkage_report(
+        c, dirty, block, score, "c_custkey", "d_key", threshold=5
+    )
+
+
+def record_linkage_report(
+    left: DataFrame,
+    right: DataFrame,
+    block_cond,
+    score,
+    left_id: str,
+    right_id: str,
+    threshold: int = 5,
+) -> DataFrame:
+    """n8's engine, parameterized Fellegi-Sunter linkage: candidate
+    pairs from the blocking join condition ``block_cond``, each scored
+    by the Column expression ``score``; pairs >= ``threshold`` are
+    matches.  Ground truth for precision/recall is ``left_id ==
+    right_id`` (the known-identity evaluation setup); recall divides
+    by the full ``left`` count, so blocking losses are measured, not
+    hidden."""
+    pairs = left.join(right, block_cond).select(
+        left_id, right_id, score.alias("score")
+    )
+    is_m = F.col("score") >= threshold
+    is_t = is_m & (F.col(left_id) == F.col(right_id))
     rep = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_blocked"),
         F.sum(is_m.cast("int")).cast("long").alias("n_matched"),
         F.sum(is_t.cast("int")).cast("long").alias("n_true"),
     )
-    tot = c.agg(F.count(F.lit(1)).alias("n_records"))
+    tot = left.agg(F.count(F.lit(1)).alias("n_records"))
     return rep.crossJoin(tot).select(
         "n_pairs_blocked",
         "n_matched",
@@ -672,7 +695,10 @@ def n11_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: compaction is ONE shuffle on key (the window), the
     merge one key-partitioned join — the standard streaming-CDC
     materialization; no per-op driver loop, no re-scan of the base per
-    batch."""
+    batch.
+
+    Delegates to ``cdc_apply`` — hand it your own base snapshot and
+    ordered changelog."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     log = o.select(
@@ -686,14 +712,29 @@ def n11_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("o_totalprice").alias("val"),
     )
+    base = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val"))
+    merged = cdc_apply(base, log)
+    return merged.select(
+        "key",
+        "action",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        "last_seq",
+    )
+
+
+def cdc_apply(base: DataFrame, log: DataFrame) -> DataFrame:
+    """n11's engine, parameterized: compact an ORDERED changelog
+    ``log`` (k, seq, op in I/U/D, val) to last-writer-wins per key and
+    merge it onto ``base`` (k, val) with a full outer join; a trailing
+    'D' tombstone removes the key even if present in base.  Returns
+    (key, action in carry/insert/update, value, last_seq)."""
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     last = (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("k", "seq", "op", "val")
     )
-    base = c.select(F.col("c_custkey").alias("bk"), F.col("c_acctbal").alias("bval"))
-    merged = base.join(
+    merged = base.select(F.col("k").alias("bk"), F.col("val").alias("bval")).join(
         last.select(
             F.col("k").alias("lk"), F.col("seq").alias("last_seq"), "op",
             F.col("val").alias("lval"),
@@ -707,11 +748,9 @@ def n11_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bk").isNull(), F.lit("insert"))
         .otherwise(F.lit("update"))
         .alias("action"),
-        F.round(
-            F.when(F.col("lk").isNull(), F.col("bval")).otherwise(F.col("lval")) * 100
-        )
-        .cast("long")
-        .alias("value_cents"),
+        F.when(F.col("lk").isNull(), F.col("bval")).otherwise(F.col("lval")).alias(
+            "value"
+        ),
         F.col("last_seq"),
     )
 

@@ -674,10 +674,18 @@ def j13_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: script/diacritic marker classes with an
     ASCII fallback — table-driven CASE ladder, trivially extendable.
     (Real-world accuracy needs char-n-gram profiles; the operator shape
-    — pure native regexp CASE — is the 100 TB-relevant part.)"""
+    — pure native regexp CASE — is the 100 TB-relevant part.)
+
+    Delegates to ``lang_id``."""
     d = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
+    return lang_id(d)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """j13's engine: script/diacritic-marker language ID over any
+    (doc_id, text) DataFrame — returns (doc_id, lang_pred)."""
+    t = F.col(text_col)
+    return docs.select(
         "doc_id",
         F.when(t.rlike("[一-鿿]"), "zh")
         .when(F.lower(t).rlike("[äöüß]"), "de")
@@ -714,18 +722,27 @@ FROM (
 def j14_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: word/char counts, average word length, stopword
     ratio, and a logistic length score — the standard pre-training
-    corpus filters, all as native expressions."""
+    corpus filters, all as native expressions.
+
+    Delegates to ``text_quality_score``."""
     d = load(spark, sf_dir, "documents")
+    return text_quality_score(d, stopwords=_STOPWORDS)
+
+
+def text_quality_score(docs: DataFrame, stopwords=_STOPWORDS) -> DataFrame:
+    """j14's engine, parameterized: per-doc word/char counts, average
+    word length, stopword ratio over ``stopwords``, and a logistic
+    length score — pure row-local expressions."""
     w = words_of()
     n_words = F.size(w)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
     stop_frac = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
         "double"
     ) / n_words
     avg_word_len = (
         F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
     )
-    return d.select(
+    return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         "n_chars",
@@ -748,12 +765,20 @@ FROM documents
 )
 def j15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + the chars/4 BPE estimate
-    (the standard quick sizing heuristic for LLM token budgets)."""
+    (the standard quick sizing heuristic for LLM token budgets).
+
+    Delegates to ``token_counts``."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    return token_counts(d)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """j15's engine: per-doc whitespace token count + chars/4 BPE
+    estimate over any (doc_id, text) DataFrame."""
+    return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        F.ceil(F.length("text").cast("double") / 4).alias("bpe_est_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.ceil(F.length(text_col).cast("double") / 4).alias("bpe_est_tokens"),
     )
 
 
@@ -1583,19 +1608,33 @@ def j26_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEGMENT TEXT for the first-occurrence window (exact-dedup shape —
     same key distribution as j1), one shuffle back by doc_id.  No
     driver-side state; segment ownership is decided inside the window,
-    so the plan is 2-shuffle at any corpus size."""
+    so the plan is 2-shuffle at any corpus size.
+
+    Delegates to ``segment_dedup`` — the parameterized line/segment
+    dedup a curation pipeline calls on its own corpus."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_dedup(d, seg_words=10)
+
+
+def segment_dedup(docs: DataFrame, seg_words: int = 10) -> DataFrame:
+    """j26's engine, parameterized: segment ``docs`` (doc_id, text)
+    into consecutive ``seg_words``-word chunks, keep only the
+    corpus-wide FIRST occurrence of each segment text in (doc_id,
+    seg_idx) order, and release per-doc accounting plus the md5 of the
+    cleaned (survivor-joined) text."""
     words = F.split(F.col("text"), " ")
-    nseg = F.floor(F.size(words) / 10).cast("long")
+    nseg = F.floor(F.size(words) / seg_words).cast("long")
     segs = F.when(nseg > 0, F.sequence(F.lit(0).cast("long"), nseg - 1)).otherwise(
         F.array().cast("array<long>")
     )
-    seg_rows = d.select(
+    seg_rows = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 segs,
-                lambda i: F.array_join(F.slice(words, (i * 10 + 1).cast("int"), 10), " "),
+                lambda i: F.array_join(
+                    F.slice(words, (i * seg_words + 1).cast("int"), seg_words), " "
+                ),
             )
         ).alias("seg_idx", "seg"),
     ).select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
@@ -1652,8 +1691,21 @@ def j27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-split word list — zero shuffle, zero Python, survives any
     corpus size as a pure map stage (like i26).  The top-word count is
     O(n·distinct) per row, bounded by document length, not corpus
-    size."""
+    size.
+
+    Delegates to ``repetition_signals`` with this corpus's p75/p85
+    thresholds."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d, dup2_max=0.05, top_max=0.12)
+
+
+def repetition_signals(
+    docs: DataFrame, dup2_max: float = 0.05, top_max: float = 0.12
+) -> DataFrame:
+    """j27's engine, parameterized: Gopher-style within-doc repetition
+    metrics over ``docs`` (doc_id, text) — duplicate word-2-gram
+    fraction and most-frequent-word dominance, keep iff both stay
+    under their thresholds.  Pure row-local array expressions."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     g2 = F.transform(
@@ -1668,12 +1720,14 @@ def j27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top_frac = maxf.cast("double") / n
-    return d.select(
+    return docs.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         F.round(dup_frac, 6).alias("dup_2gram_frac"),
         F.round(top_frac, 6).alias("top_word_frac"),
-        ((dup_frac <= 0.05) & (top_frac <= 0.12)).alias("keep"),
+        (
+            (dup_frac <= F.lit(float(dup2_max))) & (top_frac <= F.lit(float(top_max)))
+        ).alias("keep"),
     )
 
 
@@ -1708,14 +1762,27 @@ def j29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training grams deduplicate via one distinct (shuffle on
     gram), the eval side is the SMALL side — at 100 TB the benchmark
     set broadcasts and the training corpus streams past it map-side;
-    here the semi-join keys on the gram hash either way."""
+    here the semi-join keys on the gram hash either way.
+
+    Delegates to ``decontaminate`` with eval = source 'src0'."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    g = d.select(
-        "doc_id", "source", word_shingles("text", 3).alias("gs")
+    return decontaminate(
+        d, eval_pred=F.col("source") == "src0", ngram=3, overlap_min=0.65
     )
-    ev = g.filter(F.col("source") == "src0")
+
+
+def decontaminate(
+    docs: DataFrame, eval_pred, ngram: int = 3, overlap_min: float = 0.65
+) -> DataFrame:
+    """j29's engine, parameterized: flag eval docs (rows where the
+    Column predicate ``eval_pred`` is TRUE) whose distinct
+    word-``ngram``-gram overlap with the REST of ``docs`` (the training
+    side) reaches ``overlap_min``.  Returns (doc_id, n_grams, n_hit,
+    overlap_frac, contaminated) for the eval side only."""
+    g = docs.select("doc_id", eval_pred.alias("is_eval"), word_shingles("text", ngram).alias("gs"))
+    ev = g.filter(F.col("is_eval"))
     tr_grams = (
-        g.filter(F.col("source") != "src0")
+        g.filter(~F.col("is_eval"))
         .select(F.explode("gs").alias("gr"))
         .distinct()
     )
@@ -1734,7 +1801,7 @@ def j29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
             F.round(frac, 6).alias("overlap_frac"),
-            (frac >= 0.65).alias("contaminated"),
+            (frac >= F.lit(float(overlap_min))).alias("contaminated"),
         )
     )
 
@@ -1771,9 +1838,21 @@ def j32_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two gram-keyed partial-agg shuffles of O(total grams) rows —
     the document-frequency table is never joined to itself, so there is
     no Θ(Σ df²) pair blowup (the j3c trap).  At 100 TB, grams would be
-    hashed (hash31_md5) before the shuffle to cap key width."""
+    hashed (hash31_md5) before the shuffle to cap key width.
+
+    Delegates to ``dup_ngram_coverage``."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    g = d.select("doc_id", F.explode(word_shingles("text", 8)).alias("gr"))
+    return dup_ngram_coverage(d, ngram=8, flag_min=0.2)
+
+
+def dup_ngram_coverage(
+    docs: DataFrame, ngram: int = 8, flag_min: float = 0.2
+) -> DataFrame:
+    """j32's engine, parameterized: per-doc fraction of distinct
+    word-``ngram``-grams shared with at least one other document
+    (document frequency >= 2), flagged at ``flag_min``.  Two gram-keyed
+    shuffles, no pair join."""
+    g = docs.select("doc_id", F.explode(word_shingles("text", ngram)).alias("gr"))
     df_ = g.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         g.join(df_, "gr")
@@ -1789,7 +1868,7 @@ def j32_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_dup",
         F.round(frac, 6).alias("dup_frac"),
-        (frac >= 0.2).alias("flagged"),
+        (frac >= F.lit(float(flag_min))).alias("flagged"),
     )
 
 
@@ -1831,12 +1910,25 @@ def j34_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the split is a pure map-side projection (hash of the group
     key, no shuffle, no group materialization); the report is one
     groupBy.  Contrast j18/j19: those sample ROWS; this partitions
-    GROUPS."""
+    GROUPS.
+
+    Delegates to ``grouped_split_assign`` + ``grouped_split_audit``."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    assigned = grouped_split_assign(e, "user_id", salt="split34|", train_buckets=8)
+    return grouped_split_audit(assigned, "user_id")
+
+
+def grouped_split_assign(
+    df: DataFrame, group_col: str, salt: str = "split|", train_buckets: int = 8
+) -> DataFrame:
+    """j34's assignment, parameterized: adds a ``split`` column where
+    the GROUP key (not the row) routes md5-deterministically to 'train'
+    (``train_buckets`` of 10 buckets) or 'test' — GroupKFold semantics,
+    map-side, no shuffle."""
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("split34|"), F.col("user_id").cast("string"))),
+                F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
                 1,
                 15,
             ),
@@ -1845,15 +1937,21 @@ def j34_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 10
     )
-    assigned = e.withColumn(
-        "split", F.when(bucket < 8, "train").otherwise("test")
+    return df.withColumn(
+        "split", F.when(bucket < train_buckets, "train").otherwise("test")
     )
+
+
+def grouped_split_audit(assigned: DataFrame, group_col: str) -> DataFrame:
+    """j34's release: per-split row/group counts plus n_leaked_users —
+    groups present in both splits (must be 0 by construction; recompute
+    it, don't trust it)."""
     per_split = assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(group_col).alias("n_users"),
     )
     leak = (
-        assigned.groupBy("user_id")
+        assigned.groupBy(group_col)
         .agg(F.countDistinct("split").alias("ns"))
         .filter(F.col("ns") > 1)
         .agg(F.count(F.lit(1)).alias("n_leaked_users"))
@@ -1891,9 +1989,18 @@ def j30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the LM is a (vocab)-row table built with one groupBy —
     broadcast back against the exploded token stream, so scoring is
     map-side after one small shuffle; the model "training" and the
-    scoring pass are the same two jobs at any corpus size."""
+    scoring pass are the same two jobs at any corpus size.
+
+    Delegates to ``unigram_lm_score`` with this corpus's p80 cut."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return unigram_lm_score(d, keep_max_micro_nats=3410000)
+
+
+def unigram_lm_score(docs: DataFrame, keep_max_micro_nats: int = 3410000) -> DataFrame:
+    """j30's engine, parameterized: fit an add-one-smoothed unigram LM
+    on ``docs`` (doc_id, text) and score each doc's average NLL per
+    token in exact micro-nats; keep iff <= ``keep_max_micro_nats``."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tv = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
@@ -1919,7 +2026,7 @@ def j30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         (micro / 1000000.0).alias("avg_nll"),
-        (micro <= 3410000).alias("keep"),
+        (micro <= F.lit(int(keep_max_micro_nats))).alias("keep"),
     )
 
 
@@ -2085,15 +2192,25 @@ def j31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark's rangeBetween machinery); everything after is a groupBy on
     the chunk id.  At 100 TB you run the same plan per shard (pack
     within partition files) rather than globally — the per-shard plan
-    is identical."""
-    from pyspark.sql import Window
+    is identical.
 
+    Delegates to ``sequence_packing``."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
+    return sequence_packing(d, seq_len=512)
+
+
+def sequence_packing(docs: DataFrame, seq_len: int = 512) -> DataFrame:
+    """j31's engine, parameterized: pack ``docs`` (doc_id, n_tok) in
+    doc_id order into ``seq_len``-token chunks; each doc is accounted
+    to the chunk holding its first token.  One ordered prefix-sum
+    window + one groupBy."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.withColumn("cum", F.sum("n_tok").over(w))
-    chunk = ((F.col("cum") - F.col("n_tok")) / 512).cast("long")
+    c = docs.withColumn("cum", F.sum("n_tok").over(w))
+    chunk = ((F.col("cum") - F.col("n_tok")) / seq_len).cast("long")
     return (
         c.withColumn("chunk_id", chunk)
         .groupBy("chunk_id")
@@ -2307,32 +2424,57 @@ def j39_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (assignment is map-side; only the audit agg shuffles tiny
     (split, source) groups).  Released: the split × source audit table
     (doc and char counts + corpus share) a pipeline publishes to prove
-    split balance.  The oracle replays every assignment."""
-    from pyspark.sql import Window
+    split balance.  The oracle replays every assignment.
 
+    Delegates to ``split_assign`` + ``split_audit``."""
+    d = load(spark, sf_dir, "documents")
+    assigned = split_assign(
+        d, "doc_id", salt="split39|", fractions=(("train", 0.8), ("val", 0.9))
+    )
+    return split_audit(assigned, "source")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split|",
+    fractions=(("train", 0.8), ("val", 0.9)),
+    rest: str = "test",
+) -> DataFrame:
+    """j39's assignment, parameterized: adds a ``split`` column from a
+    salted md5-uniform of ``id_col`` — each (name, upper_bound) in
+    ``fractions`` claims u < bound in order, the remainder is ``rest``.
+    Pure map-side; membership is a function of (salt, id)."""
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
-    d = load(spark, sf_dir, "documents")
-    u = hash_uniform(F.col("doc_id"), "split39|")
+    u = hash_uniform(F.col(id_col), salt)
+    expr = None
+    for name, bound in fractions:
+        expr = (
+            F.when(u < bound, name)
+            if expr is None
+            else expr.when(u < bound, name)
+        )
+    return df.withColumn("split", expr.otherwise(rest))
+
+
+def split_audit(assigned: DataFrame, by: str) -> DataFrame:
+    """j39's release: the split × ``by`` audit table (doc and char
+    counts + corpus share) a pipeline publishes to prove balance."""
+    from pyspark.sql import Window
+
     # Share denominator = sum over the tiny audit table itself (an
-    # unbounded window over ~|splits × sources| rows) — no second corpus
+    # unbounded window over ~|splits × by| rows) — no second corpus
     # pass for a number the aggregate already knows.
     return (
-        d.select(
-            "source",
-            "n_chars",
-            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
-                "split"
-            ),
-        )
-        .groupBy("split", "source")
+        assigned.groupBy("split", by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
         .select(
             "split",
-            "source",
+            by,
             "n_docs",
             "n_chars_total",
             F.round(
@@ -2400,41 +2542,61 @@ def j40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes are embarrassingly parallel, and nothing in the plan grows
     with corpus size beyond those two scans (in a real pipeline the
     source counts usually come free from catalog statistics, collapsing
-    this to one pass)."""
+    this to one pass).
+
+    Delegates to ``mixture_sample``."""
+    d = load(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, "source", "doc_id", target_frac=0.5, salt="mix40|"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_frac: float = 0.5,
+    salt: str = "mix|",
+) -> DataFrame:
+    """j40's engine, parameterized: temperature-based (alpha = 0.5)
+    source re-weighting down to a ``target_frac`` corpus — per-source
+    quotas from exact arithmetic over the tiny source-count table,
+    keep/drop by comparing each row's salted md5-uniform of ``id_col``
+    to its source's quota rate.  Returns the per-source audit
+    (n_source, quota, n_kept, kept_rate)."""
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
-    d = load(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source")).withColumn(
+    c = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source")).withColumn(
         "w", F.floor(F.sqrt(F.col("n_source")) * 1000000.0).cast("long")
     )
     t = c.agg(F.sum("n_source").alias("n_total"), F.sum("w").alias("denom"))
     q = (
         c.crossJoin(F.broadcast(t))
         .select(
-            "source",
+            source_col,
             "n_source",
-            # Same IEEE-double op order as the oracle: ((0.5*N)*w)/denom,
+            # Same IEEE-double op order as the oracle: ((f*N)*w)/denom,
             # floored — cross-engine identical, overflow-free at any N.
             F.floor(
-                (F.lit(0.5) * F.col("n_total").cast("double"))
+                (F.lit(float(target_frac)) * F.col("n_total").cast("double"))
                 * F.col("w").cast("double")
                 / F.col("denom").cast("double")
             ).cast("long").alias("quota"),
         )
         .localCheckpoint(eager=True)  # tiny routing table, reused twice
     )
-    u = hash_uniform(F.col("doc_id"), "mix40|")
+    u = hash_uniform(F.col(id_col), salt)
     kept = (
-        d.select("doc_id", "source")
-        .join(F.broadcast(q), "source")
+        docs.select(id_col, source_col)
+        .join(F.broadcast(q), source_col)
         .filter(u < F.col("quota").cast("double") / F.col("n_source"))
-        .groupBy("source")
+        .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        q.join(kept, "source", "left")
+        q.join(kept, source_col, "left")
         .select(
-            "source",
+            source_col,
             F.col("n_source").cast("long").alias("n_source"),
             "quota",
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
@@ -2684,25 +2846,42 @@ def j45_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs-sized broadcast), then ONE map-side pass computes the accept
     flag per row — no shuffle of the corpus, no reservoir state; the
     same two-step works for any categorical target (domain, source,
-    quality bucket)."""
+    quality bucket).
+
+    Delegates to ``balance_resample``."""
+    d = load(spark, sf_dir, "documents")
+    return balance_resample(d, "lang", "doc_id", alpha=_J45_ALPHA, salt="j45")
+
+
+def balance_resample(
+    docs: DataFrame,
+    feature_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+    salt: str = "j45",
+) -> DataFrame:
+    """j45's engine, parameterized: DSIR-shaped acceptance resampling
+    toward a UNIFORM target over ``feature_col`` categories at global
+    rate ``alpha`` — accept iff the salted md5-uniform of ``id_col``
+    falls under alpha * N / (|categories| * n_category).  Returns the
+    per-category audit (n_docs, n_sampled)."""
     from ma_anonymization_etl_spark.operators.dp import hash_uniform
 
-    d = load(spark, sf_dir, "documents")
-    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    t = d.agg(
+    s = docs.groupBy(feature_col).agg(F.count(F.lit(1)).alias("n_lang"))
+    t = docs.agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(feature_col).alias("n_langs"),
     )
     thr = (
-        F.lit(_J45_ALPHA)
+        F.lit(float(alpha))
         * F.col("n_total").cast("double")
         / (F.col("n_langs").cast("double") * F.col("n_lang").cast("double"))
     )
     return (
-        d.join(F.broadcast(s), "lang")
+        docs.join(F.broadcast(s), feature_col)
         .crossJoin(F.broadcast(t))
-        .withColumn("acc", (hash_uniform("doc_id", "j45") < thr).cast("long"))
-        .groupBy("lang")
+        .withColumn("acc", (hash_uniform(id_col, salt) < thr).cast("long"))
+        .groupBy(feature_col)
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("acc").alias("n_sampled"))
     )
 
@@ -2732,18 +2911,35 @@ def j46_group_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject-style top-k over the priority needs no full
     sort of the corpus (window + filter prunes at the partial level
     under AQE; for pathological single-group skew route via f4's
-    two-phase top-k instead)."""
+    two-phase top-k instead).
+
+    Delegates to ``group_sample_exact_k``."""
+    d = load(spark, sf_dir, "documents")
+    return group_sample_exact_k(d, "source", "doc_id", k=5, salt="j46")
+
+
+def group_sample_exact_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "j46",
+    project: bool = True,
+) -> DataFrame:
+    """j46's engine, parameterized: exactly min(k, n) rows per group by
+    deterministic md5 priority of ``id_col`` — a uniform
+    without-replacement sample any engine and re-run reproduces.
+    ``project=False`` keeps every input column (the route-step form)
+    instead of projecting to (group, id, rk)."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("j46"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
     )
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
-    )
+    ranked = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    if not project:
+        return ranked.drop("rk")
+    return ranked.select(group_col, id_col, F.col("rk").cast("long").alias("rk"))
 
 
 def _j47_oracle() -> str:
@@ -2958,18 +3154,254 @@ def j49_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial level (WindowGroupLimit); the md5 priority makes the KEPT
     SET — not just the count — deterministic and replayable, so
     re-crawls keep the same survivors and downstream dedup stays
-    stable."""
-    from pyspark.sql import Window
+    stable.
 
+    Delegates to ``domain_quota_audit``."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.col("source"), F.lit(".example.com")).alias("host")
     )
-    w = Window.partitionBy("host").orderBy(
-        F.md5(F.concat(F.lit("j49"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    return domain_quota_audit(d, "host", "doc_id", quota=10, salt="j49")
+
+
+def domain_quota_audit(
+    df: DataFrame, host_col: str, id_col: str, quota: int = 10, salt: str = "j49"
+) -> DataFrame:
+    """j49's engine, parameterized: rank rows within each ``host_col``
+    by md5 priority of ``id_col`` and cap survivors at ``quota``;
+    releases per-host (n_docs, n_kept, n_capped).  The kept SET is
+    deterministic — filter rk <= quota on the same window to
+    materialize it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
     )
-    r = d.withColumn("rk", F.row_number().over(w))
-    return r.groupBy("host").agg(
+    r = df.withColumn("rk", F.row_number().over(w))
+    return r.groupBy(host_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("rk") <= 10).cast("long")).alias("n_kept"),
-        F.sum((F.col("rk") > 10).cast("long")).alias("n_capped"),
+        F.sum((F.col("rk") <= quota).cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") > quota).cast("long")).alias("n_capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j50: EXACT set-similarity join (prefix filtering) — the deterministic
+# complement to j3's probabilistic MinHash-LSH.
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_join(
+    toks: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): all pairs with J(A,B) >= tau, no false negatives, no
+    hashing error.  j3's MinHash-LSH trades a recall tail for speed;
+    this is the path for dedup contracts that must be exact.
+
+    ``toks`` is an exploded (id, token) table; duplicates are removed.
+    Returns (a_id, b_id, jaccard ROUND 6) with a_id < b_id.
+
+    The prefix principle: order every document's tokens by one global
+    total order (ascending document frequency, then token — rarest
+    first).  If J(A,B) >= tau, A and B must share a token within their
+    first |X| - ceil(tau·|X|) + 1 tokens (suppose not: the smallest
+    intersection token in A's prefix would have to be both before and
+    after the last token of B's prefix).  So joining PREFIX tokens
+    only generates every qualifying pair — and prefixes are the
+    RAREST tokens, so join fan-out per token is small by construction.
+
+    Plan shape, per stage: (1) token df — one partial-agg groupBy;
+    (2) per-doc sorted token array — one groupBy (arrays of struct
+    (df, tok), sorted per row, NO global rank window — the (df, tok)
+    tuple IS the total order, so nothing single-partition anywhere);
+    (3) explode prefixes, self-join on prefix token with the length
+    filter tau·|A| <= |B| <= |A|/tau (true pairs always satisfy it);
+    (4) exact verify: candidate pairs re-join the token table on
+    (id, tok) twice and count the intersection — O(|cand| · avg set
+    size), never docs².  Candidate volume is O(sum over prefix tokens
+    of df²) with df small for rare tokens; at 100 TB add PPJoin's
+    positional filter to stage 3 to shrink it further (a knob, not a
+    shape change)."""
+    # The distinct token table feeds FOUR plan branches (df counts,
+    # per-doc arrays, both verify sides).  It is deliberately NOT
+    # persist()ed here: a per-call persist leaks one cached copy per
+    # invocation within a session (measured: GC-locker thrash by the
+    # third sf0.1 call in a 1 GB driver — the j43b lesson's cousin),
+    # and Catalyst already reuses the distinct's Exchange across
+    # branches.  On a real cluster, checkpoint the token table BEFORE
+    # calling this when the upstream tokenization is expensive.
+    toks = (
+        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord_toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    pref_len = (F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p"),
+    ).select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.lit(tau) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(tau) * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("a_sz"),
+            F.col("b.sz").alias("b_sz"),
+        )
+        .distinct()
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("a_id") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("b_id") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
+    return inter.filter(jac >= tau).select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# j50's oracle is the exhaustive inverted-index pair join (every pair
+# sharing ANY shingle, exact Jaccard >= tau) — legitimate as a DRIVER
+# oracle here, unlike for j3, because prefix filtering is EXACT: the
+# engine's result is defined to equal the exhaustive pair set, so gate
+# equality attests the no-false-negative guarantee itself on every run.
+_J50_TAU = 0.5
+_J50_ORACLE = f"""{_J3_CORPUS_CTES},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / len(list_distinct(list_concat(x.s, y.s))) >= {_J50_TAU}
+"""
+
+
+@register("j50_jaccard_prefix_join", oracle=_J50_ORACLE)
+def j50_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j50 (extension): EXACT near-duplicate pairs via prefix-filtered
+    set-similarity join on 3-word shingles, tau 0.5 — same planted
+    corpus (one perturbed first-word-dropped copy per doc, doc_id +
+    100000) and same pair DEFINITION as j3's exhaustive referee, but
+    computed with the AllPairs/PPJoin prefix filter instead of either
+    MinHash banding (probabilistic) or the inverted-index join over
+    every shared token (Θ(Σ df²) — the j3c trap).  The oracle IS the
+    exhaustive definition, so every gate run re-attests exactness.
+
+    Delegates to ``set_similarity_join``."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(perturbed).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = corpus.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
+    )
+    return set_similarity_join(toks, _J50_TAU)
+
+
+# ---------------------------------------------------------------------------
+# j51: deterministic weighted sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis & Spirakis
+    (IPL 2006) A-ES: each row draws key u^(1/w) with u ~ U(0,1) and
+    the k largest keys are the sample — inclusion probability exactly
+    proportional to weight at each sequential draw.  u is the
+    md5-derived ``hash_uniform`` (dp.py), so the draw is DETERMINISTIC
+    and engine-replayable; ranking maximizes the monotone-equivalent
+    ln(u)/w (no pow), guarded away from ln(0).
+
+    Plan shape: one map-side key expression + global top-k —
+    TakeOrderedAndProject (per-partition heap of k, driver merge), the
+    f3 shape: no shuffle, no window, no single-partition sort, at any
+    scale.  draw_rank is computed AFTER the k-row cut (window over k
+    rows, not n).
+
+    Returns the k sampled rows + draw_rank 1..k."""
+    from pyspark.sql import Window
+
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    u = F.greatest(hash_uniform(F.col(id_col), salt), F.lit(1e-18))
+    key = F.log(u) / F.col(weight_col)
+    topk = (
+        df.withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+    return (
+        topk.withColumn("draw_rank", F.row_number().over(w))
+        .drop("_es_key")
+    )
+
+
+def _j51_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.dp import _sql_uniform
+
+    u = f"GREATEST({_sql_uniform('doc_id', 'j51|')}, 1e-18)"
+    return f"""
+WITH s AS (SELECT doc_id, lang, n_chars, ln({u}) / n_chars AS es_key
+           FROM documents)
+SELECT doc_id, lang, n_chars,
+       ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS draw_rank
+FROM s ORDER BY es_key DESC, doc_id ASC LIMIT 100
+"""
+
+
+@register("j51_weighted_sample", oracle=_j51_oracle())
+def j51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j51 (extension): deterministic WEIGHTED document sampling —
+    100 docs drawn with probability proportional to length (n_chars),
+    the standard size-proportional corpus subsample (longer docs carry
+    more training tokens, so token-budget sampling weights by length).
+    Efraimidis-Spirakis keys from the md5 hash_uniform; the oracle
+    replays u, key, and the top-k cut exactly.  Float caveat: ln() on
+    the two engines can differ in the last ulp, which reorders a pair
+    only if two keys collide to ~1e-15 relative — negligible for
+    md5-spread keys.
+
+    Delegates to ``weighted_sample_topk``."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_topk(d, "n_chars", 100, "j51|", id_col="doc_id")

@@ -619,14 +619,18 @@ def fd_violation_profile(
     )
 
 
-def volume_anomaly_flags(daily: DataFrame) -> DataFrame:
-    """q7's integer 3-sigma rule over a (day, n) series — shared with
+def volume_anomaly_flags(
+    daily: DataFrame, window_days: int = 7, sigma: int = 3
+) -> DataFrame:
+    """q7's integer sigma rule over a (day, n) series — shared with
     the spike-injection test so the test exercises the SHIPPED rule,
-    not a copy: |n - mean| > 3*sd over the trailing-7 self-exclusive
-    window rewritten as (n*k - S)^2 * (k-1) > 9*k*(k*Q - S^2)."""
+    not a copy: |n - mean| > sigma*sd over the trailing self-exclusive
+    ``window_days`` window rewritten as
+    (n*k - S)^2 * (k-1) > sigma^2 * k * (k*Q - S^2) — exact in int64
+    for integer sigma."""
     from pyspark.sql import Window
 
-    win = Window.orderBy("day").rowsBetween(-7, -1)
+    win = Window.orderBy("day").rowsBetween(-window_days, -1)
     w = (
         daily.withColumn("k", F.count("n").over(win))
         .withColumn("s", F.sum("n").over(win))
@@ -642,7 +646,7 @@ def volume_anomaly_flags(daily: DataFrame) -> DataFrame:
         F.col("k").cast("long").alias("k_window"),
         (
             (F.col("k") >= 2)
-            & (dev2 * (F.col("k") - 1) > F.lit(9) * F.col("k") * var_k)
+            & (dev2 * (F.col("k") - 1) > F.lit(sigma * sigma) * F.col("k") * var_k)
         ).alias("is_anomaly"),
     )
 
@@ -691,3 +695,189 @@ def q7_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return volume_anomaly_flags(daily)
+
+
+def ewma_anomaly_flags(daily: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """q8's engine: EWMA-baseline anomaly rule over a (day, n) series,
+    exact in int64 (NEXT.md r6 item j — q7's integer trick generalized
+    to a geometric-weight rolling rule).
+
+    The trailing-7-day EWMA with rational decay num/den (default 1/2)
+    assigns day t-i weight (num/den)^(i-1); clearing denominators, the
+    baseline comparison  |n - ewma| > ewma/2  becomes
+
+        2 * |n * D - S| > S,   S = sum_i n_{t-i} * num^(i-1) * den^(7-i),
+                               D = sum_{present i} num^(i-1) * den^(7-i)
+
+    — every term an int64 product of a day count (< ~1e6 at any sane
+    partition grain) and a weight <= den^6, so the rule is bit-exact
+    and engine-identical with no float accumulation anywhere.  Days
+    with fewer than 2 baseline days report is_anomaly = false.  The
+    lag decomposition keeps per-offset weights without a UDF or an
+    array fold: 7 lag columns, one window pass."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    lags = [F.lag("n", i).over(w) for i in range(1, 8)]
+    wts = [num ** (i - 1) * den ** (7 - i) for i in range(1, 8)]
+    s = None
+    d = None
+    k = None
+    for lag_i, wt in zip(lags, wts):
+        term = F.when(lag_i.isNotNull(), lag_i * F.lit(wt)).otherwise(F.lit(0))
+        pres = F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        cnt = lag_i.isNotNull().cast("int")
+        s = term if s is None else s + term
+        d = pres if d is None else d + pres
+        k = cnt if k is None else k + cnt
+    dev = F.col("n") * F.col("ewma_den") - F.col("ewma_num")
+    return (
+        daily.withColumn("ewma_num", s.cast("long"))
+        .withColumn("ewma_den", d.cast("long"))
+        .withColumn("k_window", k.cast("long"))
+        .select(
+            "day",
+            "n",
+            "k_window",
+            "ewma_num",
+            "ewma_den",
+            (
+                (F.col("k_window") >= 2)
+                & (F.lit(2) * F.abs(dev) > F.col("ewma_num"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def _q8_weights_sql() -> str:
+    terms_s = []
+    terms_d = []
+    terms_k = []
+    for i in range(1, 8):
+        wt = 1 ** (i - 1) * 2 ** (7 - i)
+        terms_s.append(
+            f"COALESCE(LAG(n, {i}) OVER win, 0) * {wt}"
+        )
+        terms_d.append(
+            f"CASE WHEN LAG(n, {i}) OVER win IS NULL THEN 0 ELSE {wt} END"
+        )
+        terms_k.append(
+            f"CASE WHEN LAG(n, {i}) OVER win IS NULL THEN 0 ELSE 1 END"
+        )
+    return (
+        f"({' + '.join(terms_s)}) AS ewma_num, "
+        f"({' + '.join(terms_d)}) AS ewma_den, "
+        f"({' + '.join(terms_k)}) AS k_window"
+    )
+
+
+@register(
+    "q8_ewma_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n, {_q8_weights_sql()}
+  FROM daily
+  WINDOW win AS (ORDER BY day)
+)
+SELECT day, n, CAST(k_window AS BIGINT) AS k_window,
+       CAST(ewma_num AS BIGINT) AS ewma_num,
+       CAST(ewma_den AS BIGINT) AS ewma_den,
+       (k_window >= 2 AND 2 * ABS(n * ewma_den - ewma_num) > ewma_num)
+         AS is_anomaly
+FROM w
+""",
+)
+def q8_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 (extension): EWMA-baseline volume anomaly — q7's sibling with
+    a geometrically-decaying baseline (recent days dominate) instead of
+    the flat 7-day mean: flags a day whose count deviates from the
+    1/2-decay EWMA of the trailing week by more than 50%.  All
+    arithmetic is exact int64 (weights are powers of 2; denominators
+    cleared), so the flag decision cannot flip on float accumulation
+    order — see ``ewma_anomaly_flags`` for the algebra.
+
+    Scale: identical profile to q7 — one partial-merged daily rollup,
+    then a single window pass over O(days) rows, trivially small at
+    any corpus size.  Delegates to ``ewma_anomaly_flags``."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ewma_anomaly_flags(daily, num=1, den=2)
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    c: float = 4.4478,
+) -> DataFrame:
+    """q9's engine: ROBUST outlier detection via median/MAD (Hampel
+    identifier) — q3's z-score breaks down when outliers inflate the
+    mean and stddev they are judged against (masking); median and MAD
+    have a 50% breakdown point.  Flags |x - med| > c · MAD with
+    c = 3 · 1.4826 (the normal-consistency constant), written as the
+    single literal 4.4478 so both engines fold the same double.
+
+    med and MAD are exact interpolating percentiles ROUNDed to 4dp
+    before the comparison — both engines then evaluate the identical
+    IEEE expression, so the flag cannot flip on a last-ulp percentile
+    difference.  Two grouped-percentile passes + two broadcast
+    join-backs (group cardinality is small); the row stream is scanned
+    twice, shuffled never.
+
+    Returns per-group (n_rows, med, mad, n_outliers)."""
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({val_col}, 0.5)"), 4).alias("med")
+    )
+    j = df.join(F.broadcast(med), group_col)
+    mad = j.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile(abs({val_col} - med), 0.5)"), 4).alias("mad")
+    )
+    full = j.join(F.broadcast(mad), group_col)
+    flag = F.abs(F.col(val_col) - F.col("med")) > F.lit(c) * F.col("mad")
+    return full.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(flag.cast("long")).alias("n_outliers"),
+    )
+
+
+@register(
+    "q9_mad_outliers",
+    oracle="""
+WITH med AS (SELECT c_mktsegment, ROUND(quantile_cont(c_acctbal, 0.5), 4) AS med
+             FROM customer GROUP BY 1),
+j AS (SELECT c.c_mktsegment, c_acctbal, med
+      FROM customer c JOIN med USING (c_mktsegment)),
+mad AS (SELECT c_mktsegment,
+               ROUND(quantile_cont(ABS(c_acctbal - med), 0.5), 4) AS mad
+        FROM j GROUP BY 1)
+SELECT j.c_mktsegment,
+       COUNT(*) AS n_rows,
+       MIN(j.med) AS med,
+       MIN(mad.mad) AS mad,
+       SUM(CASE WHEN ABS(c_acctbal - j.med) > 4.4478 * mad.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM j JOIN mad USING (c_mktsegment)
+GROUP BY 1
+""",
+)
+def q9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 (extension): robust per-segment account-balance outlier
+    report via the Hampel identifier (median/MAD, c = 3·1.4826) — the
+    robust sibling of q3's z-score rule.  On this corpus's uniform
+    balances n_outliers is legitimately 0 (max |x-med| ≈ 2·MAD <
+    4.4478·MAD — the rule is calibrated for heavy tails, and the
+    property test injects a spike to prove it fires); med and mad are
+    the value-checked payload.
+
+    Delegates to ``mad_outlier_report``."""
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return mad_outlier_report(c, "c_mktsegment", "c_acctbal")

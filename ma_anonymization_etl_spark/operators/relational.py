@@ -1508,3 +1508,80 @@ def d18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_recount")
     )
     return counts.join(recount, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# f6: skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), maximizing both ``x`` and ``y``:
+    rows for which no other row is >= on both dimensions and > on at
+    least one.  Ties survive together (two rows equal on both dims do
+    not dominate each other).
+
+    Plan shape (the reason this is not a self-join): dominance in 2-D
+    collapses to "y must beat every y seen at a strictly larger x".
+    Stage 1 reduces the input to one (x, max y) row per distinct x —
+    a partial-aggregated groupBy, the only full-data shuffle.  Stage 2
+    runs a running-max window over the DISTINCT-x table only (size =
+    |distinct x|, grain-bounded for date/bucket domains — 2.4k days in
+    this corpus at every SF — so the unpartitioned window is a
+    constant-size driver-adjacent step, NOT an O(n) single-partition
+    sort).  Stage 3 broadcast-joins the surviving (x, ymax) pairs back
+    to recover every tied row.  The naive NOT EXISTS self-join is
+    O(n²) and unshippable at scale; this is one shuffle + one tiny
+    window + one broadcast.  For continuous x (|distinct x| ~ n),
+    pre-bin x to a grain first — the standard distributed-skyline
+    local-prune — or range-partition stage 2.
+    """
+    from pyspark.sql import Window
+
+    per_x = df.groupBy(x).agg(F.max(y).alias("_ymax"))
+    w = Window.orderBy(F.col(x).asc()).rowsBetween(1, Window.unboundedFollowing)
+    surv = (
+        per_x.withColumn("_later", F.max("_ymax").over(w))
+        .filter(F.col("_later").isNull() | (F.col("_ymax") > F.col("_later")))
+        .select(F.col(x).alias("_sx"), "_ymax")
+    )
+    return df.join(
+        F.broadcast(surv),
+        (F.col(x) == F.col("_sx")) & (F.col(y) == F.col("_ymax")),
+    ).drop("_sx", "_ymax")
+
+
+@register(
+    "f6_skyline_pareto",
+    # Independent formulation: row-level windows (strictly-later-day
+    # running max via a RANGE frame + same-day max via PARTITION BY)
+    # instead of the engine's groupBy-then-window-then-join-back.  A
+    # NOT EXISTS dominance subquery would be the fully independent
+    # oracle but is O(n²) (22.5G row pairs at sf0.1).
+    oracle="""
+WITH f AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         MAX(o_totalprice) OVER (ORDER BY o_orderdate DESC
+              RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 1 DAY PRECEDING)
+           AS later_max,
+         MAX(o_totalprice) OVER (PARTITION BY o_orderdate) AS day_max
+  FROM orders)
+SELECT o_orderkey, o_orderdate, o_totalprice FROM f
+WHERE o_totalprice = day_max AND (later_max IS NULL OR o_totalprice > later_max)
+""",
+)
+def f6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f6 (extension): SKYLINE / Pareto-frontier operator — the orders
+    no other order beats on BOTH recency and value ("undominated big
+    recent orders", the multi-criteria shortlist every dashboard's
+    scatter plot wants).  Maximizes (o_orderdate, o_totalprice); ties
+    on both dims survive together.
+
+    Delegates to ``skyline_2d`` — groupBy-max per day, running max
+    over the 2.4k-day distinct-date table, broadcast join back; see
+    its docstring for why this is one shuffle instead of the O(n²)
+    dominance self-join."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return skyline_2d(o, "o_orderdate", "o_totalprice")

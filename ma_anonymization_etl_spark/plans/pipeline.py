@@ -129,6 +129,98 @@ def _step_microaggregate(df, cls, col, tiebreak, k=10, out=None):
     return A.microaggregate(df, cls, col, tiebreak, k, out)
 
 
+# --- Curation steps (j/q families as route ops) ---------------------------
+# Each delegates to the parameterized library function in operators.llm /
+# operators.quality; lazy imports keep pipeline.py import-light.
+
+
+def _step_dedup_exact(df, subset=None):
+    return df.dropDuplicates(subset)
+
+
+def _step_repetition_filter(df, id_col="doc_id", dup2_max=0.05, top_max=0.12):
+    from ma_anonymization_etl_spark.operators.llm import repetition_signals
+
+    keep = repetition_signals(df.select(F.col(id_col).alias("doc_id"), "text"),
+                              dup2_max, top_max).filter("keep").select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _step_split_assign(df, id_col="doc_id", salt="split|", fractions=None):
+    from ma_anonymization_etl_spark.operators.llm import split_assign
+
+    fr = [tuple(x) for x in (fractions or [["train", 0.8], ["val", 0.9]])]
+    return split_assign(df, id_col, salt=salt, fractions=fr)
+
+
+def _step_group_sample_exact_k(df, group_col, id_col="doc_id", k=5, salt="sample|"):
+    from ma_anonymization_etl_spark.operators.llm import group_sample_exact_k
+
+    return group_sample_exact_k(df, group_col, id_col, k=k, salt=salt, project=False)
+
+
+def _step_domain_quota_filter(df, host_col, id_col="doc_id", quota=10, salt="quota|"):
+    from ma_anonymization_etl_spark.operators.llm import group_sample_exact_k
+
+    # A quota cap IS an exact-k group sample with the host as the group
+    # (j49's window, j46's engine) — keep at most `quota` per host.
+    return group_sample_exact_k(
+        df, host_col, id_col, k=quota, salt=salt, project=False
+    )
+
+
+def _step_quality_filter(df, id_col="doc_id", min_words=30, min_stop_frac=0.0):
+    from ma_anonymization_etl_spark.operators.llm import text_quality_score
+
+    scores = text_quality_score(
+        df.select(F.col(id_col).alias("doc_id"), "text", "n_chars")
+    )
+    keep = scores.filter(
+        (F.col("n_words") >= min_words) & (F.col("stop_frac") >= min_stop_frac)
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _step_lang_filter(df, id_col="doc_id", keep_langs=("en",)):
+    from ma_anonymization_etl_spark.operators.llm import lang_id
+
+    keep = lang_id(df.select(F.col(id_col).alias("doc_id"), "text")).filter(
+        F.col("lang_pred").isin(*keep_langs)
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _step_constraint_report(df, checks):
+    """Terminal release: (check_name, n_violations) over the route's
+    working table.  Each JSON check is {"name", "type": "unique"|
+    "violation", "col"|"predicate"} — predicates are SQL strings so
+    routes serialize (fk checks need a second table; use the library
+    function directly for those)."""
+    from ma_anonymization_etl_spark.operators.quality import run_constraint_checks
+
+    compiled = []
+    for ck in checks:
+        c = dict(ck)
+        if c["type"] == "violation":
+            c["predicate"] = F.expr(c["predicate"])
+        c["df"] = df
+        compiled.append(c)
+    return run_constraint_checks(compiled)
+
+
+def _step_fd_report(df, dependencies):
+    """Terminal release: one row per candidate FD {"lhs", "rhs"}."""
+    from ma_anonymization_etl_spark.operators.quality import fd_violation_profile
+
+    parts = [fd_violation_profile(df, d["lhs"], d["rhs"]) for d in dependencies]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 STEPS = {
     "pseudonymize_sha2": _step_pseudonymize_sha2,
     "pseudonymize_md5": _step_pseudonymize_md5,
@@ -155,6 +247,17 @@ STEPS = {
     "mondrian_kanon": _step_mondrian_kanon,
     "cell_suppression": _step_cell_suppression,
     "microaggregate": _step_microaggregate,
+    # Curation steps (the j/q families as route ops) — delegating to
+    # operators.llm / operators.quality library functions.
+    "dedup_exact": _step_dedup_exact,
+    "repetition_filter": _step_repetition_filter,
+    "quality_filter": _step_quality_filter,
+    "lang_filter": _step_lang_filter,
+    "split_assign": _step_split_assign,
+    "group_sample_exact_k": _step_group_sample_exact_k,
+    "domain_quota_filter": _step_domain_quota_filter,
+    "constraint_report": _step_constraint_report,
+    "fd_report": _step_fd_report,
 }
 
 # Ops whose OUTPUT contains only their group key and release metrics —

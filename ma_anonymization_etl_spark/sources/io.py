@@ -150,13 +150,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str,
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
-                  mode: str = "overwrite") -> None:
+                  mode: str = "overwrite", dynamic: bool = False) -> None:
     """a4: parquet sink, optionally hive-partitioned.
 
     Partitioned layout is the scale lever: a sanitized 100 TB output
     partitioned by e.g. ship month lets every downstream reader prune.
+    ``dynamic=True`` switches partitioned overwrites to DYNAMIC mode
+    (n12's backfill shape): only partitions present in ``df`` are
+    rewritten, every other partition's files are untouched.
     """
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(path)

@@ -108,6 +108,27 @@ SHOWCASE = [
         "profiling a 100 TB table costs one read, not one read per "
         "metric",
     ),
+    (
+        "j50_jaccard_prefix_join",
+        "prefix explode -> SortMergeJoin on prefix token with the "
+        "length filter as join residual -> HashAggregate dedup -> "
+        "two id-keyed joins + count for exact verify; no window, no "
+        "cartesian, no global rank exchange",
+        "the EXACT set-similarity join: candidates are generated only "
+        "from each doc's rarest |t|-ceil(tau*|t|)+1 tokens (the "
+        "(df, tok) struct sort makes the global token order a per-row "
+        "array_sort, not a single-partition window), so the join "
+        "fan-out is bounded by rare-token df, never docs^2",
+    ),
+    (
+        "f6_skyline_pareto",
+        "groupBy-max per day (partial agg) -> window over the "
+        "distinct-day table only -> BroadcastHashJoin back",
+        "the skyline shuffle is one partial-agged groupBy; the only "
+        "ordered step runs on |distinct x| rows (2.4k days at every "
+        "SF), not O(n) — the NOT EXISTS self-join it replaces is "
+        "O(n^2)",
+    ),
 ]
 
 

@@ -760,3 +760,209 @@ def test_j43b_converges_to_monotone_fixpoint(spark):
         .count()
     )
     assert flipped == 0
+
+
+def test_q8_ewma_flags_injected_spike_and_matches_float_rule(spark):
+    """q8's integer EWMA rule must (a) fire on a genuine 10x spike, (b)
+    agree day-by-day with a driver-side float replay of the same
+    weights (the integer form is an exact rewrite, not an
+    approximation), and (c) stay mostly calm on the real series."""
+    from ma_anonymization_etl_spark.operators.quality import (
+        ewma_anomaly_flags,
+        q8_ewma_anomaly,
+    )
+
+    daily = (
+        load(spark, SF_ORACLE, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spiked = daily.withColumn(
+        "n",
+        F.when(
+            F.col("day") == F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            F.col("n") * 10,
+        ).otherwise(F.col("n")),
+    )
+    flagged = ewma_anomaly_flags(spiked).filter("is_anomaly").select("day").collect()
+    assert any(str(r.day).startswith("2024-01-20") for r in flagged)
+
+    # float replay: |n - S/D| > 0.5 * S/D day by day
+    rows = sorted(
+        (str(r.day), r.n, r.k_window, r.ewma_num, r.ewma_den, r.is_anomaly)
+        for r in ewma_anomaly_flags(spiked).collect()
+    )
+    series = {day: n for day, n, *_ in rows}
+    days = sorted(series)
+    for idx, (day, n, k, s_int, d_int, flag) in enumerate(rows):
+        prev = days[max(0, idx - 7):idx][::-1]  # t-1 first
+        s = sum(series[p] * (0.5 ** (i)) for i, p in enumerate(prev))
+        d = sum(0.5 ** i for i in range(len(prev)))
+        assert k == len(prev)
+        expect = len(prev) >= 2 and abs(n - s / d) > 0.5 * (s / d)
+        assert flag == expect, (day, n, s / d if d else None)
+
+    real = q8_ewma_anomaly(spark, SF_ORACLE)
+    assert real.count() == 30
+    assert real.filter("is_anomaly").count() <= 3
+
+
+def test_j50_prefix_filter_equals_exhaustive_referee(spark):
+    """The prefix-filter claim IS exactness: the released pair set must
+    equal the exhaustive inverted-index pair set (every pair sharing any
+    shingle, exact Jaccard >= tau) computed WITHOUT the filter — and the
+    planted perturbed twin of every doc must be found."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J50_TAU,
+        set_similarity_join,
+        word_shingles,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(pert)
+    toks = corpus.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
+    ).distinct()
+
+    got = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in set_similarity_join(toks, _J50_TAU).collect()
+    }
+
+    # exhaustive referee: inverted-index candidates (zero false
+    # negatives for jaccard > 0), exact verify — no prefix filter.
+    sz = toks.groupBy("doc_id").count()
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.tok") == F.col("tb.tok"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("a_id"), F.col("tb.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(sz.select(F.col("doc_id").alias("a_id"), F.col("count").alias("sa")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("count").alias("sb")), "b_id")
+    )
+    jac = F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+    want = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in inter.filter(jac >= _J50_TAU)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    n_docs = d.count()
+    planted = {(r.doc_id, r.doc_id + 100000) for r in d.select("doc_id").collect()}
+    assert len(planted & {(a, b) for a, b, _ in got}) >= int(0.9 * n_docs)
+
+
+def test_f6_skyline_dominance_is_exact(spark):
+    """Nothing returned is dominated; everything not returned is
+    dominated by something returned (checked exhaustively driver-side
+    at smoke SF); an injected super-point collapses the skyline."""
+    from ma_anonymization_etl_spark.operators.relational import skyline_2d
+
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    pts = [(r.o_orderkey, r.o_orderdate, r.o_totalprice) for r in o.collect()]
+    sky = {
+        r.o_orderkey
+        for r in skyline_2d(o, "o_orderdate", "o_totalprice").collect()
+    }
+
+    def dominated(p, q):  # q dominates p
+        return (
+            q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+        )
+
+    for p in pts:
+        dom = any(dominated(p, q) for q in pts if q[0] != p[0])
+        assert (p[0] in sky) == (not dom), p
+
+    top = max(p[1] for p in pts), max(p[2] for p in pts)
+    boosted = o.unionByName(
+        spark.createDataFrame(
+            [(999999999, top[0], top[1] + 1.0)], o.schema
+        )
+    )
+    sky2 = skyline_2d(boosted, "o_orderdate", "o_totalprice").collect()
+    assert [r.o_orderkey for r in sky2] == [999999999]
+
+
+def test_j51_replays_exactly_and_respects_weights(spark):
+    """Driver-side md5 replay of the Efraimidis-Spirakis keys must give
+    the identical 100-doc sample and ranks; and the size bias must be
+    visible: the sampled mean n_chars exceeds the corpus mean."""
+    import hashlib
+    import math
+
+    from ma_anonymization_etl_spark.operators.llm import j51_weighted_sample
+
+    rows = load(spark, SF_ORACLE, "documents").select("doc_id", "n_chars").collect()
+
+    def key(doc_id, w):
+        u = int(hashlib.md5(f"j51|{doc_id}".encode()).hexdigest()[:15], 16) / float(
+            1 << 60
+        )
+        return math.log(max(u, 1e-18)) / w
+
+    want = sorted(rows, key=lambda r: (-key(r.doc_id, r.n_chars), r.doc_id))[:100]
+    got = j51_weighted_sample(spark, SF_ORACLE).orderBy("draw_rank").collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert [r.draw_rank for r in got] == list(range(1, 101))
+    corpus_mean = sum(r.n_chars for r in rows) / len(rows)
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_q9_mad_flags_injected_spike_and_matches_replay(spark):
+    """The Hampel rule must fire on an injected far-out balance and the
+    released med/mad must equal a driver-side float replay (exact
+    interpolating percentiles, rounded the same way)."""
+
+    from ma_anonymization_etl_spark.operators.quality import mad_outlier_report
+
+    c = load(spark, SF_ORACLE, "customer").select("c_mktsegment", "c_acctbal")
+    base = {
+        r.c_mktsegment: r
+        for r in mad_outlier_report(c, "c_mktsegment", "c_acctbal").collect()
+    }
+    assert len(base) == 5
+    for seg, r in base.items():
+        vals = [
+            x.c_acctbal for x in c.filter(F.col("c_mktsegment") == seg).collect()
+        ]
+        med = round(_pctl(vals, 0.5), 4)
+        assert r.med == med, seg
+        mad = round(_pctl([abs(v - med) for v in vals], 0.5), 4)
+        assert r.mad == mad, seg
+        assert r.n_rows == len(vals)
+
+    spiked = c.unionByName(
+        spark.createDataFrame([("BUILDING", 1e9)], c.schema)
+    )
+    rep = {
+        r.c_mktsegment: r
+        for r in mad_outlier_report(spiked, "c_mktsegment", "c_acctbal").collect()
+    }
+    assert rep["BUILDING"].n_outliers >= base["BUILDING"].n_outliers + 1
+
+
+def _pctl(vals, p):
+    """Spark/DuckDB interpolating percentile (quantile_cont)."""
+    s = sorted(vals)
+    idx = (len(s) - 1) * p
+    lo, hi = int(idx), min(int(idx) + 1, len(s) - 1)
+    frac = idx - lo
+    return s[lo] * (1 - frac) + s[hi] * frac
