@@ -565,3 +565,79 @@ def i38_dp_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("epsilon"),
         )
     )
+
+
+def dp_topk(
+    df: DataFrame,
+    group: str,
+    k: int,
+    epsilon: float,
+    salt: str,
+) -> DataFrame:
+    """i43's engine: ε-DP TOP-K selection via one-shot noisy counts —
+    the peeling-equivalent form of report-noisy-max (Dwork & Roth 2014
+    §3.3; Durfee & Rogers, NeurIPS'19 for the one-shot top-k
+    equivalence): each group's exact count gets Laplace(k·Δ/ε) noise
+    (Δ=1 count sensitivity; dividing ε across the k sequential max
+    reports by basic composition), the k noisiest-largest groups are
+    released WITH their noisy counts, exact counts are NOT released.
+    Noise is the deterministic md5 ``hash_uniform`` inverse-CDF draw,
+    so the oracle replays selection and values bit-for-bit.
+
+    Ordering is on the ROUNDED noisy count (6dp) with the group as
+    tie-break, so both engines sort identical doubles.
+
+    Plan shape: one partial-agged groupBy (|groups| rows out), noise
+    map-side, top-k over |groups| rows — TakeOrderedAndProject; the
+    only full-data pass is the count."""
+    b = float(k) / epsilon
+    u = hash_uniform(group, salt)
+    noisy = (
+        df.groupBy(group)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            group,
+            F.round(
+                perturb_laplace(F.col("_n").cast("double"), epsilon / k, 1.0, 0, uniform=u),
+                6,
+            ).alias("n_noisy"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topk = noisy.orderBy(F.col("n_noisy").desc(), F.col(group).asc()).limit(k)
+    w = Window.orderBy(F.col("n_noisy").desc(), F.col(group).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        group, "n_noisy", "rank", F.lit(epsilon).alias("epsilon")
+    )
+
+
+def _i43_oracle() -> str:
+    lap = _sql_laplace(_sql_uniform("p_brand", "dp43|"), 5.0)
+    return f"""
+WITH c AS (SELECT p_brand, COUNT(*) AS n
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+nz AS (SELECT p_brand, ROUND(n + {lap}, 6) AS n_noisy FROM c)
+SELECT p_brand, n_noisy,
+       ROW_NUMBER() OVER (ORDER BY n_noisy DESC, p_brand ASC) AS rank,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM nz ORDER BY n_noisy DESC, p_brand ASC LIMIT 5
+"""
+
+
+@register("i43_dp_topk", oracle=_i43_oracle())
+def i43_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i43 (extension): ε-DP top-5 part brands by lineitem volume —
+    the private "most popular items" release (the query every
+    recommender dashboard wants and the one unprotected counts leak
+    most from).  ε=1.0 split across the 5 reports → Laplace(5/ε) per
+    count; exact counts never leave the plan.  The broadcast part-dim
+    join feeds one partial-agged groupBy; selection and noisy values
+    replay exactly in the oracle via the md5 uniform.
+
+    Delegates to ``dp_topk``."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("p_brand")
+    return dp_topk(joined, "p_brand", 5, 1.0, "dp43|")

@@ -3405,3 +3405,131 @@ def j51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delegates to ``weighted_sample_topk``."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample_topk(d, "n_chars", 100, "j51|", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# j52: directed containment join (near-superset detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_join(
+    toks: DataFrame,
+    c: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """EXACT directed CONTAINMENT self-join: ordered pairs (A, B),
+    A ≠ B, with |A∩B| / |A| >= c — "A is (nearly) contained in B".
+    Jaccard (j50) misses asymmetric duplication by construction: a
+    paragraph quoted inside a 100× longer page has Jaccard ≈ 0.01 but
+    containment 1.0; quote/boilerplate/subset detection needs this
+    operator, not a symmetric one.
+
+    Single-sided prefix principle (the asymmetric cousin of j50's):
+    |A∩B| >= ⌈c·|A|⌉ and A has only ⌈c·|A|⌉ − 1 tokens after its
+    first |A| − ⌈c·|A|⌉ + 1 in the global (df, tok) order — so some
+    intersection token lies in A's PREFIX.  B contributes its full
+    token list (no prefix exists for the containee-unbounded side).
+    Candidates therefore come from prefix(A) ⋈ full(B) on token —
+    still df-bounded because A's prefix holds A's RAREST tokens.
+    Length filter |B| >= c·|A| rides the verify (|A∩B| <= |B|).
+
+    Plan: the j50 machinery with one asymmetric join — token df
+    groupBy, per-doc (df, tok)-sorted arrays, prefix explode for the
+    LEFT side only, candidate join against the full token table,
+    exact intersection count on candidates, map-side containment
+    filter.  100 TB note: if a common token's df explodes the
+    candidate set, df-cap the FULL side (drop tokens with df > D from
+    candidate GENERATION only — exactness then needs every doc to
+    keep >= 1 sub-cap prefix token, which the df-ascending order
+    maximizes); verification always uses the uncapped lists."""
+    toks = (
+        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord_toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    pref_len = (F.col("sz") - F.ceil(F.lit(c) * F.col("sz")) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p"),
+    ).select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("a_sz"),
+        )
+        .distinct()
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("a_id") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("b_id") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("a_id", "b_id", "a_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.col("a_sz")
+    return inter.filter(cont >= c).select(
+        "a_id", "b_id", F.round(cont, 6).alias("containment")
+    )
+
+
+_J52_C = 0.9
+# Exhaustive directed referee as the driver oracle — same justification
+# as j50: the prefix filter is EXACT, so gate equality with the
+# unfiltered definition re-attests the no-false-negative claim per run.
+_J52_ORACLE = f"""{_J3_CORPUS_CTES},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id != b.doc_id)
+SELECT a_id, b_id,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s), 6) AS containment
+FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= {_J52_C}
+"""
+
+
+@register("j52_containment_join", oracle=_J52_ORACLE)
+def j52_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j52 (extension): directed near-superset pairs at containment
+    >= 0.9 over the planted corpus — every perturbed copy (first word
+    dropped) is FULLY contained in its original (containment exactly
+    1.0: dropping word 1 removes only the leading shingle), and the
+    original is ~(s−1)/s-contained in the copy, so both directions of
+    each planted pair must appear plus any organic near-supersets.
+    Jaccard would see these same pairs only because the corpus twins
+    are near-identical in length; j52 exists for the asymmetric cases
+    j50 cannot represent.
+
+    Delegates to ``containment_join``."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(perturbed).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = corpus.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
+    )
+    return containment_join(toks, _J52_C)

@@ -1585,3 +1585,78 @@ def f6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return skyline_2d(o, "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# d19: quantile binning / discretization
+# ---------------------------------------------------------------------------
+
+
+def quantile_binning(df: DataFrame, col: str, nbins: int) -> DataFrame:
+    """d19's engine: equal-frequency DISCRETIZATION — compute the
+    nbins-1 interior quantile edges in ONE exact-percentile aggregate,
+    broadcast the single edge row, assign each value its bin with a
+    map-side fold over the edge array (bin = 1 + #edges strictly
+    below), release the per-bin summary (count, observed min/max).
+    The ML feature-prep primitive (quantile bucketing) and the d16
+    histogram's equal-POPULATION sibling.
+
+    Engine-exactness note: a data value can never sit inside the ulp
+    window of an edge it doesn't equal — interpolated edges lie
+    strictly between ADJACENT sorted data values (or collapse exactly
+    onto one when the index fraction is 0 or neighbors are equal), so
+    the `>` comparison is engine-stable without rounding tricks.
+
+    Scale: the exact percentile aggregate carries a per-partition
+    value-count map — fine to ~10⁷ distinct values per column; at
+    100 TB swap in approx_percentile (same one-aggregate shape, same
+    downstream plan) or d16's mergeable-histogram route.  Binning
+    itself is map-side against broadcast edges; the summary is one
+    partial-agged groupBy over nbins groups."""
+    qs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    edges = df.agg(F.expr(f"percentile({col}, array({qs}))").alias("_edges"))
+    binned = df.join(F.broadcast(edges)).select(
+        F.col(col).alias("_x"),
+        (
+            F.lit(1)
+            + F.aggregate(
+                "_edges",
+                F.lit(0),
+                lambda acc, e: acc + (F.col(col) > e).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_x").alias("bin_min"),
+        F.max("_x").alias("bin_max"),
+    )
+
+
+def _d19_oracle() -> str:
+    nbins = 10
+    qs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    terms = " + ".join(
+        f"(CASE WHEN l_extendedprice > ed[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, nbins)
+    )
+    return f"""
+WITH e AS (SELECT quantile_cont(l_extendedprice, [{qs}]) AS ed FROM lineitem),
+b AS (SELECT l_extendedprice AS x, 1 + {terms} AS bin FROM lineitem, e)
+SELECT bin, COUNT(*) AS n_rows, MIN(x) AS bin_min, MAX(x) AS bin_max
+FROM b GROUP BY 1
+"""
+
+
+@register("d19_quantile_binning", oracle=_d19_oracle())
+def d19_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d19 (extension): decile binning of lineitem extended price —
+    exact equal-frequency discretization: one percentile aggregate for
+    the 9 interior edges, broadcast, map-side bin assignment, per-bin
+    (count, min, max) release.  Near-equal bin counts ARE the
+    falsifiable signal (an off-by-one in the edge fold shifts
+    thousands of rows at every SF).
+
+    Delegates to ``quantile_binning``."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return quantile_binning(li, "l_extendedprice", 10)

@@ -62,12 +62,12 @@ DRIVER_WINDOW = [
     # so the gate attests the newest operators, per VERDICT r5 item 3)
     "d1_agg_hash_pricing_summary",
     "b2_filter_pred",
-    "c1_join_broadcast",
     "c2_join_shuffle",
     "c6_join_range_theta",
     "c7_join_asof",
-    "d11_median_percentile",
+    "d19_quantile_binning",
     "f4_topk_per_group",
+    "f6_skyline_pareto",
     "g4_except",
     # rounds-4/5 extension flagships (6)
     "d18_bitmap_distinct",
@@ -81,16 +81,14 @@ DRIVER_WINDOW = [
     "a2_csv_roundtrip",
     "a5_stream_source_tumbling",
     # window functions (3)
-    "e1_win_row_number",
     "e5_win_running",
     "e6_win_moving",
     # scalar families (3)
-    "h2_datetime_funcs",
     "h6_hash_funcs",
     "h8_variant_semi_structured",
     # anonymization flagship (11)
     "i1_classify_columns",
-    "i2_pseudonymize_sha2",
+    "i43_dp_topk",
     "i4_tokenize_consistent",
     "i8_generalize_numeric",
     "i16_k_anonymity_metric",
@@ -100,19 +98,22 @@ DRIVER_WINDOW = [
     "i20_t_closeness",
     "i22_mondrian_kanon",
     "i23_anonymize_pipeline",
-    # dedup / text / similarity (8; round-7 rotation swapped the
-    # long-green i13 for the round-6 fix j43b per VERDICT r6 item 8 —
-    # the newest surface belongs inside the gate)
-    "j2_dedup_content_hash",
+    # dedup / text / similarity (round-7 rotation #2 swapped eight
+    # long-green basics — c1, d11, e1, h2, i2, j2, j8, k1 — for the
+    # round-7 operators f6/d19/i43/j50/j51/j52/q8/q9: the newest
+    # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
+    "j50_jaccard_prefix_join",
+    "j51_weighted_sample",
+    "j52_containment_join",
     "j43b_kmeans_converged",
     "j3_dedup_near_minhash",
-    "j8_sim_topk",
     "j9b_sim_pair_lsh",
     "j14_text_quality_score",
     "j23_dedup_clusters",
     "j24_training_funnel",
     # events / streaming (3)
-    "k1_win_tumbling",
+    "q8_ewma_anomaly",
+    "q9_mad_outliers",
     "k3_win_session_batch",
     "k9_stream_anonymize",
     # python surfaces, multimodal, ETL, SQL (4)

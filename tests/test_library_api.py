@@ -65,6 +65,9 @@ DELEGATES = {
     "f6_skyline_pareto": "skyline_2d",
     "j50_jaccard_prefix_join": "set_similarity_join",
     "j51_weighted_sample": "weighted_sample_topk",
+    "j52_containment_join": "containment_join",
+    "d19_quantile_binning": "quantile_binning",
+    "i43_dp_topk": "dp_topk",
     "n11_cdc_apply": "cdc_apply",
 }
 

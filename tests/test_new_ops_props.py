@@ -966,3 +966,117 @@ def _pctl(vals, p):
     lo, hi = int(idx), min(int(idx) + 1, len(s) - 1)
     frac = idx - lo
     return s[lo] * (1 - frac) + s[hi] * frac
+
+
+def test_i43_dp_topk_replay_and_privacy_shape(spark):
+    """The DP top-5 must match a driver-side md5+inverse-CDF replay of
+    the noisy selection, never release an exact count column, and the
+    noise must be bounded by the documented clamp (~27.6·b)."""
+    import hashlib
+    import math
+
+    from ma_anonymization_etl_spark.operators.dp import i43_dp_topk
+
+    li = load(spark, SF_ORACLE, "lineitem").select("l_partkey")
+    p = load(spark, SF_ORACLE, "part").select("p_partkey", "p_brand")
+    exact = {
+        r.p_brand: r.n
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def noisy(brand, n, b=5.0):
+        u = int(
+            hashlib.md5(f"dp43|{brand}".encode()).hexdigest()[:15], 16
+        ) / float(1 << 60)
+        w = max(-0.5 + 1e-12, min(0.5 - 1e-12, u - 0.5))
+        return round(n + (-b * math.copysign(1, w) * math.log(1 - 2 * abs(w))), 6)
+
+    want = sorted(
+        ((noisy(br, n), br) for br, n in exact.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = i43_dp_topk(spark, SF_ORACLE).orderBy("rank").collect()
+    assert [(r.n_noisy, r.p_brand) for r in got] == want
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+    assert "n_exact" not in got[0].asDict() and "_n" not in got[0].asDict()
+    for r in got:
+        assert abs(r.n_noisy - exact[r.p_brand]) <= 27.7 * 5.0
+
+
+def test_d19_bins_are_equal_frequency_and_ordered(spark):
+    """Decile binning: 10 bins, counts near n/10, bins partition the
+    value range in order (bin_max[i] <= bin_min[i+1]), total preserved."""
+    from ma_anonymization_etl_spark.operators.relational import (
+        d19_quantile_binning,
+        quantile_binning,
+    )
+
+    rows = sorted(
+        d19_quantile_binning(spark, SF_ORACLE).collect(), key=lambda r: r.bin
+    )
+    n = load(spark, SF_ORACLE, "lineitem").count()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert abs(r.n_rows - n / 10) <= max(5, 0.01 * n)
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_max <= b.bin_min
+        assert a.bin_min <= a.bin_max
+
+    # parameterized engine honors nbins
+    li = load(spark, SF_SMOKE, "lineitem").select("l_quantity")
+    assert quantile_binning(li, "l_quantity", 4).count() <= 4
+
+
+def test_j52_containment_equals_exhaustive_and_finds_planted(spark):
+    """Prefix-filter exactness for the DIRECTED containment join: the
+    result equals the exhaustive referee; every planted pert->orig pair
+    appears at containment exactly 1.0."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J52_C,
+        containment_join,
+        word_shingles,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    toks = (
+        d.unionByName(pert)
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("tok"))
+        .distinct()
+    )
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_join(toks, _J52_C).collect()
+    }
+
+    sz = toks.groupBy("doc_id").count()
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    ref = (
+        ta.join(
+            tb,
+            (F.col("ta.tok") == F.col("tb.tok"))
+            & (F.col("ta.doc_id") != F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("a_id"), F.col("tb.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(sz.select(F.col("doc_id").alias("a_id"), F.col("count").alias("sa")), "a_id")
+    )
+    cont = F.col("i") / F.col("sa")
+    want = {
+        (r.a_id, r.b_id): r.containment
+        for r in ref.filter(cont >= _J52_C)
+        .select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+        .collect()
+    }
+    assert got == want
+    for r in d.select("doc_id").collect():
+        assert got.get((r.doc_id + 100000, r.doc_id)) == 1.0
