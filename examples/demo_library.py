@@ -111,6 +111,34 @@ def main() -> int:
     psi = mael.quality.fd_violation_profile(docs, "source", "lang")
     print("11. fd profile:", [tuple(r) for r in psi.collect()])
 
+    # 12. Round-7 additions: skyline, exact set-similarity, weighted
+    # sampling, quantile binning, robust outliers — all df-first.
+    from ma_anonymization_etl_spark.operators.llm import (
+        set_similarity_join,
+        weighted_sample_topk,
+        word_shingles,
+    )
+    from ma_anonymization_etl_spark.operators.relational import (
+        quantile_binning,
+        skyline_2d,
+    )
+
+    orders = mael.io.load(spark, sf_dir, "orders")
+    sky = skyline_2d(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_orderdate", "o_totalprice",
+    )
+    toks = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("tok"))
+    pairs = set_similarity_join(toks, 0.5)
+    sample = weighted_sample_topk(docs, "n_chars", 10, "demo|")
+    bins = quantile_binning(orders.select("o_totalprice"), "o_totalprice", 4)
+    outl = mael.quality.mad_outlier_report(
+        mael.io.load(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal"
+    )
+    print(f"12. skyline {sky.count()} orders; {pairs.count()} exact near-dup "
+          f"pairs; sample {sample.count()}; {bins.count()} quartile bins; "
+          f"outlier report {outl.count()} segments")
+
     spark.stop()
     print("demo OK")
     return 0

@@ -588,3 +588,57 @@ def p6_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("val").alias("dist"))
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "p7_connected_components",
+    # Independent oracle: exact transitive closure by recursive CTE,
+    # PRUNED to labels smaller than the receiving node — the component
+    # min always survives the pruning (it is smaller than every other
+    # member, so it propagates along any path), while the closure row
+    # count drops from Σ|comp|² toward Σ|comp|·(smaller labels seen).
+    # The min-support graph is size-bounded at every SF (~2-4k edges),
+    # so the recursion is cheap for DuckDB despite the giant component.
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SUP2_SQL},
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+cc AS (
+  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, cc.lbl FROM sym s JOIN cc ON cc.node = s.v WHERE cc.lbl < s.u
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY 1
+""",
+)
+def p7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p7 (extension): CONNECTED COMPONENTS of the support≥2
+    co-purchase graph — "which products sell together, transitively"
+    (the product-affinity clusters a recommender or assortment
+    planner starts from).  Releases (component, n_nodes) per
+    component; component id = min part id, so the release is
+    deterministic.  This graph has ONE giant component (1.8k of 1.9k
+    nodes at sf0.01) plus a tail of 2-5-node islets — a deep
+    multi-round propagation stress, unlike j23's shallow dedup
+    clusters (diameter ~2), so it exercises the iterative engine's
+    convergence path, not just its plumbing.
+
+    Engine: the shared min-label ``connected_components`` loop
+    (llm.py) — per round one edge-list self-join + groupBy-min with
+    per-round localCheckpoint lineage cuts, early exit on fixpoint.
+    Rounds = eccentricity of each component's min node (graph
+    diameter bound), NOT corpus size; the edge list is the
+    min-support graph, which the support filter keeps negligible
+    relative to lineitem at every SF.  Scale: at 100 TB the edge
+    list shuffles on node id per round — the standard
+    hash-min/large-star shape; swap localCheckpoint for reliable
+    checkpoint on a real cluster."""
+    from ma_anonymization_etl_spark.operators.llm import connected_components
+
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -3533,3 +3533,194 @@ def j52_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
     )
     return containment_join(toks, _J52_C)
+
+
+# ---------------------------------------------------------------------------
+# j53: incremental (batch-vs-corpus) near-dedup — the ingestion path
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    corpus_sh: DataFrame, batch_sh: DataFrame, tau: float = _MINHASH_TAU
+) -> DataFrame:
+    """j53's engine: dedup an ingest BATCH against an existing CORPUS
+    without ever re-pairing the corpus with itself — the production
+    dedup scenario (a crawl snapshot lands; the N-doc corpus is
+    already deduped; only batch × corpus candidates matter).  Both
+    sides get the shared MinHash-LSH banding (``banded_signatures``);
+    candidates are band-sharing (batch, corpus) pairs ONLY — the
+    corpus band index is O(corpus × bands) rows and reusable across
+    batches, and the join output is O(batch-side collisions), so
+    per-ingest cost scales with the BATCH, not the corpus pair count.
+    Candidates verify with exact Jaccard; each batch doc releases
+    (batch_id, is_dup, match_id, jaccard) with the best match
+    (max jaccard, tie → lowest corpus id).
+
+    Inputs are shingle tables (doc_id, shingles); ids must not collide
+    across sides."""
+    from pyspark.sql import Window
+
+    cb = banded_signatures(corpus_sh)
+    bb = banded_signatures(batch_sh)
+    cand = (
+        bb.alias("b")
+        .join(
+            cb.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    scored = (
+        cand.join(
+            batch_sh.select(
+                F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")
+            ),
+            "batch_id",
+        )
+        .join(
+            corpus_sh.select(
+                F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "_jac",
+            F.size(F.array_intersect("sh_b", "sh_c"))
+            / F.size(F.array_union("sh_b", "sh_c")),
+        )
+        .filter(F.col("_jac") >= tau)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("_jac").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "batch_id",
+            F.col("corpus_id").alias("match_id"),
+            F.round("_jac", 6).alias("jaccard"),
+        )
+    )
+    return (
+        batch_sh.select(F.col("doc_id").alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+            "jaccard",
+        )
+    )
+
+
+def _j53_oracle() -> str:
+    """Structural replay of the batch-vs-corpus banding (the j3 oracle
+    discipline): same md5 31-bit shingle hashes, same affine
+    permutations, same band tuples, side split by id range, exact
+    Jaccard on candidates, best-match window.  The engine's xxhash64
+    band keys vs the replay's raw tuples carry j3's documented
+    astronomically-unlikely-collision caveat."""
+    perms = _perm_constants(_MINHASH_PERMS)
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+    min_cols = ",\n         ".join(
+        f"MIN(({a} * hv + {b}) % {_MERSENNE}) AS m{p}" for p, (a, b) in enumerate(perms)
+    )
+    bandrows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {cols} FROM mins".format(
+            band=band,
+            cols=", ".join(f"m{band * r + i} AS x{i}" for i in range(r)),
+        )
+        for band in range(_MINHASH_BANDS)
+    )
+    band_eq = " AND ".join(f"b.x{i} = c.x{i}" for i in range(r))
+    return f"""
+WITH corpus AS (SELECT doc_id, lower(text) AS t FROM documents),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id,
+         substring(lower(text), instr(lower(text), ' ') + 1) AS t
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string((string_split(lower(text), ' '))
+           [1:greatest(len(string_split(lower(text), ' ')) // 3, 3)], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+w AS (SELECT doc_id, string_split(t, ' ') AS w FROM allr),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(w) - 2, 1) + 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hvt AS (SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MERSENNE} AS hv
+        FROM inv),
+mins AS (SELECT doc_id,
+         {min_cols}
+         FROM hvt GROUP BY doc_id),
+bandrows AS (
+{bandrows}
+),
+cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         FROM bandrows b JOIN bandrows c
+           ON b.band = c.band AND {band_eq}
+          AND b.doc_id >= 100000 AND c.doc_id < 100000),
+scored AS (SELECT batch_id, corpus_id,
+                  len(list_intersect(x.s, y.s))::DOUBLE
+                    / len(list_distinct(list_concat(x.s, y.s))) AS j
+           FROM cand JOIN sh x ON x.doc_id = batch_id
+                     JOIN sh y ON y.doc_id = corpus_id
+           WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                / len(list_distinct(list_concat(x.s, y.s))) >= {_MINHASH_TAU}),
+best AS (SELECT batch_id, corpus_id, j,
+                ROW_NUMBER() OVER (PARTITION BY batch_id
+                                   ORDER BY j DESC, corpus_id ASC) AS rn
+         FROM scored)
+SELECT b.doc_id AS batch_id,
+       (best.corpus_id IS NOT NULL) AS is_dup,
+       best.corpus_id AS match_id,
+       ROUND(best.j, 6) AS jaccard
+FROM batch b LEFT JOIN best ON best.batch_id = b.doc_id AND best.rn = 1
+"""
+
+
+@register("j53_incremental_dedup", oracle=_j53_oracle())
+def j53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j53 (extension): INCREMENTAL ingest dedup — a new batch checked
+    against the existing corpus only (batch × corpus candidates via
+    shared LSH bands; the corpus is never re-paired with itself).  The
+    batch plants both decision outcomes: one perturbed near-dup per
+    corpus doc (first word dropped, id+100000 — must come back is_dup
+    with its source as match) and one truncated first-third "new" doc
+    per 10th corpus doc (id+200000, Jaccard ≈ 1/3 < τ — must come back
+    kept even when banding makes it a candidate, because verification
+    is exact).
+
+    Delegates to ``incremental_dedup``; see its docstring for why
+    per-ingest cost scales with the batch, not the corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    wsplit = F.split(F.lower(F.col("text")), " ")
+    batch = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    wsplit,
+                    1,
+                    F.greatest((F.size(wsplit) / 3).cast("int"), F.lit(3)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    batch_sh = batch.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    return incremental_dedup(corpus_sh, batch_sh, _MINHASH_TAU)

@@ -76,12 +76,12 @@ DRIVER_WINDOW = [
     "j44_semantic_dedup",
     "n11_cdc_apply",
     "p1b_pagerank_converged",
+    "p7_connected_components",
     # sources / sinks (3)
     "a1_parquet_scan",
     "a2_csv_roundtrip",
     "a5_stream_source_tumbling",
     # window functions (3)
-    "e5_win_running",
     "e6_win_moving",
     # scalar families (3)
     "h6_hash_funcs",
@@ -99,8 +99,8 @@ DRIVER_WINDOW = [
     "i22_mondrian_kanon",
     "i23_anonymize_pipeline",
     # dedup / text / similarity (round-7 rotation #2 swapped eight
-    # long-green basics — c1, d11, e1, h2, i2, j2, j8, k1 — for the
-    # round-7 operators f6/d19/i43/j50/j51/j52/q8/q9: the newest
+    # long-green basics — c1, d11, e1, e5, h2, i2, j2, j8, j24, k1 — for
+    # the round-7 operators f6/d19/i43/j50-j53/p7/q8/q9: the newest
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
     "j50_jaccard_prefix_join",
     "j51_weighted_sample",
@@ -110,7 +110,7 @@ DRIVER_WINDOW = [
     "j9b_sim_pair_lsh",
     "j14_text_quality_score",
     "j23_dedup_clusters",
-    "j24_training_funnel",
+    "j53_incremental_dedup",
     # events / streaming (3)
     "q8_ewma_anomaly",
     "q9_mad_outliers",

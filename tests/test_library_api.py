@@ -66,6 +66,7 @@ DELEGATES = {
     "j50_jaccard_prefix_join": "set_similarity_join",
     "j51_weighted_sample": "weighted_sample_topk",
     "j52_containment_join": "containment_join",
+    "j53_incremental_dedup": "incremental_dedup",
     "d19_quantile_binning": "quantile_binning",
     "i43_dp_topk": "dp_topk",
     "n11_cdc_apply": "cdc_apply",

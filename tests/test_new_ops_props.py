@@ -1080,3 +1080,86 @@ def test_j52_containment_equals_exhaustive_and_finds_planted(spark):
     assert got == want
     for r in d.select("doc_id").collect():
         assert got.get((r.doc_id + 100000, r.doc_id)) == 1.0
+
+
+def test_p7_components_match_union_find_referee(spark):
+    """The released component sizes must equal a driver-side union-find
+    over the same edge list, and the full labeling must be a fixpoint:
+    one more min-propagation round changes nothing."""
+    from ma_anonymization_etl_spark.operators.graph import _copurchase_pairs
+    from ma_anonymization_etl_spark.operators.llm import connected_components
+
+    pairs = _copurchase_pairs(spark, SF_ORACLE, min_support=2).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    edges = [(r.a, r.b) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want: dict = {}
+    for n in list(parent):
+        want.setdefault(find(n), set()).add(n)
+    # canonical id = min member
+    want_sizes = sorted(
+        (min(m), len(m)) for m in want.values()
+    )
+
+    comp = connected_components(pairs)
+    got = {(r.node, r.component) for r in comp.collect()}
+    got_groups: dict = {}
+    for node, c in got:
+        got_groups.setdefault(c, set()).add(node)
+    got_sizes = sorted((c, len(m)) for c, m in got_groups.items())
+    assert got_sizes == want_sizes
+    for c, members in got_groups.items():
+        assert c == min(members)  # component id IS the min member
+
+    # fixpoint: neighbours never carry a smaller label
+    lbl = comp.select(F.col("node").alias("n"), F.col("component").alias("c"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    viol = (
+        sym.join(lbl.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("c", "ca")
+        .join(
+            lbl.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), "b"
+        )
+        .filter(F.col("cb") < F.col("ca"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_j53_planted_decisions_both_ways(spark):
+    """Every planted near-dup (perturbed copy) must be dropped —
+    overwhelmingly matched to its own source — and every truncated
+    first-third 'new' doc must be kept (exact verification overrides
+    band collisions); the release covers the whole batch exactly once."""
+    from ma_anonymization_etl_spark.operators.llm import j53_incremental_dedup
+
+    rows = {r.batch_id: r for r in j53_incremental_dedup(spark, SF_ORACLE).collect()}
+    docs = [r.doc_id for r in load(spark, SF_ORACLE, "documents").select("doc_id").collect()]
+    n_new = sum(1 for d in docs if d % 10 == 0)
+    assert len(rows) == len(docs) + n_new
+
+    perturbed = [rows[d + 100000] for d in docs]
+    assert all(r.is_dup for r in perturbed)
+    own_source = sum(1 for d in docs if rows[d + 100000].match_id == d)
+    assert own_source >= int(0.95 * len(docs))
+    for r in perturbed:
+        assert r.jaccard is not None and r.jaccard >= 0.5
+
+    for d in docs:
+        if d % 10 == 0:
+            r = rows[d + 200000]
+            assert not r.is_dup and r.match_id is None and r.jaccard is None
