@@ -54,6 +54,14 @@ HEADLINE = [
     "p1b_pagerank_converged",
     "j38_heavy_hitters_routed",
     "j44_semantic_dedup",
+    # Round-7 additions (BASELINE.md round-7 note): the round-7 marquee
+    # operators — exact prefix-filtered set-similarity join, incremental
+    # batch-vs-corpus dedup, giant-component CC, and the skyline —
+    # appended so the legacy-23 and round-6-27 subtotals stay comparable.
+    "j50_jaccard_prefix_join",
+    "j53_incremental_dedup",
+    "p7_connected_components",
+    "f6_skyline_pareto",
 ]
 
 

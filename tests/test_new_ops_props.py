@@ -1163,3 +1163,37 @@ def test_j53_planted_decisions_both_ways(spark):
         if d % 10 == 0:
             r = rows[d + 200000]
             assert not r.is_dup and r.match_id is None and r.jaccard is None
+
+
+def test_round7_ops_edge_cases(spark):
+    """Degenerate-input hardening for the round-7 library functions:
+    single-point skyline, constant-column binning, tau=1.0 similarity
+    (exact-duplicate sets only), weighted sample with k > n."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        set_similarity_join,
+        weighted_sample_topk,
+    )
+    from ma_anonymization_etl_spark.operators.relational import (
+        quantile_binning,
+        skyline_2d,
+    )
+
+    one = spark.createDataFrame([(1, 5, 7.0)], "id long, x int, y double")
+    assert [tuple(r) for r in skyline_2d(one, "x", "y").collect()] == [(1, 5, 7.0)]
+
+    const = spark.createDataFrame([(v,) for v in [3.0] * 40], "x double")
+    bins = quantile_binning(const, "x", 4).collect()
+    assert len(bins) == 1 and bins[0].bin == 1 and bins[0].n_rows == 40
+
+    toks = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")],
+        "doc_id long, tok string",
+    )
+    # tau=1.0: only identical sets pair; doc 3 ({a}) is a strict subset,
+    # NOT an exact dup.
+    pairs = set_similarity_join(toks, 1.0).collect()
+    assert [(r.a_id, r.b_id, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+    few = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, w int")
+    got = weighted_sample_topk(few, "w", 5, "edge|", id_col="doc_id").collect()
+    assert len(got) == 2 and sorted(r.draw_rank for r in got) == [1, 2]
