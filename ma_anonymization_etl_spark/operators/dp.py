@@ -590,7 +590,6 @@ def dp_topk(
     Plan shape: one partial-agged groupBy (|groups| rows out), noise
     map-side, top-k over |groups| rows — TakeOrderedAndProject; the
     only full-data pass is the count."""
-    b = float(k) / epsilon
     u = hash_uniform(group, salt)
     noisy = (
         df.groupBy(group)

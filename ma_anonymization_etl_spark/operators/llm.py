@@ -732,7 +732,11 @@ def j14_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(docs: DataFrame, stopwords=_STOPWORDS) -> DataFrame:
     """j14's engine, parameterized: per-doc word/char counts, average
     word length, stopword ratio over ``stopwords``, and a logistic
-    length score — pure row-local expressions."""
+    length score — pure row-local expressions.  Works on any
+    (doc_id, text) DataFrame: n_chars is computed from the text when
+    the caller's table doesn't already carry it."""
+    if "n_chars" not in docs.columns:
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
     w = words_of()
     n_words = F.size(w)
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
@@ -2458,11 +2462,15 @@ def split_assign(
     return df.withColumn("split", expr.otherwise(rest))
 
 
-def split_audit(assigned: DataFrame, by: str) -> DataFrame:
-    """j39's release: the split × ``by`` audit table (doc and char
-    counts + corpus share) a pipeline publishes to prove balance."""
+def split_audit(assigned: DataFrame, by: str, size_col: str = "n_chars") -> DataFrame:
+    """j39's release: the split × ``by`` audit table (doc and size
+    counts + corpus share) a pipeline publishes to prove balance.
+    ``size_col`` is the per-row size to total (default n_chars);
+    tables without one get n_docs as the size so the audit still runs
+    on any (split, by) assignment."""
     from pyspark.sql import Window
 
+    size = F.col(size_col) if size_col in assigned.columns else F.lit(1)
     # Share denominator = sum over the tiny audit table itself (an
     # unbounded window over ~|splits × by| rows) — no second corpus
     # pass for a number the aggregate already knows.
@@ -2470,7 +2478,7 @@ def split_audit(assigned: DataFrame, by: str) -> DataFrame:
         assigned.groupBy("split", by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.sum(size).cast("long").alias("n_chars_total"),
         )
         .select(
             "split",
@@ -3190,6 +3198,48 @@ def domain_quota_audit(
 # ---------------------------------------------------------------------------
 
 
+def _prefix_index(
+    toks: DataFrame, threshold: float, id_col: str, tok_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter index for j50/j52: normalize+distinct the
+    (doc_id, tok) table, order every doc's tokens by the global
+    (document-frequency asc, token asc) total order — realized as a
+    per-row array_sort of (df, tok) structs, never a vocabulary-wide
+    rank window — and explode each doc's first
+    |t| − ⌈threshold·|t|⌉ + 1 (i.e., RAREST) tokens.
+
+    The distinct token table feeds several plan branches downstream.
+    It is deliberately NOT persist()ed here: a per-call persist leaks
+    one cached copy per invocation within a session (measured:
+    GC-locker thrash by the third sf0.1 call in a 1 GB driver — the
+    j43b lesson's cousin), and Catalyst already reuses the distinct's
+    Exchange across branches.  On a real cluster, checkpoint the
+    token table BEFORE calling when upstream tokenization is
+    expensive.
+
+    Returns (toks, prefix) where prefix = (doc_id, sz, tok)."""
+    toks = (
+        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord_toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p"),
+    ).select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    return toks, prefix
+
+
 def set_similarity_join(
     toks: DataFrame,
     tau: float,
@@ -3226,33 +3276,7 @@ def set_similarity_join(
     of df²) with df small for rare tokens; at 100 TB add PPJoin's
     positional filter to stage 3 to shrink it further (a knob, not a
     shape change)."""
-    # The distinct token table feeds FOUR plan branches (df counts,
-    # per-doc arrays, both verify sides).  It is deliberately NOT
-    # persist()ed here: a per-call persist leaks one cached copy per
-    # invocation within a session (measured: GC-locker thrash by the
-    # third sf0.1 call in a 1 GB driver — the j43b lesson's cousin),
-    # and Catalyst already reuses the distinct's Exchange across
-    # branches.  On a real cluster, checkpoint the token table BEFORE
-    # calling this when the upstream tokenization is expensive.
-    toks = (
-        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
-        .distinct()
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        toks.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord_toks"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-    )
-    pref_len = (F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1).cast("int")
-    prefix = per_doc.select(
-        "doc_id",
-        "sz",
-        F.explode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p"),
-    ).select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    toks, prefix = _prefix_index(toks, tau, id_col, tok_col)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -3443,25 +3467,7 @@ def containment_join(
     candidate GENERATION only — exactness then needs every doc to
     keep >= 1 sub-cap prefix token, which the df-ascending order
     maximizes); verification always uses the uncapped lists."""
-    toks = (
-        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
-        .distinct()
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        toks.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord_toks"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-    )
-    pref_len = (F.col("sz") - F.ceil(F.lit(c) * F.col("sz")) + 1).cast("int")
-    prefix = per_doc.select(
-        "doc_id",
-        "sz",
-        F.explode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p"),
-    ).select("doc_id", "sz", F.col("p.tok").alias("tok"))
+    toks, prefix = _prefix_index(toks, c, id_col, tok_col)
     cand = (
         prefix.alias("a")
         .join(

@@ -148,3 +148,34 @@ def test_quality_gate_route_runs_through_cli(spark, tmp_path):
         "totalprice_positive": 0,
         "orderstatus_domain": 0,
     }
+
+
+def test_df_first_functions_work_without_corpus_columns(spark):
+    """The df-first curation surface must run on a bare (id, text)
+    DataFrame — no reliance on corpus-only columns like n_chars
+    (round-7 review finding)."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        split_assign,
+        split_audit,
+        text_quality_score,
+    )
+
+    bare = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    q = text_quality_score(bare).collect()
+    assert {r.doc_id for r in q} == {1, 2}
+    assert all(r.n_chars == len(t) for r, t in zip(
+        sorted(q, key=lambda r: r.doc_id),
+        ["the quick brown fox jumps over the lazy dog",
+         "pack my box with five dozen liquor jugs"]))
+
+    assigned = split_assign(bare, "doc_id", salt="t|").withColumn(
+        "grp", F.lit("all")
+    )
+    audit = split_audit(assigned, "grp").collect()
+    assert sum(r.n_docs for r in audit) == 2
