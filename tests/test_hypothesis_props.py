@@ -76,3 +76,95 @@ def test_top_bottom_code_bounds(spark, xs):
     for r in out:
         assert lo <= r["coded"] <= hi
         assert not math.isnan(r["coded"])
+
+
+# --- round-7 exactness contracts under random inputs ------------------------
+# The prefix-filter joins' entire contract is "equals the exhaustive
+# definition"; the fixed corpus pins one distribution, these pin random
+# small universes (tiny vocab → heavy collisions → prefix filter under
+# maximum stress) against driver-side brute force.
+
+_vocab = st.integers(min_value=0, max_value=7)
+_docsets = st.lists(
+    st.frozensets(_vocab, min_size=1, max_size=8), min_size=2, max_size=10
+)
+_taus = st.sampled_from([0.3, 0.5, 0.8, 1.0])
+
+
+def _brute_jaccard(sets):
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            out[(a, b)] = inter / union
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docsets, _taus)
+def test_set_similarity_join_exact_on_random_universes(spark, docsets, tau):
+    from ma_anonymization_etl_spark.operators.llm import set_similarity_join
+
+    sets = {i: set(s) for i, s in enumerate(docsets)}
+    rows = [(i, f"t{t}") for i, s in sets.items() for t in s]
+    toks = spark.createDataFrame(rows, "doc_id long, tok string")
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in set_similarity_join(toks, tau).collect()
+    }
+    want = {
+        p: round(j, 6) for p, j in _brute_jaccard(sets).items() if j >= tau
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docsets, st.sampled_from([0.5, 0.8, 0.9, 1.0]))
+def test_containment_join_exact_on_random_universes(spark, docsets, c):
+    from ma_anonymization_etl_spark.operators.llm import containment_join
+
+    sets = {i: set(s) for i, s in enumerate(docsets)}
+    rows = [(i, f"t{t}") for i, s in sets.items() for t in s]
+    toks = spark.createDataFrame(rows, "doc_id long, tok string")
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_join(toks, c).collect()
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                cont = len(sa & sb) / len(sa)
+                if cont >= c:
+                    want[(a, b)] = round(cont, 6)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_2d_exact_on_random_points(spark, pts):
+    from ma_anonymization_etl_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x int, y double",
+    )
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in enumerate(pts)
+            if j != i
+        )
+    )
+    assert got == want
