@@ -881,3 +881,90 @@ def q9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delegates to ``mad_outlier_report``."""
     c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
     return mad_outlier_report(c, "c_mktsegment", "c_acctbal")
+
+
+def seasonal_anomaly_flags(
+    daily: DataFrame, period: int = 7, n_periods: int = 4
+) -> DataFrame:
+    """q10's engine: SEASONAL-NAIVE anomaly rule — each day is compared
+    to the mean of the same weekday over the trailing ``n_periods``
+    weeks (lags period, 2·period, …), so weekly seasonality never
+    masks or fakes an anomaly the way q7's mixed-weekday trailing mean
+    can.  Exact in int64: with S = Σ present lag counts and k = #
+    present lags, the rule |n − S/k| > (S/k)/2 clears denominators to
+    2·|n·k − S| > S.  Days with fewer than 2 same-weekday baselines
+    report is_anomaly = false.
+
+    One window pass over the O(days) series (k lag columns), nothing
+    corpus-sized — same profile as q7/q8."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    s = None
+    k = None
+    for i in range(1, n_periods + 1):
+        lag_i = F.lag("n", i * period).over(w)
+        s_term = F.when(lag_i.isNotNull(), lag_i).otherwise(F.lit(0))
+        k_term = lag_i.isNotNull().cast("int")
+        s = s_term if s is None else s + s_term
+        k = k_term if k is None else k + k_term
+    dev = F.col("n") * F.col("k_window") - F.col("season_sum")
+    return (
+        daily.withColumn("season_sum", s.cast("long"))
+        .withColumn("k_window", k.cast("long"))
+        .select(
+            "day",
+            "n",
+            "k_window",
+            "season_sum",
+            (
+                (F.col("k_window") >= 2)
+                & (F.lit(2) * F.abs(dev) > F.col("season_sum"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "q10_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n,
+         COALESCE(LAG(n, 7) OVER win, 0) + COALESCE(LAG(n, 14) OVER win, 0)
+           + COALESCE(LAG(n, 21) OVER win, 0) + COALESCE(LAG(n, 28) OVER win, 0)
+           AS season_sum,
+         (CASE WHEN LAG(n, 7) OVER win IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN LAG(n, 14) OVER win IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN LAG(n, 21) OVER win IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN LAG(n, 28) OVER win IS NULL THEN 0 ELSE 1 END)
+           AS k_window
+  FROM daily
+  WINDOW win AS (ORDER BY day)
+)
+SELECT day, n, CAST(k_window AS BIGINT) AS k_window,
+       CAST(season_sum AS BIGINT) AS season_sum,
+       (k_window >= 2 AND 2 * ABS(n * k_window - season_sum) > season_sum)
+         AS is_anomaly
+FROM w
+""",
+)
+def q10_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 (extension): SEASONAL volume anomaly — today vs the mean of
+    the same weekday over the trailing 4 weeks (seasonal-naive
+    baseline).  Completes the anomaly triptych: q7 flat trailing mean,
+    q8 recency-decayed EWMA, q10 seasonality-aware — a weekly-cyclic
+    ingest (weekend dips) trips q7 every Saturday but q10 never, and
+    a flat series with one genuine spike trips all three.  All
+    arithmetic exact int64 (denominators cleared).
+
+    Delegates to ``seasonal_anomaly_flags``."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return seasonal_anomaly_flags(daily, period=7, n_periods=4)

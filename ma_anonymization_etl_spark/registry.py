@@ -79,7 +79,6 @@ DRIVER_WINDOW = [
     "p7_connected_components",
     # sources / sinks (3)
     "a1_parquet_scan",
-    "a2_csv_roundtrip",
     "a5_stream_source_tumbling",
     # window functions (3)
     "e6_win_moving",
@@ -114,6 +113,7 @@ DRIVER_WINDOW = [
     # events / streaming (3)
     "q8_ewma_anomaly",
     "q9_mad_outliers",
+    "q10_seasonal_anomaly",
     "k3_win_session_batch",
     "k9_stream_anonymize",
     # python surfaces, multimodal, ETL, SQL (4)

@@ -40,6 +40,7 @@ DELEGATES = {
     "q7_volume_anomaly": "volume_anomaly_flags",
     "q8_ewma_anomaly": "ewma_anomaly_flags",
     "q9_mad_outliers": "mad_outlier_report",
+    "q10_seasonal_anomaly": "seasonal_anomaly_flags",
     # LLM curation (j)
     "j13_lang_id_heuristic": "lang_id",
     "j14_text_quality_score": "text_quality_score",

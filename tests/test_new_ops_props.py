@@ -1197,3 +1197,45 @@ def test_round7_ops_edge_cases(spark):
     few = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, w int")
     got = weighted_sample_topk(few, "w", 5, "edge|", id_col="doc_id").collect()
     assert len(got) == 2 and sorted(r.draw_rank for r in got) == [1, 2]
+
+
+def test_q10_seasonal_rule_ignores_weekly_cycle_but_catches_spikes(spark):
+    """The docstring's claim, proven: a strongly weekly-cyclic series
+    (weekend dips to 25%) trips q7's mixed-weekday rule but NEVER q10's
+    same-weekday rule; a genuine one-day 10x spike trips q10."""
+    import datetime
+
+    from ma_anonymization_etl_spark.operators.quality import (
+        seasonal_anomaly_flags,
+        volume_anomaly_flags,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(42):
+        day = base + datetime.timedelta(days=i)
+        n = 250 if day.weekday() >= 5 else 1000
+        rows.append((day, n))
+    cyc = spark.createDataFrame(rows, "day timestamp, n long")
+    assert seasonal_anomaly_flags(cyc).filter("is_anomaly").count() == 0
+    assert volume_anomaly_flags(cyc).filter("is_anomaly").count() > 0
+
+    spiked = cyc.withColumn(
+        "n",
+        F.when(
+            F.col("day") == F.lit("2024-02-07 00:00:00").cast("timestamp"),
+            F.col("n") * 10,
+        ).otherwise(F.col("n")),
+    )
+    flagged = [
+        str(r.day)
+        for r in seasonal_anomaly_flags(spiked).filter("is_anomaly").collect()
+    ]
+    assert any(d.startswith("2024-02-07") for d in flagged)
+    # the spike also poisons exactly the following same-weekday
+    # baselines, never a different weekday
+    assert all(
+        datetime.datetime.fromisoformat(d).weekday()
+        == datetime.datetime(2024, 2, 7).weekday()
+        for d in flagged
+    )
