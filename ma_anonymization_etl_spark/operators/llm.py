@@ -2703,7 +2703,12 @@ def _bpe_merge_round(wcol: Column, a: str, b: str, m: str) -> Column:
     )
 
 
-def _bpe_fit(cur: DataFrame, rounds: int = 3):
+_BPE_ROUNDS = 8  # merge rounds learned by j42 and applied by j47 —
+# both DuckDB oracle generators unroll the same constant, so changing
+# it re-derives engine and oracle together.
+
+
+def _bpe_fit(cur: DataFrame, rounds: int = _BPE_ROUNDS):
     """Run the bounded BPE merge-learning loop over a symbol-list table
     ``cur`` carrying at least (cnt, w) — extra columns (e.g. the word
     key j47 joins back on) ride along untouched.  Per round: one
@@ -2735,13 +2740,13 @@ def _bpe_fit(cur: DataFrame, rounds: int = 3):
 
 
 def _j42_oracle() -> str:
-    """Three unrolled BPE rounds in DuckDB: per round, weighted
+    """_BPE_ROUNDS unrolled BPE rounds in DuckDB: per round, weighted
     non-self adjacent-pair counts over the current symbol lists, argmax
     with (count desc, a, b) tie-break, positional merge via
     list_filter/list_transform capturing the 1-row argmax CTE."""
     rounds = []
     prev = "s0"
-    for r in (1, 2, 3):
+    for r in range(1, _BPE_ROUNDS + 1):
         rounds.append(f"""
 p{r} AS (
   SELECT w[i] AS a, w[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
@@ -2773,12 +2778,9 @@ s0 AS (
   FROM types
 ),
 {chain}
-SELECT CAST(1 AS INTEGER) AS round, a AS left_sym, b AS right_sym,
-       m AS merged, n AS n_weighted FROM m1
-UNION ALL
-SELECT CAST(2 AS INTEGER), a, b, m, n FROM m2
-UNION ALL
-SELECT CAST(3 AS INTEGER), a, b, m, n FROM m3
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS INTEGER) AS round, a AS left_sym, b AS right_sym, "
+    f"m AS merged, n AS n_weighted FROM m{r}" for r in range(1, _BPE_ROUNDS + 1))}
 """
 
 
@@ -2951,12 +2953,12 @@ def group_sample_exact_k(
 
 
 def _j47_oracle() -> str:
-    """j42's 3-round merge chain, but carrying the word key so the
+    """j42's _BPE_ROUNDS-round merge chain, but carrying the word key so the
     final symbol lists can be joined back onto documents (the encode
     side)."""
     rounds = []
     prev = "s0"
-    for r in (1, 2, 3):
+    for r in range(1, _BPE_ROUNDS + 1):
         rounds.append(f"""
 p{r} AS (
   SELECT w[i] AS a, w[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
@@ -2986,7 +2988,7 @@ s0 AS (
   FROM types
 ),
 {",".join(rounds)},
-enc AS (SELECT word, len(w) AS n_bpe FROM s3)
+enc AS (SELECT word, len(w) AS n_bpe FROM s{_BPE_ROUNDS})
 SELECT d.doc_id,
        CAST(SUM(length(d.word)) AS BIGINT) AS n_char_syms,
        CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
@@ -3000,11 +3002,12 @@ GROUP BY d.doc_id
 def j47_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j47 (extension): BPE ENCODE — the apply side of j42's learned
     merge table, done the way production tokenizers amortize it: the
-    3 merges are applied once per word TYPE (vocab-sized table), then
+    learned merges are applied once per word TYPE (vocab-sized
+    table), then
     the encoded lengths JOIN back onto the token stream (broadcast —
     the type table is tiny next to the corpus), so no document is ever
     re-folded.  Output per doc: initial character-symbol count, BPE
-    token count after 3 merges, and symbols saved — the
+    token count after the _BPE_ROUNDS merges, and symbols saved — the
     compression-accounting a tokenizer-budget planner consumes.
 
     Scale: learning is j42's bounded loop; ENCODING adds one
