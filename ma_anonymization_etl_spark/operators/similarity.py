@@ -104,19 +104,77 @@ def j9_sim_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check for the LSH-composed plan.
 _J9B_OFF = 100000          # id offset for jittered copies
 _J9B_TAU = 0.9             # near-dup threshold
-# OR of 16 AND-bands of 12 hyperplane bits: a planted pair (cos ≥ 0.996,
-# θ ≤ 4.9°) collides in ≥1 band with P ≈ 1−1.5e-9, while a random pair
-# (cos ≈ 0, P(bit)=0.5) is a candidate with P ≈ 16/4096 ≈ 0.4% — the
-# exact verify touches ~0.4% of all pairs.  The corpus gap is wide
+# Banding is DERIVED FROM CORPUS SIZE, not fixed (the round-7 sf10
+# sweep of the old fixed 16×12 constants was killed at ~55 min: 200k
+# vectors in 2^12 buckets ≈ 50/bucket ≈ 10⁸+ candidate pairs — the
+# documented bits ≈ log2(N) rule had to become code).  The rule:
+#   bits  = clamp(ceil(log2(N / target_occupancy)), 12, 24)
+#     — holds MEAN BUCKET OCCUPANCY ~constant, so random-pair candidate
+#       volume stays ~bands·occupancy·N/2 ≈ linear in N;
+#   bands = clamp(ceil(ln(miss_target) / ln(1 − p^bits)), 1, 64)
+#     with p = 1 − acos(recall_cos)/π (random-hyperplane collision
+#       probability, Charikar 2002) — re-spends the same per-pair miss
+#       budget as bits rises, so recall does NOT silently decay at 10×.
+# At the gate SFs (corpus ≤ 4k) the derivation lands exactly on the
+# historical demo constants 16 bands × 12 bits: a planted pair
+# (cos ≥ 0.996, θ ≤ 4.9°) collides in ≥1 band with P ≈ 1−3e-9, while a
+# random pair (cos ≈ 0, P(bit)=0.5) is a candidate with P ≈ 16/4096 —
+# the exact verify touches ~0.4% of all pairs.  The corpus gap is wide
 # (max non-planted cos 0.60 at sf0.1), so band recall is not marginal.
-_J9B_BANDS, _J9B_BITS = 16, 12
+# At sf10 (400k corpus) it derives 21 bands × 18 bits: ~1.5 vectors
+# per bucket, candidates ~6.4M (measured — see BASELINE.md round 8),
+# per-pair planted miss ≤ 6e-9.
+_J9B_RECALL_COS = 0.996    # similarity the recall budget is spent at
+_J9B_MISS = 1e-8           # per-pair miss budget at recall_cos
+_J9B_OCC = 2.0             # target mean bucket occupancy N / 2^bits
+_J9B_MIN_BITS, _J9B_MAX_BITS = 12, 24
+_J9B_MAX_BANDS = 64
+# Verify-join broadcast cutover: below this corpus size the two vector
+# lookup tables are broadcast (≤ ~50 MB of doubles); above it the hint
+# is dropped and AQE picks the shuffle hash join on id.
+_J9B_BCAST_MAX = 100_000
 
 
-def _j9b_planes() -> list[list[float]]:
+def lsh_band_plan(
+    n_vectors: int,
+    recall_cos: float = _J9B_RECALL_COS,
+    miss_target: float = _J9B_MISS,
+    target_occupancy: float = _J9B_OCC,
+    min_bits: int = _J9B_MIN_BITS,
+    max_bits: int = _J9B_MAX_BITS,
+    max_bands: int = _J9B_MAX_BANDS,
+) -> tuple[int, int]:
+    """Derive (bands, bits) for banded random-hyperplane LSH from the
+    corpus size — the scale rule the fixed demo constants lacked (see
+    the constants comment above for the math and the sf10 abort that
+    motivated it).  ``recall_cos`` is the cosine at which the per-pair
+    miss budget is spent; callers whose corpus has no similarity gap
+    should pass their threshold τ itself (more bands, honest cost).
+
+    bits is computed with INTEGER arithmetic (bit_length, never
+    float log2) so an exact power-of-two corpus cannot flip the result
+    by one ulp across engines; the j9c oracle replays the same rule
+    with a pow(2,k)-comparison scan for the same reason."""
+    import math
+
+    need = max(2, math.ceil(max(int(n_vectors), 1) / target_occupancy))
+    bits = max(min_bits, min(max_bits, (need - 1).bit_length()))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, recall_cos))) / math.pi
+    band_miss = 1.0 - p**bits
+    if band_miss <= 0.0:
+        bands = 1
+    else:
+        bands = max(
+            1, min(max_bands, math.ceil(math.log(miss_target) / math.log(band_miss)))
+        )
+    return bands, bits
+
+
+def _j9b_planes(bands: int, bits: int) -> list[list[float]]:
     rng = random.Random(43)
     return [
         [round(rng.gauss(0, 1), 6) for _ in range(_LSH_DIM)]
-        for _ in range(_J9B_BANDS * _J9B_BITS)
+        for _ in range(bands * bits)
     ]
 
 
@@ -150,12 +208,18 @@ WHERE {_sql_cos('a.v', 'b.v')} >= {_J9B_TAU}
 )
 def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j9b: the j17∘j9 composition — sub-quadratic near-dup pair search.
-    Candidates come from banded random-hyperplane LSH (16 OR-bands of
-    12 bits — see the constants above for the collision math); every
-    candidate is then verified with the exact cosine, so
+    Candidates come from banded random-hyperplane LSH with (bands,
+    bits) DERIVED from the corpus size by ``lsh_band_plan`` (bits ≈
+    log2(N/occupancy) holds bucket occupancy constant; bands re-spends
+    the per-pair miss budget — see the constants comment for the
+    math); every candidate is then verified with the exact cosine, so
     false positives are impossible and the oracle's EXHAUSTIVE pair
     join over the same derived corpus doubles as the recall check —
-    a missed band collision would show up as a missing row.
+    a missed band collision would show up as a missing row.  The
+    derivation does NOT need oracle replay here (i43/j38-style)
+    because the released pair set is banding-invariant by design —
+    exactly the exhaustive definition; the rule itself is separately
+    oracle-attested by j9c_lsh_band_plan.
 
     100 TB shape: signatures are a map-side Arrow-batched matmul (one
     BLAS (batch × 64) @ (64 × 128) per batch, no shuffle — 128
@@ -184,36 +248,42 @@ def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = e.select(F.col("orig_id").alias("vec_id"), "v").unionByName(pert)
-    bplanes = spark.sparkContext.broadcast(
-        np.array(_j9b_planes(), dtype=np.float64)  # (bands*bits, 64)
-    )
-
-    def signatures(batches):
-        pm = bplanes.value
-        band_base = np.arange(_J9B_BANDS, dtype=np.int64) * (1 << _J9B_BITS)
-        bit_w = (1 << np.arange(_J9B_BITS, dtype=np.int64))
-        for pdf in batches:
-            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bits = (m @ pm.T) > 0  # (n, bands*bits)
-            keys = (
-                bits.reshape(len(m), _J9B_BANDS, _J9B_BITS) * bit_w
-            ).sum(axis=2) + band_base  # (n, bands)
-            ids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, _J9B_BANDS),
-                    "band": keys.reshape(-1),
-                }
-            )
 
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _J9B_SIG_CACHE.get(cache_key)
     if cached is None:
+        # One cheap metadata-count job sizes the banding plan; the plan
+        # (and the signature table it shapes) is cached per session so
+        # repeat invocations pay neither the count nor the matmul again.
+        n_corpus = 2 * e.count()
+        n_bands, n_bits = lsh_band_plan(n_corpus)
+        bplanes = spark.sparkContext.broadcast(
+            np.array(_j9b_planes(n_bands, n_bits), dtype=np.float64)  # (bands*bits, 64)
+        )
+
+        def signatures(batches):
+            pm = bplanes.value
+            band_base = np.arange(n_bands, dtype=np.int64) * (1 << n_bits)
+            bit_w = (1 << np.arange(n_bits, dtype=np.int64))
+            for pdf in batches:
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                bits = (m @ pm.T) > 0  # (n, bands*bits)
+                keys = (
+                    bits.reshape(len(m), n_bands, n_bits) * bit_w
+                ).sum(axis=2) + band_base  # (n, bands)
+                ids = pdf["vec_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, n_bands),
+                        "band": keys.reshape(-1),
+                    }
+                )
+
         sig = corpus.mapInPandas(
             signatures, "vec_id BIGINT, band BIGINT"
         ).persist()
-        cached = _J9B_SIG_CACHE[cache_key] = sig
-    sig = cached
+        cached = _J9B_SIG_CACHE[cache_key] = (sig, n_corpus)
+    sig, n_corpus = cached
     # One row per candidate pair straight out of the band join (groupBy
     # == distinct's partial-agg plan, written explicitly); the pair list
     # is ids only, so the dedup shuffle carries two longs per row.
@@ -230,18 +300,74 @@ def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify joins broadcast the corpus vector table (~10 MB at bench
     # scale: 2N × 64 doubles), so the candidate pairs never shuffle.
-    # The explicit hint is right while the table fits an executor; a
-    # 100 TB corpus would drop the hint and let AQE pick the shuffle
-    # hash join on id (candidates and vectors both hash-partition
-    # cleanly) — the plan shape is otherwise unchanged.
-    va = F.broadcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
-    vb = F.broadcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
+    # The explicit hint is right while the table fits an executor;
+    # past _J9B_BCAST_MAX vectors (~50 MB of doubles) the hint is
+    # dropped and AQE picks the shuffle hash join on id (candidates
+    # and vectors both hash-partition cleanly) — the plan shape is
+    # otherwise unchanged.  The same count that sized the banding
+    # routes this, so the cutover is deterministic per corpus.
+    def maybe_bcast(df):
+        return F.broadcast(df) if n_corpus <= _J9B_BCAST_MAX else df
+
+    va = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
+    vb = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
         .filter(cos >= _J9B_TAU)
         .select("a_id", "b_id", F.round(cos, 5).alias("cos_sim"))
+    )
+
+
+@register(
+    "j9c_lsh_band_plan",
+    # i43/j38-style derivation replay: the oracle re-derives the SAME
+    # (bits, bands) rule from COUNT(*) in SQL.  bits uses a pow(2,k)
+    # comparison scan (exact double arithmetic — a float log2 of an
+    # exact power of two could flip the ceil by one ulp across
+    # engines); bands uses the closed form whose quotient sits ≥0.3%
+    # from every integer boundary for any corpus size (margin analysis
+    # in lsh_band_plan's comment block).
+    oracle=f"""
+WITH n AS (SELECT 2 * COUNT(*) AS n_vectors FROM embeddings),
+b AS (
+  SELECT n_vectors,
+         GREATEST({_J9B_MIN_BITS}, LEAST({_J9B_MAX_BITS},
+           (SELECT MIN(k) FROM range(1, 41) t(k)
+            WHERE POW(2.0, k) >= CEIL(n_vectors / {_J9B_OCC})))) AS n_bits
+  FROM n),
+p AS (
+  SELECT n_vectors, n_bits,
+         GREATEST(1, LEAST({_J9B_MAX_BANDS},
+           CEIL(LN({_J9B_MISS}) /
+                LN(1 - POW(1 - ACOS({_J9B_RECALL_COS}) / PI(), n_bits))))) AS n_bands
+  FROM b)
+SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(n_bits AS BIGINT) AS n_bits,
+       CAST(n_bands AS BIGINT) AS n_bands,
+       CAST(n_vectors * n_bands AS BIGINT) AS n_sig_rows
+FROM p
+""",
+)
+def j9c_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9c (extension): the N-dependent LSH banding rule AS A RELEASED,
+    ORACLE-ATTESTED artifact — (corpus size, derived bits, derived
+    bands, signature-table rows) for the j9b corpus at this SF.  j9b's
+    own released pair set is banding-invariant (exact verify, exhaustive
+    oracle), so the derivation itself needs its own attestation: the
+    DuckDB oracle re-derives bits and bands from COUNT(*) with the
+    identical clamps and budget constants, i43/j38-style.  A drift
+    between engine and documented rule — the exact failure mode of
+    round 7's fixed constants — turns this row red at every gate SF.
+
+    Scale: one metadata count; the release is a single row."""
+    e = load(spark, sf_dir, "embeddings")
+    n = 2 * e.count()
+    bands, bits = lsh_band_plan(n)
+    return spark.createDataFrame(
+        [(n, bits, bands, n * bands)],
+        "n_vectors LONG, n_bits LONG, n_bands LONG, n_sig_rows LONG",
     )
 
 

@@ -101,15 +101,16 @@ def test_j9b_lsh_prunes_and_recovers_all_pairs(spark):
     from ma_anonymization_etl_spark.operators import similarity as S
     import numpy as np
 
-    planes = np.array(S._j9b_planes())
+    n_bands, n_bits = S.lsh_band_plan(n)
+    planes = np.array(S._j9b_planes(n_bands, n_bits))
     rows = corpus.collect()
     ids = np.array([r["vec_id"] for r in rows])
     m = np.stack([np.array(r["v"]) for r in rows])
     bits = (m @ planes.T) > 0
     keys = (
-        bits.reshape(len(m), S._J9B_BANDS, S._J9B_BITS)
-        * (1 << np.arange(S._J9B_BITS))
-    ).sum(axis=2) + np.arange(S._J9B_BANDS) * (1 << S._J9B_BITS)
+        bits.reshape(len(m), n_bands, n_bits)
+        * (1 << np.arange(n_bits))
+    ).sum(axis=2) + np.arange(n_bands) * (1 << n_bits)
     from collections import defaultdict
 
     buckets = defaultdict(list)

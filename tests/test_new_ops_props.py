@@ -1244,3 +1244,45 @@ def test_q10_seasonal_rule_ignores_weekly_cycle_but_catches_spikes(spark):
         == datetime.datetime(2024, 2, 7).weekday()
         for d in flagged
     )
+
+
+def test_lsh_band_plan_scale_rule():
+    """The N-dependent banding rule (round-8, from the round-7 sf10
+    abort): occupancy-constant bits, recall-budget-preserving bands."""
+    import math
+
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J9B_MISS,
+        _J9B_OCC,
+        _J9B_RECALL_COS,
+        lsh_band_plan,
+    )
+
+    # Gate SFs land exactly on the historical demo constants.
+    assert lsh_band_plan(1000) == (16, 12)
+    assert lsh_band_plan(4000) == (16, 12)
+    # The previously-aborted scales derive honest plans.
+    assert lsh_band_plan(40_000) == (18, 15)
+    assert lsh_band_plan(400_000) == (21, 18)
+    p = 1.0 - math.acos(_J9B_RECALL_COS) / math.pi
+    prev_bits = 0
+    for exp in range(2, 28):
+        n = 2**exp
+        bands, bits = lsh_band_plan(n)
+        # bits monotone in N, occupancy within [occ/2, occ] inside clamps
+        assert bits >= prev_bits
+        prev_bits = bits
+        if 12 < bits < 24:
+            assert 2 ** (bits - 1) < n / _J9B_OCC <= 2**bits
+        # the per-pair miss budget holds at every derived plan
+        # (within clamp range for bands)
+        if bands < 64:
+            assert (1.0 - p**bits) ** bands <= _J9B_MISS * 1.0001
+    # candidate-volume linearity: random-pair collision mass
+    # bands * N^2 / 2^bits grows ~linearly in N inside the clamp range
+    for n in (100_000, 1_000_000):
+        bands, bits = lsh_band_plan(n)
+        bands10, bits10 = lsh_band_plan(10 * n)
+        vol = bands * n * n / 2**bits
+        vol10 = bands10 * (10 * n) ** 2 / 2**bits10
+        assert vol10 / vol < 25  # ~linear-with-granularity, never ~100x
