@@ -105,15 +105,27 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
         )
 
 
-def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
-    src = route["input"]
+def _load_input(spark: SparkSession, src: Mapping[str, Any]) -> DataFrame:
     if "path" in src:
         df = spark.read.parquet(src["path"])
     else:
         df = load(spark, src.get("sf_dir", "/root/testdata/sf0.01"), src["table"])
+    if "where" in src:  # SQL-string predicate, pushed down by Catalyst
+        df = df.filter(src["where"])
+    return df
+
+
+def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
+    df = _load_input(spark, route["input"])
+    # Named auxiliary inputs for two-table steps (decontaminate_filter
+    # references one via {"aux": "<name>"}); each loads like "input".
+    tables = {
+        name: _load_input(spark, src)
+        for name, src in route.get("aux_inputs", {}).items()
+    }
     if "columns" in route:
         _check_di_covered(route["columns"], route.get("steps", []))
-    out = anonymize_pipeline(df, route.get("steps", []))
+    out = anonymize_pipeline(df, route.get("steps", []), tables=tables)
     sink = route.get("output")
     if sink:
         write_parquet(
@@ -136,6 +148,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         route = json.load(f)
     if args.sf_dir:
         route.setdefault("input", {})["sf_dir"] = args.sf_dir
+        for src in route.get("aux_inputs", {}).values():
+            if "path" not in src:
+                src["sf_dir"] = args.sf_dir
 
     owns_session = spark is None
     if owns_session:

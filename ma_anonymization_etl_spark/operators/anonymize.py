@@ -42,14 +42,38 @@ def pseudonymize_md5(col: Column | str) -> Column:
     return F.md5(c.cast("string"))
 
 
-def tokenize_consistent(df: DataFrame, col: str, out: str) -> DataFrame:
+def tokenize_consistent(
+    df: DataFrame, col: str, out: str, max_cardinality: int = 10_000_000
+) -> DataFrame:
     """i4: dense integer surrogate keys (smallest value → 1).
 
-    The rank window runs over *distinct values only* (small), not the
-    full table — the full table gets the token via a broadcast-friendly
-    join, so no global sort of the fact data at scale.
+    The rank window runs over *distinct values only*, not the full
+    table, and the full table gets the token via a broadcast join — so
+    no global sort of the fact data at scale.  But "distinct is small"
+    is a CARDINALITY-CONDITIONAL claim (round-7 review): it holds for
+    the QI/category columns dense ranks exist for, and fails exactly
+    when someone points i4 at a direct identifier, where distinct ≈
+    rows, the rank window is O(n) on ONE task, and the broadcast ships
+    an O(n) mapping to every executor.  ``max_cardinality`` makes the
+    contract explicit: above it (default 10M — roughly where a 2-column
+    broadcast stops being a broadcast) this raises with a pointer to
+    ``pseudonymize_sha2`` (i2), which gives per-row surrogates with NO
+    distinct, NO window, and NO broadcast — the right tool for
+    direct-identifier columns.  Pass ``max_cardinality=None`` only when
+    dense 1..K tokens are a hard requirement and the caller accepts the
+    single-task rank.
     """
     vals = df.select(col).distinct()
+    if max_cardinality is not None:
+        n = vals.limit(int(max_cardinality) + 1).count()
+        if n > int(max_cardinality):
+            raise ValueError(
+                f"tokenize_consistent({col!r}): > {max_cardinality:,} distinct "
+                "values — a dense-rank surrogate would single-task the rank "
+                "window and broadcast an O(n) mapping.  Use pseudonymize_sha2 "
+                "(i2) for high-cardinality / direct-identifier columns, or "
+                "pass max_cardinality=None to accept the cost explicitly."
+            )
     mapping = vals.withColumn(out, F.dense_rank().over(Window.orderBy(col)))
     return df.join(F.broadcast(mapping), on=col, how="left")
 

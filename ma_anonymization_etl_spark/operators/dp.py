@@ -580,9 +580,22 @@ def dp_topk(
     equivalence): each group's exact count gets Laplace(k·Δ/ε) noise
     (Δ=1 count sensitivity; dividing ε across the k sequential max
     reports by basic composition), the k noisiest-largest groups are
-    released WITH their noisy counts, exact counts are NOT released.
+    released WITH their noisy counts; the exact counts column is not.
     Noise is the deterministic md5 ``hash_uniform`` inverse-CDF draw,
     so the oracle replays selection and values bit-for-bit.
+
+    HONESTY CAVEAT (round-7 review): deterministic replayable noise is
+    the repo-wide dual-engine testing device, and here it means the
+    mechanism is NOT actually differentially private as shipped — the
+    noise is a public function of the group value and an in-repo salt,
+    so anyone can recompute it and subtract to recover the exact
+    counts.  What this function demonstrates is the MECHANISM (noise
+    calibration, composition across the k reports, top-k-on-noisy
+    selection) and its plan shape; a production deployment must swap
+    ``hash_uniform`` for a secret-keyed PRF or a true entropy source,
+    at which point the DP guarantee is real and the oracle replay is
+    not.  The same caveat applies to every dp_* release in this
+    module.
 
     Ordering is on the ROUNDED noisy count (6dp) with the group as
     tie-break, so both engines sort identical doubles.

@@ -642,3 +642,49 @@ def p7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@register(
+    "p7b_cc_altstar",
+    # Same release and same recursive-CTE closure oracle as p7: the two
+    # engines differ only in ROUND STRUCTURE (diameter-bound min-label
+    # propagation vs log-round alternating stars), never in the label
+    # function, so one oracle adjudicates both.
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SUP2_SQL},
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+cc AS (
+  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, cc.lbl FROM sym s JOIN cc ON cc.node = s.v WHERE cc.lbl < s.u
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY 1
+""",
+)
+def p7b_cc_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p7b (extension): the SAME connected-components release as p7
+    computed by the alternating large-star / small-star engine
+    (``connected_components_altstar``, Kiveris et al. SoCC 2014) —
+    O(log² n) rounds instead of p7's rounds = component diameter.
+    This is the 100×-scale answer to p7's one caveat: min-label
+    propagation on a high-diameter graph (long chains, road-network
+    shapes) spends a shuffle per diameter step, while the star
+    operations halve every hooking tree's height per round.  On THIS
+    corpus's shallow giant component both engines are a handful of
+    rounds (measured side by side in BASELINE.md round 8); the payoff
+    is structural, not local.
+
+    Releases (component, n_nodes), component = min node id — identical
+    to p7 by construction, which the shared oracle re-attests every
+    gate run (and a property test asserts label-for-label equality of
+    the two engines on adversarial graphs, long chains included)."""
+    from ma_anonymization_etl_spark.operators.llm import connected_components_altstar
+
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    comp = connected_components_altstar(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -712,63 +712,64 @@ def ewma_anomaly_flags(daily: DataFrame, num: int = 1, den: int = 2) -> DataFram
     — every term an int64 product of a day count (< ~1e6 at any sane
     partition grain) and a weight <= den^6, so the rule is bit-exact
     and engine-identical with no float accumulation anywhere.  Days
-    with fewer than 2 baseline days report is_anomaly = false.  The
-    lag decomposition keeps per-offset weights without a UDF or an
-    array fold: 7 lag columns, one window pass."""
-    from pyspark.sql import Window
+    with fewer than 2 baseline days report is_anomaly = false.
 
-    w = Window.orderBy("day")
-    lags = [F.lag("n", i).over(w) for i in range(1, 8)]
-    wts = [num ** (i - 1) * den ** (7 - i) for i in range(1, 8)]
-    s = None
-    d = None
-    k = None
-    for lag_i, wt in zip(lags, wts):
-        term = F.when(lag_i.isNotNull(), lag_i * F.lit(wt)).otherwise(F.lit(0))
-        pres = F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
-        cnt = lag_i.isNotNull().cast("int")
-        s = term if s is None else s + term
-        d = pres if d is None else d + pres
-        k = cnt if k is None else k + cnt
-    dev = F.col("n") * F.col("ewma_den") - F.col("ewma_num")
-    return (
-        daily.withColumn("ewma_num", s.cast("long"))
-        .withColumn("ewma_den", d.cast("long"))
-        .withColumn("k_window", k.cast("long"))
-        .select(
-            "day",
-            "n",
-            "k_window",
-            "ewma_num",
-            "ewma_den",
-            (
-                (F.col("k_window") >= 2)
-                & (F.lit(2) * F.abs(dev) > F.col("ewma_num"))
-            ).alias("is_anomaly"),
+    "Trailing 7 days" means CALENDAR days, not the 7 previous observed
+    rows (round-7 review: a row-offset F.lag silently turned gaps in
+    the series into wrong baselines).  Each day's baseline therefore
+    comes from a DATE-KEYED join: every observed day ships its count
+    forward to day+i with weight w_i, one union + groupBy(day) + left
+    join — absent calendar days simply contribute nothing, exactly the
+    missing-lag semantics the weights D/k already handle."""
+    arms = []
+    for i in range(1, 8):
+        wt = num ** (i - 1) * den ** (7 - i)
+        arms.append(
+            daily.select(
+                (F.col("day") + F.expr(f"INTERVAL {i} DAY")).alias("day"),
+                (F.col("n") * F.lit(wt)).cast("long").alias("_s"),
+                F.lit(wt).cast("long").alias("_d"),
+            )
         )
+    base = arms[0]
+    for a in arms[1:]:
+        base = base.unionByName(a)
+    agg = base.groupBy("day").agg(
+        F.sum("_s").alias("_num"),
+        F.sum("_d").alias("_den"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = daily.join(agg, "day", "left").select(
+        "day",
+        "n",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("k_window"),
+        F.coalesce(F.col("_num"), F.lit(0)).cast("long").alias("ewma_num"),
+        F.coalesce(F.col("_den"), F.lit(0)).cast("long").alias("ewma_den"),
+    )
+    dev = F.col("n") * F.col("ewma_den") - F.col("ewma_num")
+    return j.select(
+        "day",
+        "n",
+        "k_window",
+        "ewma_num",
+        "ewma_den",
+        (
+            (F.col("k_window") >= 2) & (F.lit(2) * F.abs(dev) > F.col("ewma_num"))
+        ).alias("is_anomaly"),
     )
 
 
-def _q8_weights_sql() -> str:
-    terms_s = []
-    terms_d = []
-    terms_k = []
+def _q8_baseline_sql() -> str:
+    """Date-keyed baseline arms (mirrors the engine's union: every day
+    ships its count to day+i with weight num^(i-1)·den^(7-i))."""
+    arms = []
     for i in range(1, 8):
         wt = 1 ** (i - 1) * 2 ** (7 - i)
-        terms_s.append(
-            f"COALESCE(LAG(n, {i}) OVER win, 0) * {wt}"
+        arms.append(
+            f"SELECT day + INTERVAL {i} DAY AS day, n * {wt} AS s_term, "
+            f"{wt} AS d_term FROM daily"
         )
-        terms_d.append(
-            f"CASE WHEN LAG(n, {i}) OVER win IS NULL THEN 0 ELSE {wt} END"
-        )
-        terms_k.append(
-            f"CASE WHEN LAG(n, {i}) OVER win IS NULL THEN 0 ELSE 1 END"
-        )
-    return (
-        f"({' + '.join(terms_s)}) AS ewma_num, "
-        f"({' + '.join(terms_d)}) AS ewma_den, "
-        f"({' + '.join(terms_k)}) AS k_window"
-    )
+    return " UNION ALL ".join(arms)
 
 
 @register(
@@ -778,10 +779,18 @@ WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
   FROM events GROUP BY 1
 ),
+b AS ({_q8_baseline_sql()}),
+agg AS (
+  SELECT day, SUM(s_term) AS ewma_num, SUM(d_term) AS ewma_den,
+         COUNT(*) AS k_window
+  FROM b GROUP BY day
+),
 w AS (
-  SELECT day, n, {_q8_weights_sql()}
-  FROM daily
-  WINDOW win AS (ORDER BY day)
+  SELECT d.day, d.n,
+         COALESCE(ewma_num, 0) AS ewma_num,
+         COALESCE(ewma_den, 0) AS ewma_den,
+         COALESCE(k_window, 0) AS k_window
+  FROM daily d LEFT JOIN agg USING (day)
 )
 SELECT day, n, CAST(k_window AS BIGINT) AS k_window,
        CAST(ewma_num AS BIGINT) AS ewma_num,
@@ -895,33 +904,41 @@ def seasonal_anomaly_flags(
     2·|n·k − S| > S.  Days with fewer than 2 same-weekday baselines
     report is_anomaly = false.
 
-    One window pass over the O(days) series (k lag columns), nothing
-    corpus-sized — same profile as q7/q8."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy("day")
-    s = None
-    k = None
-    for i in range(1, n_periods + 1):
-        lag_i = F.lag("n", i * period).over(w)
-        s_term = F.when(lag_i.isNotNull(), lag_i).otherwise(F.lit(0))
-        k_term = lag_i.isNotNull().cast("int")
-        s = s_term if s is None else s + s_term
-        k = k_term if k is None else k + k_term
-    dev = F.col("n") * F.col("k_window") - F.col("season_sum")
-    return (
-        daily.withColumn("season_sum", s.cast("long"))
-        .withColumn("k_window", k.cast("long"))
-        .select(
-            "day",
-            "n",
-            "k_window",
-            "season_sum",
-            (
-                (F.col("k_window") >= 2)
-                & (F.lit(2) * F.abs(dev) > F.col("season_sum"))
-            ).alias("is_anomaly"),
+    "Same weekday, trailing ``n_periods`` weeks" is a CALENDAR claim,
+    so the baseline is DATE-KEYED (round-7 review: a row-offset
+    F.lag(n, i·period) on a gappy series silently compared against
+    whatever happened to sit i·period ROWS back — a wrong weekday).
+    Every observed day ships its count forward to day + i·period; one
+    union + groupBy(day) + left join, O(days) rows throughout — same
+    profile as q7/q8."""
+    arms = [
+        daily.select(
+            (F.col("day") + F.expr(f"INTERVAL {i * period} DAY")).alias("day"),
+            F.col("n").cast("long").alias("_s"),
         )
+        for i in range(1, n_periods + 1)
+    ]
+    base = arms[0]
+    for a in arms[1:]:
+        base = base.unionByName(a)
+    agg = base.groupBy("day").agg(
+        F.sum("_s").alias("_sum"), F.count(F.lit(1)).alias("_k")
+    )
+    j = daily.join(agg, "day", "left").select(
+        "day",
+        "n",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("k_window"),
+        F.coalesce(F.col("_sum"), F.lit(0)).cast("long").alias("season_sum"),
+    )
+    dev = F.col("n") * F.col("k_window") - F.col("season_sum")
+    return j.select(
+        "day",
+        "n",
+        "k_window",
+        "season_sum",
+        (
+            (F.col("k_window") >= 2) & (F.lit(2) * F.abs(dev) > F.col("season_sum"))
+        ).alias("is_anomaly"),
     )
 
 
@@ -932,18 +949,18 @@ WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
   FROM events GROUP BY 1
 ),
+b AS (
+  SELECT day + INTERVAL 7 DAY AS day, n FROM daily
+  UNION ALL SELECT day + INTERVAL 14 DAY, n FROM daily
+  UNION ALL SELECT day + INTERVAL 21 DAY, n FROM daily
+  UNION ALL SELECT day + INTERVAL 28 DAY, n FROM daily
+),
+agg AS (SELECT day, SUM(n) AS season_sum, COUNT(*) AS k_window FROM b GROUP BY day),
 w AS (
-  SELECT day, n,
-         COALESCE(LAG(n, 7) OVER win, 0) + COALESCE(LAG(n, 14) OVER win, 0)
-           + COALESCE(LAG(n, 21) OVER win, 0) + COALESCE(LAG(n, 28) OVER win, 0)
-           AS season_sum,
-         (CASE WHEN LAG(n, 7) OVER win IS NULL THEN 0 ELSE 1 END)
-           + (CASE WHEN LAG(n, 14) OVER win IS NULL THEN 0 ELSE 1 END)
-           + (CASE WHEN LAG(n, 21) OVER win IS NULL THEN 0 ELSE 1 END)
-           + (CASE WHEN LAG(n, 28) OVER win IS NULL THEN 0 ELSE 1 END)
-           AS k_window
-  FROM daily
-  WINDOW win AS (ORDER BY day)
+  SELECT d.day, d.n,
+         COALESCE(season_sum, 0) AS season_sum,
+         COALESCE(k_window, 0) AS k_window
+  FROM daily d LEFT JOIN agg USING (day)
 )
 SELECT day, n, CAST(k_window AS BIGINT) AS k_window,
        CAST(season_sum AS BIGINT) AS season_sum,

@@ -116,17 +116,22 @@ _J9B_TAU = 0.9             # near-dup threshold
 #       probability, Charikar 2002) — re-spends the same per-pair miss
 #       budget as bits rises, so recall does NOT silently decay at 10×.
 # At the gate SFs (corpus ≤ 4k) the derivation lands exactly on the
-# historical demo constants 16 bands × 12 bits: a planted pair
-# (cos ≥ 0.996, θ ≤ 4.9°) collides in ≥1 band with P ≈ 1−3e-9, while a
-# random pair (cos ≈ 0, P(bit)=0.5) is a candidate with P ≈ 16/4096 —
-# the exact verify touches ~0.4% of all pairs.  The corpus gap is wide
-# (max non-planted cos 0.60 at sf0.1), so band recall is not marginal.
-# At sf10 (400k corpus) it derives 21 bands × 18 bits: ~1.5 vectors
-# per bucket, candidates ~6.4M (measured — see BASELINE.md round 8),
-# per-pair planted miss ≤ 6e-9.
+# historical demo constants 16 bands × 12 bits (the 12-bit floor
+# binds): a planted pair (cos ≥ 0.996, θ ≤ 4.9°) collides in ≥1 band
+# with P ≈ 1−3e-9, while a random pair (cos ≈ 0, P(bit)=0.5) is a
+# candidate with P ≈ 16/4096 — the exact verify touches ~0.4% of all
+# pairs.  The corpus gap is wide (max non-planted cos 0.60 at sf0.1),
+# so band recall is not marginal.  At sf10 (400k corpus) it derives
+# 22 bands × 19 bits; candidate volume measured across the sf1→sf10
+# decade in BASELINE.md round 8.  Target occupancy is 1.0: each extra
+# bit halves the random-candidate mass for ~one extra band of
+# signature cost, and the verify stage — ~6 µs per candidate for the
+# bit-parity dot fold — is the measured wall-clock bulk at sf10, so
+# the knob sits where verify, not signature, sets the price.  (The
+# gate plans are occupancy-insensitive: the min_bits clamp binds.)
 _J9B_RECALL_COS = 0.996    # similarity the recall budget is spent at
 _J9B_MISS = 1e-8           # per-pair miss budget at recall_cos
-_J9B_OCC = 2.0             # target mean bucket occupancy N / 2^bits
+_J9B_OCC = 1.0             # target mean bucket occupancy N / 2^bits
 _J9B_MIN_BITS, _J9B_MAX_BITS = 12, 24
 _J9B_MAX_BANDS = 64
 # Verify-join broadcast cutover: below this corpus size the two vector
@@ -309,9 +314,30 @@ def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maybe_bcast(df):
         return F.broadcast(df) if n_corpus <= _J9B_BCAST_MAX else df
 
-    va = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
-    vb = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # Norms are precomputed ONCE PER CORPUS ROW in the lookup tables,
+    # not per candidate: norm(v) is the same sequential fold either
+    # way, so cos = dot/(na·nb) is bit-identical to cosine(va, vb) —
+    # but the per-candidate work drops from three 64-element folds
+    # (dot + 2 norms, each evaluated in both the filter and the
+    # release projection) to the one dot fold.  Measured at sf10
+    # (15.4M candidates, BASELINE.md round 8): the verify stage is the
+    # wall-clock bulk, so this is the knob that matters after the
+    # banding fix.
+    va = maybe_bcast(
+        corpus.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("v").alias("va"),
+            norm(F.col("v")).alias("na"),
+        )
+    )
+    vb = maybe_bcast(
+        corpus.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("vb"),
+            norm(F.col("v")).alias("nb"),
+        )
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")

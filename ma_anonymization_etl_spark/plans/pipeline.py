@@ -174,9 +174,13 @@ def _step_domain_quota_filter(df, host_col, id_col="doc_id", quota=10, salt="quo
 def _step_quality_filter(df, id_col="doc_id", min_words=30, min_stop_frac=0.0):
     from ma_anonymization_etl_spark.operators.llm import text_quality_score
 
-    scores = text_quality_score(
-        df.select(F.col(id_col).alias("doc_id"), "text", "n_chars")
+    # n_chars is optional: text_quality_score computes it from text when
+    # absent (round-7 review — a hard select here broke bare (id, text)
+    # inputs that the library function itself accepts).
+    cols = [F.col(id_col).alias("doc_id"), "text"] + (
+        ["n_chars"] if "n_chars" in df.columns else []
     )
+    scores = text_quality_score(df.select(*cols))
     keep = scores.filter(
         (F.col("n_words") >= min_words) & (F.col("stop_frac") >= min_stop_frac)
     ).select(F.col("doc_id").alias(id_col))
@@ -189,6 +193,26 @@ def _step_lang_filter(df, id_col="doc_id", keep_langs=("en",)):
     keep = lang_id(df.select(F.col(id_col).alias("doc_id"), "text")).filter(
         F.col("lang_pred").isin(*keep_langs)
     ).select(F.col("doc_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _step_decontaminate_filter(
+    df, aux, id_col="doc_id", text_col="text", ngram=3, overlap_max=0.65
+):
+    """Drop working-table rows whose distinct word-n-gram overlap with
+    the ``aux`` benchmark table reaches ``overlap_max`` — the
+    "training side loses eval content" direction of j29.  ``aux`` is a
+    DataFrame injected by the route runner (the step's JSON says
+    ``{"aux": "<input name>"}``)."""
+    from ma_anonymization_etl_spark.operators.llm import overlap_against
+
+    scores = overlap_against(
+        df, aux, ngram=ngram, overlap_min=overlap_max,
+        id_col=id_col, text_col=text_col,
+    )
+    keep = scores.filter(~F.col("contaminated")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return df.join(keep, id_col, "left_semi")
 
 
@@ -253,6 +277,7 @@ STEPS = {
     "repetition_filter": _step_repetition_filter,
     "quality_filter": _step_quality_filter,
     "lang_filter": _step_lang_filter,
+    "decontaminate_filter": _step_decontaminate_filter,
     "split_assign": _step_split_assign,
     "group_sample_exact_k": _step_group_sample_exact_k,
     "domain_quota_filter": _step_domain_quota_filter,
@@ -267,11 +292,21 @@ STEPS = {
 AGGREGATE_RELEASE_OPS = {"dp_count", "dp_sum_clipped", "cell_suppression"}
 
 
-def anonymize_pipeline(df: DataFrame, steps: Sequence[Mapping[str, Any]]) -> DataFrame:
+def anonymize_pipeline(
+    df: DataFrame,
+    steps: Sequence[Mapping[str, Any]],
+    tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
     """i23: fold an ordered list of anonymization steps over a DataFrame.
 
     Each step is ``{"op": <name>, **params}``; predicates are SQL
     strings so routes serialize to JSON.  Returns ONE lazy plan.
+
+    ``tables`` holds named AUXILIARY DataFrames (the route JSON's
+    ``aux_inputs``); a step whose params include ``"aux": "<name>"``
+    receives ``tables[name]`` in its place — how two-input ops
+    (decontaminate_filter against a benchmark table) stay
+    JSON-serializable.
     """
     out = df
     for step in steps:
@@ -279,5 +314,13 @@ def anonymize_pipeline(df: DataFrame, steps: Sequence[Mapping[str, Any]]) -> Dat
         op = params.pop("op")
         if op not in STEPS:
             raise ValueError(f"unknown pipeline op {op!r}; known: {sorted(STEPS)}")
+        if "aux" in params:
+            name = params["aux"]
+            if not tables or name not in tables:
+                raise ValueError(
+                    f"step {op!r} references aux input {name!r} but the route "
+                    f"declares aux_inputs: {sorted(tables or {})}"
+                )
+            params["aux"] = tables[name]
         out = STEPS[op](out, **params)
     return out

@@ -66,15 +66,18 @@ DRIVER_WINDOW = [
     "c6_join_range_theta",
     "c7_join_asof",
     "d19_quantile_binning",
-    "f4_topk_per_group",
     "f6_skyline_pareto",
     "g4_except",
-    # rounds-4/5 extension flagships (6)
-    "d18_bitmap_distinct",
+    # extension flagships (round-8 rotation #3 swapped four long-green
+    # entries — d18, n11, f4, h6 — for the round-8 surface p7b/j9c/j31/
+    # j29: new engines and rewrites belong inside the gate)
+    "p7b_cc_altstar",
+    "j9c_lsh_band_plan",
+    "j31_sequence_packing",
+    "j29_decontamination",
     "i42_t_closeness_enforce",
     "j38_heavy_hitters_routed",
     "j44_semantic_dedup",
-    "n11_cdc_apply",
     "p1b_pagerank_converged",
     "p7_connected_components",
     # sources / sinks (3)
@@ -83,7 +86,6 @@ DRIVER_WINDOW = [
     # window functions (3)
     "e6_win_moving",
     # scalar families (3)
-    "h6_hash_funcs",
     "h8_variant_semi_structured",
     # anonymization flagship (11)
     "i1_classify_columns",

@@ -129,6 +129,17 @@ SHOWCASE = [
         "SF), not O(n) — the NOT EXISTS self-join it replaces is "
         "O(n^2)",
     ),
+    (
+        "j31_sequence_packing",
+        "corpus window hash-partitioned by the doc_id-range bucket "
+        "(hashpartitioning(_bk)); the ONLY SinglePartition exchange "
+        "feeds the P-row per-bucket-totals window; offsets return by "
+        "BroadcastExchange",
+        "the two-pass distributed prefix sum: round 7's plan was one "
+        "global Window.orderBy — every row on ONE task; now the "
+        "corpus-sized pass is parallel and the serial step is P rows, "
+        "so packing a 100 TB token stream has no single-task stage",
+    ),
 ]
 
 

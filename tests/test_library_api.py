@@ -151,6 +151,93 @@ def test_quality_gate_route_runs_through_cli(spark, tmp_path):
     }
 
 
+def test_decontaminate_route_runs_through_cli(spark, tmp_path):
+    """examples/route_decontaminate.json exercises the round-8 route
+    vocabulary: a `where`-filtered input, a named aux_inputs benchmark
+    table, quality_filter WITHOUT a hard n_chars dependency, and the
+    two-table decontaminate_filter step."""
+    from ma_anonymization_etl_spark import cli
+
+    with open("examples/route_decontaminate.json") as f:
+        route = json.load(f)
+    route["input"]["sf_dir"] = SF_ORACLE
+    route["aux_inputs"]["benchmark"]["sf_dir"] = SF_ORACLE
+    route["output"]["path"] = str(tmp_path / "decon")
+    rp = tmp_path / "route.json"
+    rp.write_text(json.dumps(route))
+    rc = cli.main(["--route", str(rp)], spark=spark)
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "decon"))
+    assert out.count() > 0
+    assert out.filter("source = 'src0'").count() == 0  # input `where` held
+    # the route's survivors = library-function replay (step composition
+    # is faithful, not approximately similar)
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        overlap_against,
+        text_quality_score,
+    )
+    from ma_anonymization_etl_spark.sources.io import load as _load
+
+    docs = _load(spark, SF_ORACLE, "documents")
+    train = docs.filter("source != 'src0'")
+    bench = docs.filter("source = 'src0'")
+    q_ok = text_quality_score(train.select("doc_id", "text", "n_chars")).filter(
+        "n_words >= 5 and stop_frac >= 0.0"
+    ).select("doc_id")
+    kept = train.join(q_ok, "doc_id", "left_semi")
+    clean = overlap_against(kept, bench, ngram=3, overlap_min=0.65).filter(
+        ~F.col("contaminated")
+    ).select("doc_id")
+    want = {r.doc_id for r in kept.join(clean, "doc_id", "left_semi")
+            .select("doc_id").collect()}
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == want
+
+
+def test_quality_filter_step_accepts_bare_id_text(spark):
+    """Round-7 advice: the quality_filter route step must not hard-
+    select n_chars — text_quality_score has an n_chars fallback for
+    bare (id, text) inputs and the step has to let it engage."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "the and is of to " * 10), (2, "x")], "doc_id LONG, text STRING"
+    )
+    out = anonymize_pipeline(
+        df, [{"op": "quality_filter", "min_words": 10, "min_stop_frac": 0.0}]
+    )
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_overlap_against_two_table_semantics(spark):
+    """overlap_against must score docs against the REFERENCE's gram
+    set only: a doc equal to a reference doc is fully contaminated, a
+    disjoint doc is 0.0, and a doc sharing exactly half its grams
+    lands at 0.5 (boundary arithmetic is exact)."""
+    from ma_anonymization_etl_spark.operators.llm import overlap_against
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id LONG, text STRING"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # identical: 4/4 grams hit
+            (2, "x y z w v u"),        # disjoint: 0/4
+            (3, "a b c d x q r s"),    # grams: abc bcd cdx dxq xqr qrs -> 2/6
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r.doc_id: r for r in overlap_against(docs, ref, ngram=3).collect()
+    }
+    assert rows[1].contaminated and rows[1].overlap_frac == 1.0
+    assert not rows[2].contaminated and rows[2].overlap_frac == 0.0
+    assert rows[3].n_grams == 6 and rows[3].n_hit == 2
+    assert not rows[3].contaminated
+
+
 def test_df_first_functions_work_without_corpus_columns(spark):
     """The df-first curation surface must run on a bare (id, text)
     DataFrame — no reliance on corpus-only columns like n_chars

@@ -298,6 +298,72 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_cc_altstar_equals_minlabel_random_graphs(spark):
+    """p7b's engine must agree label-for-label with the min-label
+    engine on adversarial shapes: random sparse graphs, a long chain
+    (the diameter stress large/small-star exists for), a star, and
+    parallel/reversed duplicate edges."""
+    import random as _random
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        connected_components,
+        connected_components_altstar,
+    )
+
+    cases = []
+    rng = _random.Random(8)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(30)
+        ]
+        cases.append([(a, b) for a, b in edges if a != b])
+    cases.append([(i, i + 1) for i in range(30)])          # 31-node chain
+    cases.append([(0, i) for i in range(1, 15)])            # star at 0
+    cases.append([(5, 9), (9, 5), (5, 9), (2, 2), (7, 3)])  # dups + self-loop
+    for raw in cases:
+        # Self-loops denote no connectivity; drop them so both engines
+        # see the same node universe (altstar ignores them by design).
+        raw = [(a, b) for a, b in raw if a != b]
+        if not raw:
+            continue
+        edges = spark.createDataFrame(raw, "a LONG, b LONG")
+        want = {
+            r["node"]: r["component"] for r in connected_components(edges).collect()
+        }
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_altstar(edges).collect()
+        }
+        assert got == want
+
+
+def test_cc_altstar_log_rounds_on_chain(spark):
+    """The structural payoff: on a 60-node chain the min-label engine
+    needs ~diameter rounds while alternating stars finish in O(log n)
+    — and min-label RAISES (not silently mislabels) when its round
+    budget is below the diameter."""
+    import pytest as _pytest
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        connected_components,
+        connected_components_altstar,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a LONG, b LONG"
+    )
+    st_alt, st_min = {}, {}
+    alt = connected_components_altstar(chain, stats=st_alt)
+    assert {r["component"] for r in alt.collect()} == {0}
+    connected_components(chain, max_iter=80, stats=st_min)
+    assert st_alt["rounds"] < st_min["rounds"]
+    assert st_alt["rounds"] <= 8  # log-ish, not diameter-ish
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=3)
+
+
 def test_j23_clusters_planted(spark):
     from ma_anonymization_etl_spark.operators.llm import j23_dedup_clusters
 

@@ -812,6 +812,50 @@ def test_q8_ewma_flags_injected_spike_and_matches_float_rule(spark):
     assert real.filter("is_anomaly").count() <= 3
 
 
+def test_anomaly_baselines_are_calendar_keyed_on_gappy_series(spark):
+    """Round-7 advice: on a series WITH missing calendar days, the
+    'trailing 7 days' / 'same weekday over trailing 4 weeks' baselines
+    must skip the gaps (date-keyed), not slide down to the N-th
+    previous OBSERVED row.  A synthetic series with a hole proves it:
+    the day after a 3-day gap must see only the baseline days that
+    calendar-exist, with the correct per-offset weights."""
+    import datetime as _dt
+
+    from ma_anonymization_etl_spark.operators.quality import (
+        ewma_anomaly_flags,
+        seasonal_anomaly_flags,
+    )
+
+    d0 = _dt.datetime(2024, 3, 1)
+    # days 0..9 except 4,5,6 missing; constant n=100 except day 9
+    present = [0, 1, 2, 3, 7, 8, 9]
+    rows = [(d0 + _dt.timedelta(days=i), 100 if i != 9 else 1000) for i in present]
+    daily = spark.createDataFrame(rows, "day TIMESTAMP, n LONG")
+
+    ew = {str(r.day): r for r in ewma_anomaly_flags(daily).collect()}
+    d8 = ew[str(d0 + _dt.timedelta(days=8))]
+    # calendar lags 1..7 from day 8 → days 7,6,5,4,3,2,1 → present: 7,3,2,1
+    assert d8.k_window == 4
+    wts = {i: 1 ** (i - 1) * 2 ** (7 - i) for i in range(1, 8)}
+    want_den = wts[1] + wts[5] + wts[6] + wts[7]
+    assert d8.ewma_den == want_den
+    assert d8.ewma_num == 100 * want_den
+    assert not d8.is_anomaly
+    d9 = ew[str(d0 + _dt.timedelta(days=9))]
+    assert d9.is_anomaly  # 10x spike vs an all-100 baseline
+
+    sea = {
+        str(r.day): r
+        for r in seasonal_anomaly_flags(daily, period=7, n_periods=4).collect()
+    }
+    # day 8 ← days 1 (present), -6, -13, -20 → exactly one baseline day
+    d8s = sea[str(d0 + _dt.timedelta(days=8))]
+    assert d8s.k_window == 1 and d8s.season_sum == 100
+    assert not d8s.is_anomaly  # k < 2 → never flags
+    # day 4/5/6 are absent from the output entirely (no fabricated rows)
+    assert str(d0 + _dt.timedelta(days=4)) not in sea
+
+
 def test_j50_prefix_filter_equals_exhaustive_referee(spark):
     """The prefix-filter claim IS exactness: the released pair set must
     equal the exhaustive inverted-index pair set (every pair sharing any
@@ -867,6 +911,44 @@ def test_j50_prefix_filter_equals_exhaustive_referee(spark):
     n_docs = d.count()
     planted = {(r.doc_id, r.doc_id + 100000) for r in d.select("doc_id").collect()}
     assert len(planted & {(a, b) for a, b, _ in got}) >= int(0.9 * n_docs)
+
+
+def test_j50_positional_filter_shrinks_candidates_same_pairs(spark):
+    """PPJoin's positional filter is a pure candidate-volume knob: on
+    the planted corpus it must produce STRICTLY fewer stage-3
+    candidates than the plain prefix join, and the released pair set
+    must be identical (exactness is untouchable)."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J50_TAU,
+        _ssj_candidates,
+        set_similarity_join,
+        word_shingles,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(pert)
+    toks = corpus.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("tok")
+    )
+    _, cand_pos = _ssj_candidates(toks, _J50_TAU, positional=True)
+    _, cand_plain = _ssj_candidates(toks, _J50_TAU, positional=False)
+    n_pos, n_plain = cand_pos.count(), cand_plain.count()
+    assert n_pos < n_plain, (n_pos, n_plain)
+    # The filter only ever REMOVES candidates (subset, never new ones).
+    assert cand_pos.subtract(cand_plain).limit(1).count() == 0
+    got_pos = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in set_similarity_join(toks, _J50_TAU, positional=True).collect()
+    }
+    got_plain = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in set_similarity_join(toks, _J50_TAU, positional=False).collect()
+    }
+    assert got_pos == got_plain and got_pos
 
 
 def test_f6_skyline_dominance_is_exact(spark):
@@ -1203,6 +1285,18 @@ def test_round7_ops_edge_cases(spark):
     got = weighted_sample_topk(few, "w", 5, "edge|", id_col="doc_id").collect()
     assert len(got) == 2 and sorted(r.draw_rank for r in got) == [1, 2]
 
+    # w <= 0 is an A-ES contract violation: the job must FAIL, never
+    # silently hand back a sample where negative weights win every draw
+    # (round-7 advice).
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5)], "doc_id long, w int"
+    )
+    with _pytest.raises((Py4JJavaError, Exception), match="non-positive weight"):
+        weighted_sample_topk(bad, "w", 3, "edge|", id_col="doc_id").collect()
+
 
 def test_q10_seasonal_rule_ignores_weekly_cycle_but_catches_spikes(spark):
     """The docstring's claim, proven: a strongly weekly-cyclic series
@@ -1258,12 +1352,13 @@ def test_lsh_band_plan_scale_rule():
         lsh_band_plan,
     )
 
-    # Gate SFs land exactly on the historical demo constants.
+    # Gate SFs land exactly on the historical demo constants (the
+    # 12-bit floor binds, so these are occupancy-insensitive).
     assert lsh_band_plan(1000) == (16, 12)
     assert lsh_band_plan(4000) == (16, 12)
-    # The previously-aborted scales derive honest plans.
-    assert lsh_band_plan(40_000) == (18, 15)
-    assert lsh_band_plan(400_000) == (21, 18)
+    # The previously-aborted scales derive honest plans (occ 1.0).
+    assert lsh_band_plan(40_000) == (19, 16)
+    assert lsh_band_plan(400_000) == (22, 19)
     p = 1.0 - math.acos(_J9B_RECALL_COS) / math.pi
     prev_bits = 0
     for exp in range(2, 28):

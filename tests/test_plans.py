@@ -229,3 +229,25 @@ def test_j38_sketch_route_avoids_term_shuffle(spark):
     n_word_ex_exact = exact_plan.count("hashpartitioning(word")
     assert n_word_ex_exact >= 1, "exact route must shuffle by term"
     assert n_word_ex_sketch <= n_word_ex_exact
+
+
+def test_j31_prefix_sum_is_distributed(spark):
+    """Round-7 review: sequence_packing's prefix sum used to be ONE
+    global Window.orderBy (every row on one task).  The two-pass scan
+    must show (a) a corpus-side window PARTITIONED by the bucket key
+    (parallel partial sums) and (b) the offset fold-back arriving by
+    broadcast — the only unpartitioned window left runs over the
+    P-row totals table, never the corpus."""
+    plan = plan_of(spark, "j31_sequence_packing")
+    tree = plan.split("\n\n")[0]
+    # (a) at least one Exchange hash-partitions by the bucket key — the
+    # corpus-side window's requirement (detail section carries columns).
+    assert "hashpartitioning(_bk" in plan, (
+        f"no bucket-partitioned corpus window:\n{plan}"
+    )
+    # (b) the offsets fold back by broadcast, never a shuffle join.
+    assert "BroadcastExchange" in tree, f"offset fold-back not broadcast:\n{tree}"
+    # (c) exactly ONE single-partition exchange — the P-row totals
+    # window — and none feeding the corpus-sized window.
+    n_single = plan.count("Arguments: SinglePartition")
+    assert n_single == 1, f"unexpected single-partition stages ({n_single}):\n{plan}"
