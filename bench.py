@@ -62,6 +62,12 @@ HEADLINE = [
     "j53_incremental_dedup",
     "p7_connected_components",
     "f6_skyline_pareto",
+    # Round-8 additions (BASELINE.md round-8 note): the log-round CC
+    # variant, the k-core peeler, and j9b's Arrow-verify production
+    # twin — appended so every earlier subtotal stays comparable.
+    "p7b_cc_altstar",
+    "p8_kcore",
+    "j9d_sim_pair_lsh_fast",
 ]
 
 

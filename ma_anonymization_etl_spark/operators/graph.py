@@ -688,3 +688,141 @@ def p7b_cc_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def kcore(
+    edges: DataFrame, k: int, max_iter: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """k-CORE decomposition (fixed k): the maximal subgraph in which
+    every node keeps degree >= k, by iterative peeling — drop all
+    nodes under degree k, recompute degrees (removals cascade),
+    repeat to fixpoint.  The standard dense-substructure primitive
+    (Seidman 1983; spam/bot subgraph mining, community cores,
+    interaction-graph curation).
+
+    Per round: one groupBy-count on the symmetric edge list + two
+    semi-joins — edge-list-shaped shuffles only, state never exceeds
+    the edge list, localCheckpoint cuts lineage per round (reliable
+    checkpoint on a real cluster).  Rounds = peeling depth, which is
+    bounded by degeneracy in the worst case but 2-4 on real graphs
+    (measured at all three SFs in tests); raises on round exhaustion
+    (the connected_components convention — a partially-peeled graph
+    is NOT a k-core, some node still violates the degree bound).
+
+    ``edges``: (a, b) undirected; returns (node, deg_in_core) for
+    k-core members — empty result if the core is empty."""
+    e = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur, n_cur = e, e.count()
+    converged, rounds = False, 0
+    for _ in range(max_iter):
+        sym = cur.select(F.col("u").alias("n")).unionByName(
+            cur.select(F.col("v").alias("n"))
+        )
+        keep = (
+            sym.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("n")
+        )
+        nxt = (
+            cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n_nxt = nxt.count()
+        # Peeling only ever REMOVES edges, so equal count ⇔ no node
+        # fell under k this round ⇔ fixpoint.
+        if n_nxt == n_cur:
+            converged = True
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+        if n_nxt == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach the peeling fixpoint in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+    )
+
+
+# k and the oracle unroll are PAIRED to the corpus (measured in
+# DuckDB, round 8): on the support≥2 graph the 2-core peels in
+# 1/4/6 rounds at sf0.001/0.01/0.1 with non-empty cores (200/1535/3
+# nodes); k=3 empties the sf0.1 core and cascades 11 rounds at
+# sf0.01, and the UNFILTERED co-purchase graph is near-regular with
+# min degree 42 — nothing peels below k≈90.  The unroll carries a
+# 4-round margin over the worst measured depth; peeling is idempotent
+# past the fixpoint so extra stages are no-ops, and the property test
+# re-measures the depth margin at every shipped SF.
+_P8_K = 2
+_P8_ORACLE_ROUNDS = 10
+
+
+def _p8_oracle() -> str:
+    # Every stage MUST be MATERIALIZED: e{i} references e{i-1} twice
+    # (degree count + edge filter), so inlined CTEs re-evaluate the
+    # whole prior chain per reference — 2^rounds copies of the
+    # lineitem self-join (the j43b expression-doubling lesson, SQL
+    # edition; the un-materialized form ran minutes at sf0.01, this
+    # one milliseconds).
+    stages = []
+    prev = "e0"
+    for i in range(1, _P8_ORACLE_ROUNDS + 1):
+        stages.append(f"""
+n{i} AS MATERIALIZED (
+  SELECT x AS node
+  FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY x HAVING COUNT(*) >= {_P8_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM n{i})
+    AND v IN (SELECT node FROM n{i}))""")
+        prev = f"e{i}"
+    chain = ",".join(stages)
+    return f"""WITH {_EDGES_SUP2_SQL},
+e0 AS MATERIALIZED (SELECT u, v FROM pairs),
+{chain}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node
+"""
+
+
+@register("p8_kcore", oracle=_p8_oracle())
+def p8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p8 (extension): the 2-core of the support≥2 co-purchase graph —
+    the cyclically-supported affinity backbone: every released part
+    keeps >= 2 co-purchase partners AFTER the acyclic fringe
+    (pendants, trees hanging off one link) cascades away.  Completes
+    the P-family's iterative repertoire: fixpoint propagation
+    (p7/p7b), random walks (p1), and now cascading deletion, whose
+    rounds are bounded by peeling depth rather than diameter.
+
+    Oracle: the SAME peeling unrolled 10 MATERIALIZED stages in
+    chained CTEs (the j42-BPE/j43b precedent: a fixed unroll both
+    engines share, with the engine's measured fixpoint well inside it
+    — 1/4/6 rounds at the shipped SFs — and peeling idempotent past
+    the fixpoint).
+
+    Delegates to ``kcore``."""
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return kcore(pairs, _P8_K)

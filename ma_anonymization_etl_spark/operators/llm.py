@@ -3559,26 +3559,38 @@ def set_similarity_join(
     (1 + min(|A|−i, |B|−j) >= τ·(|A|+|B|)/(1+τ) at prefix positions
     i, j — see ``_ssj_candidates`` for the safety argument; disable
     with ``positional=False`` to measure its candidate reduction);
-    (4) exact verify: candidate pairs re-join the token table on
-    (id, tok) twice and count the intersection — O(|cand| · avg set
-    size), never docs².  Candidate volume is O(sum over prefix tokens
-    of df²) with df small for rare tokens, shrunk further by the
-    positional bound (measured on the sf0.01 planted corpus in
+    (4) exact verify: candidates join the PER-DOC SORTED TOKEN ARRAY
+    table twice (by a_id, b_id) and the intersection size is a
+    row-local F.size(F.array_intersect(...)) — the shuffle carries
+    |cand| rows with two array payloads, NEVER the Σ|A|-per-candidate
+    row explosion of a token-level re-join (round 8 measured that
+    explosion filling 60 GB of shuffle spill at sf10/τ=0.5 — swapping
+    to the array verify is a pure plan change, identical counts).
+    Candidate volume is O(sum over prefix tokens of df²) with df
+    small for rare tokens, shrunk further by the positional bound
+    (measured on the sf0.01 planted corpus in
     tests/test_new_ops_props.py: strictly fewer candidates, identical
     final pairs)."""
     toks, cand = _ssj_candidates(
         toks, tau, id_col, tok_col, positional, assume_distinct
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
+    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("tok")).alias("ts"))
     inter = (
-        cand.join(ta, F.col("a_id") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("b_id") == F.col("tb.doc_id"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("a_ts")),
+            "a_id",
         )
-        .groupBy("a_id", "b_id", "a_sz", "b_sz")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            arrs.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("b_ts")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "a_sz",
+            "b_sz",
+            F.size(F.array_intersect("a_ts", "b_ts")).alias("inter"),
+        )
     )
     jac = F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
     return inter.filter(jac >= tau).select(
@@ -3779,12 +3791,14 @@ def containment_join(
     Plan: the j50 machinery with one asymmetric join — token df
     groupBy, per-doc (df, tok)-sorted arrays, prefix explode for the
     LEFT side only, candidate join against the full token table,
-    exact intersection count on candidates, map-side containment
-    filter.  100 TB note: if a common token's df explodes the
-    candidate set, df-cap the FULL side (drop tokens with df > D from
-    candidate GENERATION only — exactness then needs every doc to
-    keep >= 1 sub-cap prefix token, which the df-ascending order
-    maximizes); verification always uses the uncapped lists."""
+    exact intersection via the row-local array_intersect verify
+    (candidate-row-bounded shuffle, like j50's — never the
+    Σ|A|-per-candidate token re-join), map-side containment filter.
+    100 TB note: if a common token's df explodes the candidate set,
+    df-cap the FULL side (drop tokens with df > D from candidate
+    GENERATION only — exactness then needs every doc to keep >= 1
+    sub-cap prefix token, which the df-ascending order maximizes);
+    verification always uses the uncapped lists."""
     toks, prefix = _prefix_index(toks, c, id_col, tok_col, assume_distinct)
     cand = (
         prefix.alias("a")
@@ -3800,16 +3814,22 @@ def containment_join(
         )
         .distinct()
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
+    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("tok")).alias("ts"))
     inter = (
-        cand.join(ta, F.col("a_id") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("b_id") == F.col("tb.doc_id"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("a_ts")),
+            "a_id",
         )
-        .groupBy("a_id", "b_id", "a_sz")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            arrs.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("b_ts")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "a_sz",
+            F.size(F.array_intersect("a_ts", "b_ts")).alias("inter"),
+        )
     )
     cont = F.col("inter") / F.col("a_sz")
     return inter.filter(cont >= c).select(

@@ -235,6 +235,50 @@ def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verify cosine itself is the declarative fold, bit-identical to
     the oracle.  Nothing is O(n²) except the provably-pruned verify
     set."""
+    corpus, cand, n_corpus = _j9b_corpus_cand(spark, sf_dir)
+
+    def maybe_bcast(df):
+        return F.broadcast(df) if n_corpus <= _J9B_BCAST_MAX else df
+
+    # Norms are precomputed ONCE PER CORPUS ROW in the lookup tables,
+    # not per candidate: norm(v) is the same sequential fold either
+    # way, so cos = dot/(na·nb) is bit-identical to cosine(va, vb) —
+    # but the per-candidate work drops from three 64-element folds
+    # (dot + 2 norms, each evaluated in both the filter and the
+    # release projection) to the one dot fold.  Measured at sf10
+    # (9.3M candidates, BASELINE.md round 8): the verify stage is the
+    # wall-clock bulk, so this is the knob that matters after the
+    # banding fix.
+    va = maybe_bcast(
+        corpus.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("v").alias("va"),
+            norm(F.col("v")).alias("na"),
+        )
+    )
+    vb = maybe_bcast(
+        corpus.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("vb"),
+            norm(F.col("v")).alias("nb"),
+        )
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(cos >= _J9B_TAU)
+        .select("a_id", "b_id", F.round(cos, 5).alias("cos_sim"))
+    )
+
+
+def _j9b_corpus_cand(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared j9b/j9d front half: the derived corpus (originals +
+    jittered twins), the size-derived banding plan, the cached
+    signature table, and the deduped candidate pair list.  Returns
+    (corpus, cand, n_corpus)."""
     import numpy as np
     import pandas as pd
 
@@ -311,39 +355,75 @@ def j9b_sim_pair_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and vectors both hash-partition cleanly) — the plan shape is
     # otherwise unchanged.  The same count that sized the banding
     # routes this, so the cutover is deterministic per corpus.
+    return corpus, cand, n_corpus
+
+
+@register(
+    "j9d_sim_pair_lsh_fast",
+    # Pair IDs only — no float column — so the oracle is the exhaustive
+    # referee's pair SET: hash-safe even though j9d's verify sums in
+    # numpy order (see docstring).
+    oracle=f"""
+WITH e AS (SELECT vec_id AS orig_id, {_SQL_E} AS v FROM embeddings),
+corpus AS (
+  SELECT orig_id AS vec_id, v FROM e
+  UNION ALL
+  SELECT orig_id + {_J9B_OFF} AS vec_id,
+         list_transform(v, x -> x * (1 + 0.1 * sin(orig_id + x * 1000)))
+  FROM e
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= {_J9B_TAU}
+""",
+)
+def j9d_sim_pair_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9d: j9b's PRODUCTION-VERIFY twin — identical derived corpus,
+    identical size-derived banding and candidate join (shared front
+    half, so the twins cannot drift), but the exact-verify stage is an
+    Arrow-batched numpy cosine instead of the declarative sequential
+    fold.  Released columns are the pair IDS ONLY: numpy reduces the
+    64-term dot in SIMD order, which can differ from the oracle's
+    sequential fold in the last ulp, so a released float would be a
+    hash hazard — a pair-set release is decision-identical unless a
+    pair's cosine sits within ~1e-12 of τ (this corpus's planted pairs
+    are at ≥0.99, organic below 0.61; the boundary caveat is the price
+    of the fast path and is stated here rather than hidden).
+
+    Why it exists (NEXT r8 item c): the fold verify costs ~6 µs per
+    candidate because Spark evaluates higher-order-function lambdas
+    interpretively; at sf10's 9.3M candidates that is the wall-clock
+    bulk.  BLAS-bound numpy over Arrow batches is the same FLOPs at a
+    fraction of the constant — j8 vs j21 / j10 vs j10b, applied to the
+    pair-search verify.  Measured side by side in BASELINE.md round 8.
+
+    Scale shape: identical to j9b until the verify; the verify is a
+    mapInPandas over the joined (a_id, b_id, va, vb) batches — no
+    extra shuffle, batch-local memory."""
+    import numpy as np
+
+    corpus, cand, n_corpus = _j9b_corpus_cand(spark, sf_dir)
+
     def maybe_bcast(df):
         return F.broadcast(df) if n_corpus <= _J9B_BCAST_MAX else df
 
-    # Norms are precomputed ONCE PER CORPUS ROW in the lookup tables,
-    # not per candidate: norm(v) is the same sequential fold either
-    # way, so cos = dot/(na·nb) is bit-identical to cosine(va, vb) —
-    # but the per-candidate work drops from three 64-element folds
-    # (dot + 2 norms, each evaluated in both the filter and the
-    # release projection) to the one dot fold.  Measured at sf10
-    # (15.4M candidates, BASELINE.md round 8): the verify stage is the
-    # wall-clock bulk, so this is the knob that matters after the
-    # banding fix.
-    va = maybe_bcast(
-        corpus.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("v").alias("va"),
-            norm(F.col("v")).alias("na"),
-        )
-    )
-    vb = maybe_bcast(
-        corpus.select(
-            F.col("vec_id").alias("b_id"),
-            F.col("v").alias("vb"),
-            norm(F.col("v")).alias("nb"),
-        )
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
-        .filter(cos >= _J9B_TAU)
-        .select("a_id", "b_id", F.round(cos, 5).alias("cos_sim"))
-    )
+    va = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
+    vb = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
+    joined = cand.join(va, "a_id").join(vb, "b_id")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            keep = cos >= _J9B_TAU
+            yield pdf.loc[keep, ["a_id", "b_id"]]
+
+    return joined.mapInPandas(verify, "a_id BIGINT, b_id BIGINT")
 
 
 @register(

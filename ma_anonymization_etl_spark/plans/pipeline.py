@@ -216,12 +216,15 @@ def _step_decontaminate_filter(
     return df.join(keep, id_col, "left_semi")
 
 
-def _step_constraint_report(df, checks):
+def _step_constraint_report(df, checks, aux=None):
     """Terminal release: (check_name, n_violations) over the route's
     working table.  Each JSON check is {"name", "type": "unique"|
-    "violation", "col"|"predicate"} — predicates are SQL strings so
-    routes serialize (fk checks need a second table; use the library
-    function directly for those)."""
+    "violation"|"fk", "col"|"predicate"|"child_key"+"parent_key"} —
+    predicates are SQL strings so routes serialize.  "fk" checks need
+    the route to declare ONE aux input as the parent table (the step's
+    {"aux": "<name>"}); the child is always the working table.
+    Several fks against different parents → call the library function
+    directly."""
     from ma_anonymization_etl_spark.operators.quality import run_constraint_checks
 
     compiled = []
@@ -229,7 +232,15 @@ def _step_constraint_report(df, checks):
         c = dict(ck)
         if c["type"] == "violation":
             c["predicate"] = F.expr(c["predicate"])
-        c["df"] = df
+        if c["type"] == "fk":
+            if aux is None:
+                raise ValueError(
+                    f"fk check {c.get('name')!r} needs the step to declare an "
+                    "aux input as the parent table"
+                )
+            c["child"], c["parent"] = df, aux
+        else:
+            c["df"] = df
         compiled.append(c)
     return run_constraint_checks(compiled)
 

@@ -68,16 +68,17 @@ DRIVER_WINDOW = [
     "d19_quantile_binning",
     "f6_skyline_pareto",
     "g4_except",
-    # extension flagships (round-8 rotation #3 swapped four long-green
-    # entries — d18, n11, f4, h6 — for the round-8 surface p7b/j9c/j31/
-    # j29: new engines and rewrites belong inside the gate)
+    # extension flagships (round-8 rotation #3 swapped six long-green
+    # entries — d18, n11, f4, h6, j38, j44 — for the round-8 surface
+    # p7b/p8/j9c/j9d/j31/j29: new engines and rewrites belong inside
+    # the gate)
     "p7b_cc_altstar",
+    "p8_kcore",
     "j9c_lsh_band_plan",
+    "j9d_sim_pair_lsh_fast",
     "j31_sequence_packing",
     "j29_decontamination",
     "i42_t_closeness_enforce",
-    "j38_heavy_hitters_routed",
-    "j44_semantic_dedup",
     "p1b_pagerank_converged",
     "p7_connected_components",
     # sources / sinks (3)

@@ -71,6 +71,9 @@ DELEGATES = {
     "d19_quantile_binning": "quantile_binning",
     "i43_dp_topk": "dp_topk",
     "n11_cdc_apply": "cdc_apply",
+    # round-8 additions (p7b's engine lives in llm.py next to the
+    # min-label loop — module-local lookup can't see it, like p7)
+    "p8_kcore": "kcore",
 }
 
 _ALL = registry.load_all()
@@ -194,6 +197,46 @@ def test_decontaminate_route_runs_through_cli(spark, tmp_path):
             .select("doc_id").collect()}
     got = {r.doc_id for r in out.select("doc_id").collect()}
     assert got == want
+
+
+def test_fk_constraint_route_step_uses_aux_parent(spark):
+    """The constraint_report step runs fk checks once the route
+    declares an aux parent table (round-8 aux_inputs); the shipped
+    corpus has zero orphans, and an injected orphan is counted."""
+    from ma_anonymization_etl_spark.cli import run_route
+
+    route = {
+        "input": {"table": "orders", "sf_dir": SF_ORACLE},
+        "aux_inputs": {"dim": {"table": "customer", "sf_dir": SF_ORACLE}},
+        "steps": [
+            {"op": "constraint_report", "aux": "dim", "checks": [
+                {"name": "orders_custkey_fk", "type": "fk",
+                 "child_key": "o_custkey", "parent_key": "c_custkey"},
+                {"name": "orderkey_unique", "type": "unique",
+                 "col": "o_orderkey"},
+            ]},
+        ],
+    }
+    rows = {r.check_name: r.n_violations for r in run_route(spark, route).collect()}
+    assert rows == {"orders_custkey_fk": 0, "orderkey_unique": 0}
+
+    # injected orphan: a child key no parent has
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+    from ma_anonymization_etl_spark.sources.io import load as _load
+
+    orders = _load(spark, SF_ORACLE, "orders").limit(10).withColumn(
+        "o_custkey", F.lit(-1).cast("long")
+    )
+    out = anonymize_pipeline(
+        orders,
+        [{"op": "constraint_report", "aux": "dim", "checks": [
+            {"name": "fk", "type": "fk",
+             "child_key": "o_custkey", "parent_key": "c_custkey"}]}],
+        tables={"dim": _load(spark, SF_ORACLE, "customer")},
+    )
+    assert out.collect()[0].n_violations == 10
 
 
 def test_quality_filter_step_accepts_bare_id_text(spark):

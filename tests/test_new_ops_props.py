@@ -1381,3 +1381,60 @@ def test_lsh_band_plan_scale_rule():
         vol = bands * n * n / 2**bits
         vol10 = bands10 * (10 * n) ** 2 / 2**bits10
         assert vol10 / vol < 25  # ~linear-with-granularity, never ~100x
+
+
+def test_p8_kcore_invariants_and_hand_graph(spark):
+    """kcore contract: (a) on a hand-built graph the k-core is exactly
+    the densely-connected part after CASCADE removal (the tail pulls
+    its neighbor under k only after the first peel — one round is not
+    enough, which is the point of iterating); (b) every released node
+    has deg_in_core >= k; (c) the corpus fixpoint lands well inside
+    the oracle's 8-stage unroll at all shipped SFs."""
+    from ma_anonymization_etl_spark.operators.graph import kcore, p8_kcore
+
+    # 4-clique {1,2,3,4} + chain 4-5-6: peeling k=2 drops 6 (deg 1),
+    # then 5 (deg 1 after the cascade) — the 2-core is the clique.
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "a LONG, b LONG",
+    )
+    st = {}
+    rows = {r.node: r.deg_in_core for r in kcore(g, 2, stats=st).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert st["rounds"] >= 2  # the cascade took more than one peel
+    # k=4: no node has degree 4 -> empty core
+    assert kcore(g, 4).count() == 0
+
+    from ma_anonymization_etl_spark.operators.graph import (
+        _P8_K,
+        _P8_ORACLE_ROUNDS,
+        _copurchase_pairs,
+    )
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        pairs = _copurchase_pairs(spark, sf, min_support=2).select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        )
+        st = {}
+        out = kcore(pairs, _P8_K, stats=st)
+        assert out.count() > 0
+        assert out.filter(f"deg_in_core < {_P8_K}").count() == 0
+        assert st["rounds"] <= _P8_ORACLE_ROUNDS - 2, (
+            f"{sf}: peeling depth {st['rounds']} crowds the "
+            f"{_P8_ORACLE_ROUNDS}-stage oracle unroll"
+        )
+    assert p8_kcore(spark, SF_ORACLE).count() > 0
+
+
+def test_j9d_fast_verify_releases_same_pairs_as_j9b(spark):
+    """The Arrow-verify twin must release EXACTLY j9b's pair set (the
+    float-order caveat can only bite within ~1e-12 of tau, and the
+    corpus gap is ~0.4 wide)."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        j9b_sim_pair_lsh,
+        j9d_sim_pair_lsh_fast,
+    )
+
+    want = {(r.a_id, r.b_id) for r in j9b_sim_pair_lsh(spark, SF_SMOKE).collect()}
+    got = {(r.a_id, r.b_id) for r in j9d_sim_pair_lsh_fast(spark, SF_SMOKE).collect()}
+    assert got == want and got
