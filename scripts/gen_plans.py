@@ -111,9 +111,9 @@ SHOWCASE = [
     (
         "j50_jaccard_prefix_join",
         "prefix explode -> SortMergeJoin on prefix token with the "
-        "length filter as join residual -> HashAggregate dedup -> "
-        "two id-keyed joins + count for exact verify; no window, no "
-        "cartesian, no global rank exchange",
+        "length + positional filters as join residuals -> HashAggregate "
+        "dedup -> two id-keyed ARRAY joins + row-local array_intersect "
+        "verify; no window, no cartesian, no global rank exchange",
         "the EXACT set-similarity join: candidates are generated only "
         "from each doc's rarest |t|-ceil(tau*|t|)+1 tokens (the "
         "(df, tok) struct sort makes the global token order a per-row "
