@@ -825,4 +825,17 @@ def p8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
-    return kcore(pairs, _P8_K)
+    stats: dict = {}
+    out = kcore(pairs, _P8_K, stats=stats)
+    # The oracle is a FIXED 10-stage unroll; a corpus peeling deeper
+    # would release an under-peeled graph from the ORACLE side and the
+    # gate mismatch would implicate the correct engine.  Name the stale
+    # unroll instead (ADVICE r8) — kcore() runs its rounds eagerly, so
+    # stats is populated here.
+    if stats.get("rounds", 0) > _P8_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"p8_kcore: peeling took {stats['rounds']} rounds but the DuckDB "
+            f"oracle unrolls only {_P8_ORACLE_ROUNDS} stages — regenerate "
+            "_P8_ORACLE_ROUNDS before gating this corpus"
+        )
+    return out

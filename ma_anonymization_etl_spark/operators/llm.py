@@ -20,6 +20,7 @@ import pandas as pd  # module scope: pandas_udf type hints must resolve here
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ma_anonymization_etl_spark.operators.session_cache import cache_put, register_cache
 from ma_anonymization_etl_spark.registry import register
 from ma_anonymization_etl_spark.sources.io import load
 
@@ -214,7 +215,8 @@ def banded_signatures(sh: DataFrame) -> DataFrame:
 
 # j3's persisted shingle subtree, keyed by (session id, sf_dir): bench's
 # median-of-3 and interactive reuse hit the warm materialization.
-_J3_SHINGLE_CACHE: dict = {}
+# Bounded to one (app, sf_dir) generation by cache_put (ADVICE r8).
+_J3_SHINGLE_CACHE: dict = register_cache({})
 
 
 # Shared corpus/shingle CTE prefix for both j3 oracle forms: originals
@@ -340,7 +342,7 @@ def j3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # but costs a full explode/groupBy pass to derive, so it is
         # cached alongside the shingles.
         banded = banded_signatures(sh).persist()
-        cached = _J3_SHINGLE_CACHE[key] = (sh, banded)
+        cached = cache_put(_J3_SHINGLE_CACHE, key, (sh, banded))
     sh, banded = cached
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -1450,7 +1452,7 @@ def _j24_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        _J3_SHINGLE_CACHE[key] = flags
+        cache_put(_J3_SHINGLE_CACHE, key, flags)
     return flags
 
 
@@ -1493,7 +1495,7 @@ def _j24_non_survivors(spark: SparkSession, sf_dir: str, flags: DataFrame) -> Da
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("__dup"))
         .persist()
     )
-    _J3_SHINGLE_CACHE[key] = out
+    cache_put(_J3_SHINGLE_CACHE, key, out)
     return out
 
 
@@ -2409,7 +2411,19 @@ def sequence_packing(
     step 1 with repartitionByRange + checkpoint (boundaries pinned by
     materialization) and keep steps 2-3 unchanged."""
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
 
+    # Range bucketing does integer arithmetic on doc_id, which narrows
+    # this engine to INTEGRAL ids (the pre-round-8 global-window form
+    # accepted any orderable type).  Fail loudly rather than misbucket
+    # (ADVICE r8): non-integral ids should be ranked or cast upstream.
+    id_type = docs.schema["doc_id"].dataType
+    if not isinstance(id_type, IntegralType):
+        raise TypeError(
+            "sequence_packing requires an integral doc_id for distributed "
+            f"range bucketing; got {id_type.simpleString()} — cast the id or "
+            "derive a dense integer rank first"
+        )
     spark = docs.sparkSession
     nb = int(n_buckets or spark.sparkContext.defaultParallelism or 32)
     bounds = docs.agg(
@@ -3422,19 +3436,19 @@ def domain_quota_audit(
 # ---------------------------------------------------------------------------
 
 
-def _prefix_index(
+def _ordered_tokens(
     toks: DataFrame,
-    threshold: float,
     id_col: str,
     tok_col: str,
     assume_distinct: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared prefix-filter index for j50/j52: normalize+distinct the
-    (doc_id, tok) table, order every doc's tokens by the global
-    (document-frequency asc, token asc) total order — realized as a
-    per-row array_sort of (df, tok) structs, never a vocabulary-wide
-    rank window — and explode each doc's first
-    |t| − ⌈threshold·|t|⌉ + 1 (i.e., RAREST) tokens.
+    """Normalize+distinct the (doc_id, tok) table and build the per-doc
+    GLOBAL-ORDER token array: every doc's tokens sorted by (document
+    frequency asc, token asc) — realized as a per-row array_sort of
+    (df, tok) structs, never a vocabulary-wide rank window.  Returns
+    (toks, per_doc) with per_doc = (doc_id, ord_toks, sz); ord_toks
+    elements carry (df, tok) so downstream consumers can cap by df
+    without re-joining the frequency table.
 
     The distinct token table feeds several plan branches downstream.
     It is deliberately NOT persist()ed here: a per-call persist leaks
@@ -3443,11 +3457,7 @@ def _prefix_index(
     j43b lesson's cousin), and Catalyst already reuses the distinct's
     Exchange across branches.  On a real cluster, checkpoint the
     token table BEFORE calling when upstream tokenization is
-    expensive.
-
-    Returns (toks, prefix) where prefix = (doc_id, sz, pos, tok) —
-    ``pos`` is the token's 1-based position in the doc's global
-    (df, tok) order, which is what PPJoin's positional filter needs."""
+    expensive."""
     toks = toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
     if not assume_distinct:
         toks = toks.distinct()
@@ -3460,13 +3470,37 @@ def _prefix_index(
             F.count(F.lit(1)).alias("sz"),
         )
     )
+    return toks, per_doc
+
+
+def _prefix_index(
+    toks: DataFrame,
+    threshold: float,
+    id_col: str,
+    tok_col: str,
+    assume_distinct: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter index for j50/j52: the ``_ordered_tokens``
+    global order, exploded to each doc's first
+    |t| − ⌈threshold·|t|⌉ + 1 (i.e., RAREST) tokens.
+
+    Returns (toks, prefix) where prefix = (doc_id, sz, pos, tok, df) —
+    ``pos`` is the token's 1-based position in the doc's global
+    (df, tok) order, which is what PPJoin's positional filter needs;
+    ``df`` rides along so the capped containment contract can filter
+    without another frequency join."""
+    toks, per_doc = _ordered_tokens(toks, id_col, tok_col, assume_distinct)
     pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     prefix = per_doc.select(
         "doc_id",
         "sz",
         F.posexplode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p0", "p"),
     ).select(
-        "doc_id", "sz", (F.col("p0") + 1).alias("pos"), F.col("p.tok").alias("tok")
+        "doc_id",
+        "sz",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("p.tok").alias("tok"),
+        F.col("p.df").alias("df"),
     )
     return toks, prefix
 
@@ -3606,7 +3640,7 @@ def set_similarity_join(
 # across branches is AQE-timing-dependent, which the round-7 bench saw
 # as a 9.6-15.5 s j50 spread; persisting the distinct pins it to one
 # materialization and repeat invocations measure steady state.
-_J50_TOKS_CACHE: dict = {}
+_J50_TOKS_CACHE: dict = register_cache({})
 
 
 def _j50_corpus_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3626,7 +3660,7 @@ def _j50_corpus_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist()
         )
-        _J50_TOKS_CACHE[key] = t
+        cache_put(_J50_TOKS_CACHE, key, t)
     return t
 
 
@@ -3665,6 +3699,245 @@ def j50_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance pin)."""
     toks = _j50_corpus_toks(spark, sf_dir)
     return set_similarity_join(toks, _J50_TAU, assume_distinct=True)
+
+
+# ---------------------------------------------------------------------------
+# j50b/j50c: cardinality-routed set-similarity join — the low-τ answer
+# ---------------------------------------------------------------------------
+
+
+def ssj_candidate_estimate(
+    toks: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    assume_distinct: bool = False,
+) -> int:
+    """Upper bound on ``set_similarity_join``'s candidate volume:
+    Σ over prefix tokens t of C(pref_df(t), 2) — the row count the
+    prefix self-join would emit BEFORE the length/positional filters.
+    One partial-agg pass over the prefix index (token-df groupBy +
+    per-doc sort + prefix explode + one groupBy-sum), returned as a
+    bounded driver scalar: this is the capacity-planning number that
+    decides whether the exact join is affordable, computed without
+    paying for it.  Deterministic and integer-valued, so an oracle can
+    replay the routing decision exactly (the j38 discipline)."""
+    _, prefix = _prefix_index(toks, tau, id_col, tok_col, assume_distinct)
+    row = (
+        prefix.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+        .agg(F.expr("sum((pdf * (pdf - 1)) div 2)").alias("e"))
+        .first()
+    )
+    return int(row["e"] or 0)
+
+
+def jaccard_join_routed(
+    toks: DataFrame,
+    tau: float,
+    cand_budget: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    assume_distinct: bool = False,
+    force_route: str | None = None,
+) -> DataFrame:
+    """ONE entry point for Jaccard pair search that picks the EXACT
+    prefix-filtered join (j50) or the MinHash-LSH banded join with
+    exact verify (j3's machinery) by ESTIMATED candidate volume —
+    VERDICT r8's top ask, closing the recorded low-τ boundary: round 8
+    measured j50's τ=0.5 contract exhausting 60 GB of shuffle at sf10
+    because a recall-heavy exact contract's Σ C(pref_df, 2) is
+    intrinsic, and left "route low-τ to banding" as docstring
+    guidance.  This makes the routing CODE, j38-style: the estimate is
+    a deterministic integer (``ssj_candidate_estimate``), the branch
+    is a pure comparison against ``cand_budget``, and registered
+    queries replay estimate + branch + both release definitions in
+    their oracle, so a Spark-side routing regression mismatches even
+    when both branches are individually correct.
+
+    Contract by branch (declared in the released ``route`` column):
+    ``exact`` releases ALL pairs with J >= tau (no false negatives);
+    ``lsh`` releases band-colliding pairs verified to J >= tau — the
+    LSH recall trade (a pair missing every band is lost), the same
+    contract j3 ships and the standard one at the scale where exact
+    is unaffordable.  False positives are impossible on either branch
+    (both verify exactly).
+
+    100 TB shape: the estimate is one partial-agg pass; the exact
+    branch is j50's bounded prefix join; the LSH branch is a band-key
+    groupBy join (never docs²) whose banding derives from j3's
+    constants.  The budget maps to executor memory: candidates ×
+    ~24 bytes/row per shuffle partition."""
+    route = force_route
+    est = None
+    if route is None:
+        est = ssj_candidate_estimate(toks, tau, id_col, tok_col, assume_distinct)
+        route = "exact" if est <= cand_budget else "lsh"
+    if route == "exact":
+        out = set_similarity_join(
+            toks, tau, id_col, tok_col, assume_distinct=assume_distinct
+        )
+        return out.withColumn("route", F.lit("exact"))
+    # LSH branch: j3's banding over shingle SETS rebuilt from the token
+    # table (collect_set — minhash is set-semantics, order-free), band
+    # self-join for candidates, exact Jaccard verify.
+    sh = (
+        toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("shingles"))
+    )
+    banded = banded_signatures(sh)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b")),
+            "b_id",
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        verified.filter(jac >= tau)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jac, 6).alias("jaccard"),
+            F.lit("lsh").alias("route"),
+        )
+    )
+
+
+# Oracle replay of the routing estimate: the same (df asc, tok asc)
+# global order, ceil prefix length, and Σ C(pref_df, 2) integer sum the
+# engine computes — pdf*(pdf-1) is always even, so the integer halving
+# is exact on both engines.
+_J50B_EST_CTES = f"""
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfreq AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+ord AS (SELECT i.doc_id, i.g, d.df,
+               ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g) AS pos,
+               COUNT(*) OVER (PARTITION BY i.doc_id) AS sz
+        FROM inv i JOIN dfreq d ON d.g = i.g),
+pref AS (SELECT * FROM ord WHERE pos <= sz - CEIL({_J50_TAU} * sz) + 1),
+est AS (SELECT COALESCE(SUM((pdf * (pdf - 1)) // 2), 0) AS e
+        FROM (SELECT COUNT(*) AS pdf FROM pref GROUP BY g))"""
+
+
+def _j50_routed_oracle(budget: int) -> str:
+    """j38-style routed oracle: BOTH release definitions (the exact
+    exhaustive referee and j3's structural band replay) are defined,
+    and the replayed integer estimate guards which one emits rows."""
+    exact_rel = f"""
+exact_rel AS (
+  SELECT a_id, b_id,
+         ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard,
+         'exact' AS route
+  FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id) c
+  JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+        / len(list_distinct(list_concat(x.s, y.s))) >= {_J50_TAU}
+)"""
+    # j3's band replay, re-based on this corpus's `sh`/`inv` CTEs.
+    perms = _perm_constants(_MINHASH_PERMS)
+    r = _MINHASH_PERMS // _MINHASH_BANDS
+    min_cols = ",\n         ".join(
+        f"MIN(({a} * hv + {b}) % {_MERSENNE}) AS m{p}" for p, (a, b) in enumerate(perms)
+    )
+    bandrows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {cols} FROM mins".format(
+            band=band,
+            cols=", ".join(f"m{band * r + i} AS x{i}" for i in range(r)),
+        )
+        for band in range(_MINHASH_BANDS)
+    )
+    band_eq = " AND ".join(f"a.x{i} = b.x{i}" for i in range(r))
+    lsh_rel = f"""
+hv AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MERSENNE} AS hv
+       FROM inv),
+mins AS (SELECT doc_id,
+         {min_cols}
+         FROM hv GROUP BY doc_id),
+bandrows AS (
+{bandrows}
+),
+lsh_rel AS (
+  SELECT a_id, b_id,
+         ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard,
+         'lsh' AS route
+  FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bandrows a JOIN bandrows b
+          ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id) c
+  JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+        / len(list_distinct(list_concat(x.s, y.s))) >= {_J50_TAU}
+)"""
+    return f"""{_J3_CORPUS_CTES},
+{_J50B_EST_CTES},
+{exact_rel},
+{lsh_rel}
+SELECT * FROM exact_rel WHERE (SELECT e FROM est) <= {budget}
+UNION ALL
+SELECT * FROM lsh_rel WHERE (SELECT e FROM est) > {budget}
+"""
+
+
+# j50b's budget is the PRODUCTION number: 1e9 candidate rows ≈ 24 GB of
+# shuffle — affordable on a cluster stage, the recorded disk boundary on
+# this single node was well past it.  At the shipped gate SFs the
+# estimate sits far below it (measured: ~2.5k at sf0.01), so the gate
+# attests the exact branch; the sf1→sf10 sweep is where the router
+# flips (BASELINE.md round 9).  j50c pins the budget BELOW the sf0.01
+# estimate so the gate also attests the LSH branch and the guard's
+# other side — same engine, same oracle template, different constant.
+_J50B_BUDGET = 1_000_000_000
+_J50C_BUDGET = 1_000
+
+
+@register("j50b_jaccard_routed", oracle=_j50_routed_oracle(_J50B_BUDGET))
+def j50b_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j50b (extension): ``jaccard_join_routed`` at τ=0.5 over the
+    j50 planted corpus with the production candidate budget (1e9) —
+    the gate SFs route EXACT (estimate replayed in the oracle guard),
+    and the same registered query flips to the LSH contract at the
+    scale where round 8 recorded the exact contract exhausting disk.
+    See ``jaccard_join_routed``."""
+    toks = _j50_corpus_toks(spark, sf_dir)
+    return jaccard_join_routed(
+        toks, _J50_TAU, _J50B_BUDGET, assume_distinct=True
+    )
+
+
+@register("j50c_jaccard_routed_lsh", oracle=_j50_routed_oracle(_J50C_BUDGET))
+def j50c_jaccard_routed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j50c (extension): j50b's twin with the budget pinned BELOW the
+    gate-SF estimate, so the driver gate attests the ROUTER's other
+    branch — the LSH-banded candidate join with exact verify — and the
+    guard comparison from the far side.  The oracle replays the same
+    estimate and flips to the band-replay release (the j3 structural
+    oracle) under the same comparison.  See ``jaccard_join_routed``."""
+    toks = _j50_corpus_toks(spark, sf_dir)
+    return jaccard_join_routed(
+        toks, _J50_TAU, _J50C_BUDGET, assume_distinct=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3765,12 +4038,120 @@ def j51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _containment_candidates(
+    toks: DataFrame,
+    c: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    assume_distinct: bool = False,
+    positional: bool = True,
+    df_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate stage of ``containment_join``, exposed (like
+    ``_ssj_candidates``) so the positional/length filters' and the
+    df-cap's candidate-volume reductions are testable and a capacity
+    planner can COUNT candidates without the verify.  Returns
+    (toks, cand) with cand = (a_id, b_id, a_sz).
+
+    The candidate join is prefix(A) ⋈ the FULL position-annotated
+    token table on token.  Two EXACT filters ride the join condition
+    (both evaluate inside the token-equality join, so pruned pairs
+    never reach the candidate-distinct shuffle — the stage that
+    exhausted disk in the round-8 sf10 sweep):
+
+    * length: |B| >= c·|A| (containment needs |A∩B| <= |B|);
+    * positional (the containment form of PPJoin's bound): if the
+      joined token t, at 1-based positions (i, j) of A's and B's
+      shared global order, is the pair's FIRST common token, then the
+      whole intersection sits at-or-after it on both sides, so
+      |A∩B| <= 1 + min(|A|−i, |B|−j); requiring that bound >= c·|A|
+      keeps every true pair because the first common token is the
+      MINIMAL intersection token in the global order and the prefix is
+      a down-set of that order — the first-common-token occurrence is
+      always generated and always passes.  Hot tokens sort LATE in the
+      order (high df ⇒ high j ⇒ small |B|−j), so this is precisely the
+      filter that starves high-df tokens of candidate fan-out.
+      The −1e-9 slack keeps a float-ulp wobble in c·|A| from rounding
+      the bound past an exactly-boundary pair (the j50 discipline).
+
+    ``df_cap`` is the EXPLICIT RECALL CONTRACT (VERDICT r8 item 1, the
+    round-8 docstring knob as code): tokens with df > cap are dropped
+    from BOTH sides of candidate GENERATION (never from verification).
+    The capped result is exactly the pairs with containment >= c whose
+    FIRST common token is sub-cap (first-common-token t0 of any pair
+    discoverable via some sub-cap prefix token t sorts at-or-before t
+    in the df-ascending order, so df(t0) <= df(t) <= cap — the cap
+    only loses pairs whose entire overlap evidence is hot tokens).
+    That is a CONTRACT CHANGE, not an optimization: registered capped
+    queries replay the cap structurally in their oracle (the j3
+    band-replay pattern) rather than claiming the exhaustive pair
+    set."""
+    toks, per_doc = _ordered_tokens(toks, id_col, tok_col, assume_distinct)
+    pref_len = (F.col("sz") - F.ceil(F.lit(c) * F.col("sz")) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p0", "p"),
+    ).select(
+        "doc_id",
+        "sz",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("p.tok").alias("tok"),
+        F.col("p.df").alias("df"),
+    )
+    # Positions are assigned in the UNCAPPED global order (the cap must
+    # not shift positions, or the positional bound loses its meaning).
+    full = per_doc.select(
+        "doc_id",
+        "sz",
+        F.posexplode("ord_toks").alias("p0", "p"),
+    ).select(
+        "doc_id",
+        "sz",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("p.tok").alias("tok"),
+        F.col("p.df").alias("df"),
+    )
+    if df_cap is not None:
+        prefix = prefix.filter(F.col("df") <= int(df_cap))
+        full = full.filter(F.col("df") <= int(df_cap))
+    need = F.lit(c) * F.col("a.sz") - F.lit(1e-9)
+    cond = (F.col("a.tok") == F.col("b.tok")) & (
+        F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    if positional:
+        cond = (
+            cond
+            & (F.col("b.sz") >= need)
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= need
+            )
+        )
+    cand = (
+        prefix.alias("a")
+        .join(full.alias("b"), cond)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("a_sz"),
+        )
+        .distinct()
+    )
+    return toks, cand
+
+
 def containment_join(
     toks: DataFrame,
     c: float,
     id_col: str = "doc_id",
     tok_col: str = "tok",
     assume_distinct: bool = False,
+    positional: bool = True,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT directed CONTAINMENT self-join: ordered pairs (A, B),
     A ≠ B, with |A∩B| / |A| >= c — "A is (nearly) contained in B".
@@ -3786,33 +4167,25 @@ def containment_join(
     token list (no prefix exists for the containee-unbounded side).
     Candidates therefore come from prefix(A) ⋈ full(B) on token —
     still df-bounded because A's prefix holds A's RAREST tokens.
-    Length filter |B| >= c·|A| rides the verify (|A∩B| <= |B|).
-
     Plan: the j50 machinery with one asymmetric join — token df
     groupBy, per-doc (df, tok)-sorted arrays, prefix explode for the
-    LEFT side only, candidate join against the full token table,
-    exact intersection via the row-local array_intersect verify
-    (candidate-row-bounded shuffle, like j50's — never the
-    Σ|A|-per-candidate token re-join), map-side containment filter.
-    100 TB note: if a common token's df explodes the candidate set,
-    df-cap the FULL side (drop tokens with df > D from candidate
-    GENERATION only — exactness then needs every doc to keep >= 1
-    sub-cap prefix token, which the df-ascending order maximizes);
-    verification always uses the uncapped lists."""
-    toks, prefix = _prefix_index(toks, c, id_col, tok_col, assume_distinct)
-    cand = (
-        prefix.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.sz").alias("a_sz"),
-        )
-        .distinct()
+    LEFT side only, candidate join against the position-annotated full
+    token table with the EXACT length (|B| >= c·|A|) and positional
+    (1 + min(|A|−i, |B|−j) >= c·|A|) filters inside the join condition
+    — see ``_containment_candidates`` for the safety argument; both
+    prune BEFORE the candidate-distinct shuffle, which is the stage
+    round 8 measured exhausting sf10 disk.  Verification is the
+    row-local array_intersect over the candidate-row-bounded shuffle
+    (never the Σ|A|-per-candidate token re-join).
+
+    ``df_cap`` (VERDICT r8 item 1, the round-8 docstring knob as
+    code) drops tokens with df > cap from candidate GENERATION on
+    both sides — an EXPLICIT RECALL CONTRACT (pairs whose first
+    common token is sub-cap), not an optimization; see
+    ``_containment_candidates``.  Verification always uses the
+    uncapped lists."""
+    toks, cand = _containment_candidates(
+        toks, c, id_col, tok_col, assume_distinct, positional, df_cap
     )
     arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("tok")).alias("ts"))
     inter = (
@@ -3868,6 +4241,68 @@ def j52_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle table as j50."""
     toks = _j50_corpus_toks(spark, sf_dir)
     return containment_join(toks, _J52_C, assume_distinct=True)
+
+
+# j52b's cap: shingles in more than _J52B_DF_CAP docs are dropped from
+# candidate generation.  64 ≈ 30× the planted twin multiplicity (a
+# planted pair's discriminative shingles have df 2-4 at every SF), so
+# on THIS corpus the capped release equals the exhaustive one — but
+# that equality is a corpus fact, not the contract, so the oracle
+# replays the CAP (prefix + df filter + positional bound) structurally
+# rather than borrowing j52's exhaustive referee.
+_J52B_DF_CAP = 64
+
+# Structural replay of the capped candidate generation (the j3
+# band-replay pattern): same (df asc, tok asc) global order (ROW_NUMBER
+# vs the engine's per-row array_sort — identical because (df, tok) is
+# unique within a doc), same ceil prefix length, same df cap on BOTH
+# sides, same length + positional bounds with the same −1e-9 slack,
+# exact containment verify on the uncapped shingle lists.  A Spark-side
+# regression in any of those stages mismatches even when the released
+# pairs happen to equal the exhaustive set.
+_J52B_ORACLE = f"""{_J3_CORPUS_CTES},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfreq AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+ord AS (SELECT i.doc_id, i.g, d.df,
+               ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g) AS pos,
+               COUNT(*) OVER (PARTITION BY i.doc_id) AS sz
+        FROM inv i JOIN dfreq d ON d.g = i.g),
+pref AS (SELECT * FROM ord
+         WHERE pos <= sz - CEIL({_J52_C} * sz) + 1 AND df <= {_J52B_DF_CAP}),
+fullt AS (SELECT * FROM ord WHERE df <= {_J52B_DF_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM pref a JOIN fullt b
+           ON a.g = b.g AND a.doc_id != b.doc_id
+          AND b.sz >= {_J52_C} * a.sz - 1e-9
+          AND 1 + LEAST(a.sz - a.pos, b.sz - b.pos) >= {_J52_C} * a.sz - 1e-9)
+SELECT a_id, b_id,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s), 6) AS containment
+FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id
+WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= {_J52_C}
+"""
+
+
+@register("j52b_containment_capped", oracle=_J52B_ORACLE)
+def j52b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j52b (extension): j52's release under the EXPLICIT df-cap
+    contract — the round-8 "docstring knob" as registered CODE
+    (VERDICT r8 item 1).  Candidate generation drops every shingle
+    with df > 64 from both join sides, which removes exactly the
+    Σ pref_df(t)·df(t) hot terms that exhausted sf10 disk in round 8;
+    the contract narrows to "pairs whose first common token is
+    sub-cap" (see ``_containment_candidates`` — the cap only loses
+    pairs whose entire overlap evidence is hot tokens, the LSH-banding
+    style of trade).  The oracle replays the capped generation
+    structurally, so the recall trade-off itself is hash-checked; a
+    property test separately pins capped == uncapped on this corpus
+    (df 2-4 planted shingles, cap 64 — equality is a corpus fact, not
+    the contract).
+
+    Delegates to ``containment_join(df_cap=_J52B_DF_CAP)``."""
+    toks = _j50_corpus_toks(spark, sf_dir)
+    return containment_join(
+        toks, _J52_C, assume_distinct=True, df_cap=_J52B_DF_CAP
+    )
 
 
 # ---------------------------------------------------------------------------

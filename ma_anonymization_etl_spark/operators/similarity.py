@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.functions.vectors import as_double, cosine, dot, norm
+from ma_anonymization_etl_spark.operators.session_cache import cache_put, register_cache
 from ma_anonymization_etl_spark.registry import register
 from ma_anonymization_etl_spark.sources.io import load
 
@@ -191,7 +192,7 @@ def _j9b_planes(bands: int, bits: int) -> list[list[float]]:
 # for one plan.  Persisting the 2-column signature table pins the
 # matmul to one execution and makes repeat invocations measure steady
 # state.
-_J9B_SIG_CACHE: dict = {}
+_J9B_SIG_CACHE: dict = register_cache({})
 
 
 @register(
@@ -331,7 +332,7 @@ def _j9b_corpus_cand(
         sig = corpus.mapInPandas(
             signatures, "vec_id BIGINT, band BIGINT"
         ).persist()
-        cached = _J9B_SIG_CACHE[cache_key] = (sig, n_corpus)
+        cached = cache_put(_J9B_SIG_CACHE, cache_key, (sig, n_corpus))
     sig, n_corpus = cached
     # One row per candidate pair straight out of the band join (groupBy
     # == distinct's partial-agg plan, written explicitly); the pair list

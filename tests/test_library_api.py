@@ -65,6 +65,9 @@ DELEGATES = {
     # round-7 additions
     "f6_skyline_pareto": "skyline_2d",
     "j50_jaccard_prefix_join": "set_similarity_join",
+    "j50b_jaccard_routed": "jaccard_join_routed",
+    "j50c_jaccard_routed_lsh": "jaccard_join_routed",
+    "j52b_containment_capped": "containment_join",
     "j51_weighted_sample": "weighted_sample_topk",
     "j52_containment_join": "containment_join",
     "j53_incremental_dedup": "incremental_dedup",

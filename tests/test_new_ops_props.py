@@ -1438,3 +1438,202 @@ def test_j9d_fast_verify_releases_same_pairs_as_j9b(spark):
     want = {(r.a_id, r.b_id) for r in j9b_sim_pair_lsh(spark, SF_SMOKE).collect()}
     got = {(r.a_id, r.b_id) for r in j9d_sim_pair_lsh_fast(spark, SF_SMOKE).collect()}
     assert got == want and got
+
+
+def test_j9d_candidate_cosines_clear_tau_boundary(spark):
+    """ADVICE r8: j9d's numpy verify reduces dots in SIMD order, which
+    can differ from the oracle's sequential fold only in the last ulps
+    — membership can flip ONLY for a candidate whose exact cosine sits
+    within ~1e-12 of tau.  Pin the corpus gap: at the gated SFs every
+    candidate pair's cosine must clear tau by a wide margin, so a
+    corpus/jitter change that drifts a pair near the boundary fails
+    HERE (named) instead of flaking the driver gate."""
+    from ma_anonymization_etl_spark.functions.vectors import dot, norm
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J9B_TAU,
+        _j9b_corpus_cand,
+    )
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        corpus, cand, _ = _j9b_corpus_cand(spark, sf)
+        va = corpus.select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+            norm(F.col("v")).alias("na"),
+        )
+        vb = corpus.select(
+            F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+            norm(F.col("v")).alias("nb"),
+        )
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        gap = (
+            cand.join(va, "a_id").join(vb, "b_id")
+            .select(F.min(F.abs(cos - F.lit(_J9B_TAU))).alias("g"))
+            .first()["g"]
+        )
+        assert gap is not None and gap > 1e-6, (
+            f"{sf}: a candidate cosine sits {gap} from tau={_J9B_TAU} — "
+            "inside SIMD-reduction wobble range; re-pin the corpus or "
+            "exact-recheck boundary pairs"
+        )
+
+
+def test_session_caches_bounded_per_sf_dir(spark):
+    """ADVICE r8: the persist caches must hold ONE (app, sf_dir)
+    generation — switching corpora evicts and unpersists the old
+    entries instead of growing executor storage without bound."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J50_TOKS_CACHE,
+        _j50_corpus_toks,
+    )
+
+    t_small = _j50_corpus_toks(spark, SF_SMOKE)
+    assert t_small.storageLevel.useMemory
+    _j50_corpus_toks(spark, SF_ORACLE)
+    dirs = {k[1] for k in _J50_TOKS_CACHE}
+    assert dirs == {SF_ORACLE}, f"stale generations survived: {dirs}"
+    assert not t_small.storageLevel.useMemory, "evicted entry stayed persisted"
+    # and back, so later tests in the session reuse the smoke corpus
+    _j50_corpus_toks(spark, SF_SMOKE)
+
+
+def test_sequence_packing_rejects_non_integral_ids(spark):
+    """ADVICE r8: range bucketing narrows the engine to integral ids —
+    a string id must raise the named TypeError, not misbucket."""
+    import pytest
+
+    from ma_anonymization_etl_spark.operators.llm import sequence_packing
+
+    d = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "doc_id string, n_tok long"
+    )
+    with pytest.raises(TypeError, match="integral doc_id"):
+        sequence_packing(d, seq_len=8)
+
+
+def test_j52_positional_filter_exact_and_prunes(spark):
+    """The containment positional/length filters (round 9) must prune
+    candidates WITHOUT changing the released pairs — exactness is the
+    contract; the reduction is the point."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _containment_candidates,
+        _j50_corpus_toks,
+        containment_join,
+    )
+
+    toks = _j50_corpus_toks(spark, SF_SMOKE)
+    plain = {
+        (r.a_id, r.b_id, r.containment)
+        for r in containment_join(
+            toks, 0.9, assume_distinct=True, positional=False
+        ).collect()
+    }
+    pos = {
+        (r.a_id, r.b_id, r.containment)
+        for r in containment_join(toks, 0.9, assume_distinct=True).collect()
+    }
+    assert pos == plain and pos
+    _, cu = _containment_candidates(toks, 0.9, assume_distinct=True, positional=False)
+    _, cp = _containment_candidates(toks, 0.9, assume_distinct=True, positional=True)
+    nu, np_ = cu.count(), cp.count()
+    assert np_ < nu, f"positional filter pruned nothing ({nu} -> {np_})"
+
+
+def test_j52b_cap_contract_boundary_and_corpus_equality(spark):
+    """The df-cap is a RECALL CONTRACT: a pair whose entire overlap is
+    hot tokens is dropped (by design, like an LSH band miss), while a
+    pair with one sub-cap first-common token survives.  On the j50/j52
+    corpus the cap is inactive (planted shingle dfs 2-4 << 64), so
+    j52b must equal j52 there — a corpus fact the oracle difference
+    makes worth pinning."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J52B_DF_CAP,
+        containment_join,
+        j52_containment_join,
+        j52b_containment_capped,
+    )
+
+    # synthetic: docs 0/1 overlap ONLY via hot tokens (df = 6 > cap 5);
+    # docs 10/11 share one rare token among their overlap.
+    rows = []
+    for d in range(6):  # h0..h9 hot in 6 docs
+        for t in range(10):
+            rows.append((d, f"h{t}"))
+    # doc 0 and 1 are identical (all hot) -> containment 1.0 via hot only
+    rows += [(10, f"h{t}") for t in range(9)] + [(10, "rare1")]
+    rows += [(11, f"h{t}") for t in range(9)] + [(11, "rare1"), (11, "rare2")]
+    toks = spark.createDataFrame(rows, "doc_id long, tok string")
+    uncapped = {
+        (r.a_id, r.b_id) for r in containment_join(toks, 0.9).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in containment_join(toks, 0.9, df_cap=5).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) not in capped  # hot-only pair lost
+    assert (10, 11) in capped  # sub-cap first-common token survives
+    assert capped <= uncapped
+
+    a = {
+        (r.a_id, r.b_id, r.containment)
+        for r in j52_containment_join(spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r.a_id, r.b_id, r.containment)
+        for r in j52b_containment_capped(spark, SF_SMOKE).collect()
+    }
+    assert _J52B_DF_CAP == 64 and a == b and a
+
+
+def test_j50_router_branches_and_decision(spark):
+    """j38-style routing for the set-similarity join (VERDICT r8 item
+    1): forced branches must equal their reference engines exactly;
+    the free decision must follow the replayable estimate-vs-budget
+    comparison on the gated corpora."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J50B_BUDGET,
+        _J50C_BUDGET,
+        _J50_TAU,
+        _j50_corpus_toks,
+        j3_dedup_near_minhash,
+        j50_jaccard_prefix_join,
+        jaccard_join_routed,
+        ssj_candidate_estimate,
+    )
+
+    toks = _j50_corpus_toks(spark, SF_SMOKE)
+    exact = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in j50_jaccard_prefix_join(spark, SF_SMOKE).collect()
+    }
+    forced_exact = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in jaccard_join_routed(
+            toks, _J50_TAU, 0, assume_distinct=True, force_route="exact"
+        ).collect()
+    }
+    assert forced_exact == exact and exact
+
+    # the LSH branch is j3's machinery over the same corpus: same
+    # banding, same exact verify -> identical released pair set.
+    lsh_ref = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in j3_dedup_near_minhash(spark, SF_SMOKE).collect()
+    }
+    forced_lsh = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in jaccard_join_routed(
+            toks, _J50_TAU, 10**18, assume_distinct=True, force_route="lsh"
+        ).collect()
+    }
+    assert forced_lsh == lsh_ref and lsh_ref
+
+    est = ssj_candidate_estimate(toks, _J50_TAU, assume_distinct=True)
+    assert est > _J50C_BUDGET, "j50c must take the LSH branch at smoke SF"
+    assert est <= _J50B_BUDGET, "j50b must take the exact branch at smoke SF"
+    routes = {
+        r.route
+        for r in jaccard_join_routed(
+            toks, _J50_TAU, _J50C_BUDGET, assume_distinct=True
+        ).select("route").distinct().collect()
+    }
+    assert routes == {"lsh"}
