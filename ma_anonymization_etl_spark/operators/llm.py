@@ -2052,6 +2052,222 @@ def dup_ngram_coverage(
     )
 
 
+def substring_dedup_release(
+    docs: DataFrame,
+    ngram: int = 8,
+    mask_min: float = 0.15,
+    drop_min: float = 0.6,
+) -> DataFrame:
+    """j32b's engine: substring-level dedup as an ACTION (VERDICT r8
+    item 3) — j32 measures per-doc duplicated-``ngram``-gram coverage
+    (Lee et al., ACL 2022); this MATERIALIZES the release a training
+    pipeline actually runs on that statistic:
+
+    * ``dup_frac >= drop_min``  → the doc is DROPPED (text_out NULL);
+    * ``dup_frac >= mask_min``  → the doc is MASKED: every word covered
+      by at least one duplicated gram occurrence is removed and the
+      remaining words are re-joined — span removal, not doc removal;
+    * otherwise                 → KEPT verbatim (lowercased — gram
+      semantics are lowercase, so the release is too).
+
+    One row per input doc: (doc_id, action, n_grams, n_dup, dup_frac,
+    n_words, n_words_masked, text_out) — the kept/dropped/masked
+    funnel is a COUNT over ``action`` and every span decision is
+    replayable, so the whole action (not just the statistic) is
+    hash-checkable.
+
+    Plan shape: gram document-frequency is the j32 pair-join-free
+    two-shuffle core (distinct doc-grams → df groupBy → per-doc agg);
+    masking joins the POSITIONAL gram occurrences to the df>=2 gram
+    set (gram-keyed shuffle, O(total grams)), explodes each hit to its
+    ≤ ``ngram`` covered word positions (bounded ×n blowup), distincts
+    per (doc, position), and rebuilds text ROW-LOCALLY with an
+    index-aware transform+filter over the word array — no
+    single-partition stage anywhere, nothing quadratic.  At 100 TB,
+    grams would be hash31_md5'd before the shuffles to cap key width
+    (same note as j32)."""
+    ws = words_of("text")
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    w = base.select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    ).withColumn("n_words", F.size("ws"))
+    # positional (non-distinct) gram occurrences: gram i covers words
+    # [i, i+ngram-1] (1-based), i in [1, max(n-ngram+1, 1)]
+    occ = w.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("n_words") - (ngram - 1), F.lit(1))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("ws", i, ngram)).alias("gr"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "n_words", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
+    dg = occ.select("doc_id", "gr").distinct()
+    dfq = dg.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        dg.join(dfq, "gr")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    # masked word positions: every position covered by a duplicated
+    # gram occurrence (distinct per doc)
+    mp = (
+        occ.join(dfq.filter(F.col("df") >= 2).select("gr"), "gr")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.collect_set("p").alias("mps"),
+        )
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_grams")
+    action = (
+        F.when(frac >= F.lit(float(drop_min)), F.lit("drop"))
+        .when(frac >= F.lit(float(mask_min)), F.lit("mask"))
+        .otherwise(F.lit("keep"))
+    )
+    rebuilt = F.concat_ws(
+        " ",
+        F.filter(
+            F.transform(
+                F.col("ws"),
+                lambda x, i: F.when(
+                    F.array_contains(F.col("mps"), i + F.lit(1)), F.lit(None)
+                ).otherwise(x),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    out = (
+        w.join(stats, "doc_id")
+        .join(mp, "doc_id", "left")
+        .withColumn("action", action)
+    )
+    return out.select(
+        "doc_id",
+        "action",
+        "n_grams",
+        "n_dup",
+        F.round(frac, 6).alias("dup_frac"),
+        "n_words",
+        F.when(F.col("action") == "drop", F.col("n_words"))
+        .when(F.col("action") == "mask", F.coalesce(F.col("n_masked"), F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_words_masked"),
+        F.when(F.col("action") == "drop", F.lit(None).cast("string"))
+        .when(F.col("action") == "mask", rebuilt)
+        .otherwise(F.col("text"))
+        .alias("text_out"),
+    )
+
+
+# j32b's planted corpus: each doc gets a twin (doc_id + 300000) made of
+# the doc's FIRST 16 WORDS followed by the doc's words REVERSED — the
+# shared 16-word head duplicates exactly the head's 8-grams in both
+# docs (span-maskable boilerplate), while the reversed tail's grams are
+# unique (word salad reversed is a fresh gram stream).  Doc lengths
+# 10-99 then spread dup_frac across the keep/mask/drop bands: short
+# docs are head-only (frac 1.0 → drop), long docs dilute (→ keep),
+# the middle masks.
+_J32B_CORPUS_CTES = """
+WITH orig AS (SELECT doc_id, lower(text) AS t FROM documents),
+tw AS (SELECT doc_id + 300000 AS doc_id,
+              array_to_string(string_split(t, ' ')[1:16], ' ') || ' ' ||
+              array_to_string(list_reverse(string_split(t, ' ')), ' ') AS t
+       FROM orig),
+corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM tw)"""
+
+_J32B_ORACLE = f"""{_J32B_CORPUS_CTES},
+w AS (SELECT doc_id, t, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n_words
+      FROM corpus),
+occ AS (SELECT doc_id, n_words, u.pos,
+               array_to_string(ws[u.pos:u.pos+7], ' ') AS gr
+        FROM w, LATERAL unnest(range(1, greatest(n_words - 7, 1) + 1)) u(pos)),
+dg AS (SELECT DISTINCT doc_id, gr FROM occ),
+dfq AS (SELECT gr, COUNT(*) AS df FROM dg GROUP BY gr),
+stats AS (SELECT doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM dg JOIN dfq USING (gr) GROUP BY doc_id),
+mp AS (SELECT DISTINCT o.doc_id, u.p
+       FROM occ o JOIN dfq ON o.gr = dfq.gr AND dfq.df >= 2,
+            LATERAL unnest(range(o.pos, o.pos + 8)) u(p)),
+mstat AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked FROM mp GROUP BY doc_id),
+allpos AS (SELECT w.doc_id, u.p, ws[u.p] AS word
+           FROM w, LATERAL unnest(range(1, n_words + 1)) u(p)),
+keptw AS (SELECT a.doc_id,
+                 COALESCE(string_agg(a.word, ' ' ORDER BY a.p), '') AS rebuilt
+          FROM allpos a LEFT JOIN mp ON mp.doc_id = a.doc_id AND mp.p = a.p
+          WHERE mp.p IS NULL GROUP BY a.doc_id),
+rel AS (
+  SELECT w.doc_id,
+         CASE WHEN n_dup::DOUBLE / n_grams >= 0.6 THEN 'drop'
+              WHEN n_dup::DOUBLE / n_grams >= 0.15 THEN 'mask'
+              ELSE 'keep' END AS action,
+         n_grams, n_dup,
+         ROUND(n_dup::DOUBLE / n_grams, 6) AS dup_frac,
+         CAST(n_words AS INTEGER) AS n_words,
+         w.t, COALESCE(k.rebuilt, '') AS rebuilt,
+         COALESCE(m.n_masked, 0) AS n_masked
+  FROM w JOIN stats ON stats.doc_id = w.doc_id
+  LEFT JOIN mstat m ON m.doc_id = w.doc_id
+  LEFT JOIN keptw k ON k.doc_id = w.doc_id)
+SELECT doc_id, action, n_grams, n_dup, dup_frac, n_words,
+       CAST(CASE WHEN action = 'drop' THEN n_words
+                 WHEN action = 'mask' THEN n_masked
+                 ELSE 0 END AS BIGINT) AS n_words_masked,
+       CASE WHEN action = 'drop' THEN NULL
+            WHEN action = 'mask' THEN rebuilt
+            ELSE t END AS text_out
+FROM rel
+"""
+
+
+@register("j32b_substring_dedup", oracle=_J32B_ORACLE)
+def j32b_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j32b (extension): substring-level dedup as an ACTION over a
+    planted head-duplicated corpus — every doc plus a twin whose first
+    16 words repeat the doc's head and whose tail is the doc reversed
+    (boilerplate-with-fresh-content, the shape Lee et al.'s
+    exact-substring dedup targets).  Docs above 60% duplicated-8-gram
+    coverage drop, docs above 15% get their duplicated SPANS removed
+    (the masked text itself is released and hash-checked word for
+    word), the rest keep.  j37/j26 act at doc/segment granularity;
+    this is the span-granularity member of the dedup action family.
+
+    Delegates to ``substring_dedup_release``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    ws = F.split("text", " ")
+    twin = d.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(ws, 1, 16)),
+            F.lit(" "),
+            F.concat_ws(" ", F.reverse(ws)),
+        ).alias("text"),
+    )
+    return substring_dedup_release(d.unionByName(twin), ngram=8)
+
+
 @register(
     "j34_grouped_split",
     oracle="""
@@ -3900,15 +4116,18 @@ SELECT * FROM lsh_rel WHERE (SELECT e FROM est) > {budget}
 """
 
 
-# j50b's budget is the PRODUCTION number: 1e9 candidate rows ≈ 24 GB of
-# shuffle — affordable on a cluster stage, the recorded disk boundary on
-# this single node was well past it.  At the shipped gate SFs the
-# estimate sits far below it (measured: ~2.5k at sf0.01), so the gate
-# attests the exact branch; the sf1→sf10 sweep is where the router
-# flips (BASELINE.md round 9).  j50c pins the budget BELOW the sf0.01
-# estimate so the gate also attests the LSH branch and the guard's
-# other side — same engine, same oracle template, different constant.
-_J50B_BUDGET = 1_000_000_000
+# j50b's budget is calibrated to the EXACT branch's real unit cost: the
+# verify join ships each candidate with BOTH per-doc token arrays
+# (~KB/row on this corpus), so candidates — not bytes — are the budget
+# currency, and round 8's measured boundary ("shuffle spill > 60 GB" at
+# sf10/τ=0.5) sits at an estimate of 1.78e8 while sf1 (completed in
+# 136 s, round 7) sits at 1.8e7 (both measured round 9, BASELINE.md).
+# 5e7 splits the decade: the gate SFs (estimate ~2e4) and sf1 route
+# exact; sf10 flips to the LSH contract exactly where exact was
+# measured dying.  j50c pins the budget BELOW the sf0.01 estimate so
+# the gate also attests the LSH branch and the guard's other side —
+# same engine, same oracle template, different constant.
+_J50B_BUDGET = 50_000_000
 _J50C_BUDGET = 1_000
 
 

@@ -1637,3 +1637,53 @@ def test_j50_router_branches_and_decision(spark):
         ).select("route").distinct().collect()
     }
     assert routes == {"lsh"}
+
+
+def test_j32b_substring_dedup_action_planted(spark):
+    """Planted-duplicate property for the span-masking ACTION: two long
+    docs share an 8-word boilerplate head and nothing else -> exactly
+    those 8 words must be masked from each, short full twins drop, a
+    unique doc keeps verbatim, and the funnel counts add up."""
+    from ma_anonymization_etl_spark.operators.llm import substring_dedup_release
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    u1 = " ".join(f"u{i}" for i in range(40))
+    u2 = " ".join(f"v{i}" for i in range(40))
+    uniq = " ".join(f"w{i}" for i in range(40))
+    dup = " ".join(f"d{i}" for i in range(10))
+    rows = [
+        (1, f"{boiler} {u1}"),
+        (2, f"{boiler} {u2}"),
+        (3, uniq),
+        (4, dup),
+        (5, dup),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_dedup_release(
+            d, ngram=8, mask_min=0.02, drop_min=0.9
+        ).collect()
+    }
+
+    # docs 4/5: every gram duplicated -> drop, text gone
+    for i in (4, 5):
+        assert out[i].action == "drop" and out[i].text_out is None
+        assert out[i].n_words_masked == out[i].n_words == 10
+    # doc 3: untouched
+    assert out[3].action == "keep" and out[3].text_out == uniq
+    assert out[3].n_words_masked == 0
+    # docs 1/2: only the boilerplate head's single shared 8-gram is
+    # duplicated (grams overlapping the unique tail differ), so words
+    # 1..8 are masked and the unique tail survives verbatim
+    for i, tail in ((1, u1), (2, u2)):
+        r = out[i]
+        assert r.action == "mask", r
+        assert r.n_words_masked == 8
+        assert r.text_out == tail
+        assert r.n_dup == 1
+    # funnel accounting
+    from collections import Counter
+
+    funnel = Counter(r.action for r in out.values())
+    assert funnel == {"drop": 2, "mask": 2, "keep": 1}
