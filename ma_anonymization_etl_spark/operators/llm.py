@@ -4525,6 +4525,144 @@ def j52b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# j54: BM25 retrieval scoring — the standard search/decontamination scorer
+# ---------------------------------------------------------------------------
+
+_J54_K1 = 1.2
+_J54_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k1: float = _J54_K1,
+    b: float = _J54_B,
+    k: int = 100,
+) -> DataFrame:
+    """j54's engine: Okapi BM25 (Robertson et al., TREC-3) top-``k``
+    retrieval over ``docs`` (doc_id, text) for ``query_terms`` — the
+    saturating-tf, length-normalized scorer a decontamination or
+    search user reaches for after j6's raw tf·idf (VERDICT r8 item 6).
+    When ``query_terms`` is None the query is the corpus's 5 most
+    frequent words (count desc, word asc — a deterministic, replayable
+    derivation; 5 scalar rows collected at plan-build time, the
+    j38/i43 bounded-driver-scalar discipline).
+
+    Cross-engine exactness (the j30 micro-nat treatment, extended):
+    the only implementation-defined float op is ln, so per-term IDF =
+    ln((N − df + ½)/(df + ½) + 1) is quantized ONCE to integer
+    micro-nats; the tf saturation factor tf·(k1+1)/(tf + k1·(1 − b +
+    b·dl/avgdl)) is pure IEEE +,−,×,÷ over integers and one shared
+    avgdl double — bit-identical on any IEEE engine given the same
+    expression tree, which the oracle mirrors token for token — and
+    each per-term contribution is floored to an integer BEFORE the
+    per-doc sum, so the sum is order-free.  Released score unit:
+    micro-BM25 (int64).
+
+    Plan shape: term stats are two vocab-bounded partial aggs; the
+    query filter is a pushed-down isin over ≤ |q| literals; scoring
+    joins the per-doc tf of query terms (|q|·N_docs rows worst case)
+    against a BROADCAST 5-row idf table and the per-doc length table;
+    top-k is TakeOrderedAndProject (per-partition heap, no global
+    sort), rank windows over the k released rows only.  Nothing
+    shuffles more than (docs × |q|) rows."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    if query_terms is None:
+        cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        query_terms = [
+            r["tok"]
+            for r in cnt.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(5)
+            .collect()
+        ]
+    qtoks = toks.filter(F.col("tok").isin(query_terms))
+    dfq = qtoks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = dfq.crossJoin(F.broadcast(st)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf6"),
+        "avgdl",
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", F.floor(F.col("idf6") * sat).cast("long").alias("c6"))
+    )
+    sc = contrib.groupBy("doc_id").agg(F.sum("c6").alias("bm25_micro"))
+    topk = sc.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+_J54_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+q AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 5),
+dfq AS (SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks
+              WHERE tok IN (SELECT tok FROM q))
+        GROUP BY tok),
+idf AS (SELECT tok,
+               CAST(ROUND(ln(((SELECT n FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+                          * 1000000) AS BIGINT) AS idf6
+        FROM dfq),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(idf6 * ((t.tf * {_J54_K1 + 1.0!r}) /
+              (t.tf + {_J54_K1!r} * (1.0 - {_J54_B!r} + {_J54_B!r} * d.dl
+                                 / (SELECT avgdl FROM st))))) AS BIGINT) AS c6
+  FROM tf t JOIN idf USING (tok) JOIN dl d ON d.doc_id = t.doc_id),
+sc AS (SELECT doc_id, CAST(SUM(c6) AS BIGINT) AS bm25_micro
+       FROM contrib GROUP BY doc_id),
+top AS (SELECT doc_id, bm25_micro FROM sc
+        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 100)
+SELECT doc_id, bm25_micro,
+       ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+FROM top
+"""
+
+
+@register("j54_bm25_topk", oracle=_J54_ORACLE)
+def j54_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j54 (extension): BM25 top-100 documents for the corpus's 5 most
+    frequent words — saturating tf (k1=1.2) and length normalization
+    (b=0.75) over the j4/j6 token machinery, released in exact integer
+    micro-BM25 so the driver hash matches bit-for-bit across engines.
+    See ``bm25_topk``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return bm25_topk(d)
+
+
+# ---------------------------------------------------------------------------
 # j53: incremental (batch-vs-corpus) near-dedup — the ingestion path
 # ---------------------------------------------------------------------------
 

@@ -1687,3 +1687,41 @@ def test_j32b_substring_dedup_action_planted(spark):
 
     funnel = Counter(r.action for r in out.values())
     assert funnel == {"drop": 2, "mask": 2, "keep": 1}
+
+
+def test_j54_bm25_semantics(spark):
+    """BM25 fundamentals on a controlled corpus: tf saturation raises
+    (sub-linearly) with term frequency, length normalization favours
+    the shorter doc at equal tf, and a doc without query terms never
+    appears."""
+    from ma_anonymization_etl_spark.operators.llm import bm25_topk
+
+    filler1 = " ".join(f"f{i}" for i in range(18))
+    filler2 = " ".join(f"g{i}" for i in range(18))
+    long_fill = " ".join(f"h{i}" for i in range(38))
+    rows = [
+        (1, f"apple apple apple {filler1[:-6]}"),   # tf=3, dl~20
+        (2, f"apple {filler1} x"),                   # tf=1, dl=20
+        (3, f"apple {long_fill} y"),                 # tf=1, dl=40 (longer)
+        (4, f"{filler2} zz qq"),                     # no query term
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_topk(d, query_terms=["apple"], k=10).collect()}
+    assert 4 not in out
+    assert out[1].bm25_micro > out[2].bm25_micro  # higher tf wins
+    assert out[2].bm25_micro > out[3].bm25_micro  # shorter doc wins at equal tf
+    assert [r for r in sorted(out.values(), key=lambda r: r.rank)][0].doc_id == 1
+    # saturation: tf=3 must score LESS than 3x the tf=1 score
+    assert out[1].bm25_micro < 3 * out[2].bm25_micro
+
+
+def test_j54_registered_query_smoke(spark):
+    from ma_anonymization_etl_spark.operators.llm import j54_bm25_topk
+
+    out = j54_bm25_topk(spark, SF_SMOKE)
+    rows = out.collect()
+    assert 0 < len(rows) <= 100
+    ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r.bm25_micro for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
