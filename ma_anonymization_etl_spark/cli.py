@@ -115,6 +115,48 @@ def _load_input(spark: SparkSession, src: Mapping[str, Any]) -> DataFrame:
     return df
 
 
+# Aux consumers that only OBSERVE the aux table (semi/anti joins,
+# violation counts) and can never project its columns into the working
+# schema — safe without a columns declaration on the aux input.  Any
+# other step touching an aux (today: enrich_join, which DOES project)
+# requires the aux to declare columns, and the projected columns join
+# the main config for the DI-coverage gate (ADVICE r8: aux_inputs must
+# not become a side door around the DI refusal).
+AUX_OBSERVE_ONLY_OPS = {"decontaminate_filter", "constraint_report"}
+
+
+def _merged_columns_cfg(route: Mapping[str, Any]) -> Mapping[str, str] | None:
+    """The route's columns config, extended with the declared role of
+    every aux column an enrich_join projects into the working table.
+    Refuses (a) projecting steps on an aux with no columns block and
+    (b) projected aux columns missing from that block."""
+    cfg = dict(route.get("columns", {}))
+    aux_cfg = route.get("aux_inputs", {})
+    for step in route.get("steps", []):
+        if "aux" not in step or not isinstance(step["aux"], str):
+            continue
+        if step.get("op") in AUX_OBSERVE_ONLY_OPS:
+            continue
+        name = step["aux"]
+        declared = aux_cfg.get(name, {}).get("columns")
+        if declared is None:
+            raise SystemExit(
+                f"route error: step {step.get('op')!r} projects columns from "
+                f"aux input {name!r}, which has no columns declaration — "
+                "refusing to bypass the DI-coverage gate"
+            )
+        projected = step.get("cols", [])
+        undeclared = [c for c in projected if c not in declared]
+        if undeclared:
+            raise SystemExit(
+                f"route error: aux input {name!r} does not declare roles for "
+                f"projected columns {undeclared}"
+            )
+        for c in projected:
+            cfg[c] = declared[c]
+    return cfg or None
+
+
 def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
     df = _load_input(spark, route["input"])
     # Named auxiliary inputs for two-table steps (decontaminate_filter
@@ -123,8 +165,9 @@ def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
         name: _load_input(spark, src)
         for name, src in route.get("aux_inputs", {}).items()
     }
-    if "columns" in route:
-        _check_di_covered(route["columns"], route.get("steps", []))
+    merged_cfg = _merged_columns_cfg(route)
+    if merged_cfg is not None:
+        _check_di_covered(merged_cfg, route.get("steps", []))
     out = anonymize_pipeline(df, route.get("steps", []), tables=tables)
     sink = route.get("output")
     if sink:

@@ -216,15 +216,15 @@ def _step_decontaminate_filter(
     return df.join(keep, id_col, "left_semi")
 
 
-def _step_constraint_report(df, checks, aux=None):
+def _step_constraint_report(df, checks, aux=None, tables=None):
     """Terminal release: (check_name, n_violations) over the route's
     working table.  Each JSON check is {"name", "type": "unique"|
     "violation"|"fk", "col"|"predicate"|"child_key"+"parent_key"} —
-    predicates are SQL strings so routes serialize.  "fk" checks need
-    the route to declare ONE aux input as the parent table (the step's
-    {"aux": "<name>"}); the child is always the working table.
-    Several fks against different parents → call the library function
-    directly."""
+    predicates are SQL strings so routes serialize.  "fk" checks name
+    their parent: either the step-level {"aux": "<name>"} (one shared
+    parent, the round-8 form) or a per-check {"parent_aux": "<name>"}
+    — a SUITE of fks against several parents in one step (VERDICT r8
+    item 5); the child is always the working table."""
     from ma_anonymization_etl_spark.operators.quality import run_constraint_checks
 
     compiled = []
@@ -233,16 +233,53 @@ def _step_constraint_report(df, checks, aux=None):
         if c["type"] == "violation":
             c["predicate"] = F.expr(c["predicate"])
         if c["type"] == "fk":
-            if aux is None:
+            parent = aux
+            pname = c.pop("parent_aux", None)
+            if pname is not None:
+                if not tables or pname not in tables:
+                    raise ValueError(
+                        f"fk check {c.get('name')!r} references parent_aux "
+                        f"{pname!r} but the route declares aux_inputs: "
+                        f"{sorted(tables or {})}"
+                    )
+                parent = tables[pname]
+            if parent is None:
                 raise ValueError(
-                    f"fk check {c.get('name')!r} needs the step to declare an "
-                    "aux input as the parent table"
+                    f"fk check {c.get('name')!r} needs a parent table: either "
+                    "the step-level aux or a per-check parent_aux"
                 )
-            c["child"], c["parent"] = df, aux
+            c["child"], c["parent"] = df, parent
         else:
             c["df"] = df
         compiled.append(c)
     return run_constraint_checks(compiled)
+
+
+def _step_enrich_join(df, aux, on, cols, how="left"):
+    """Aux-joined ENRICHMENT: project ``cols`` from the ``aux`` table
+    onto the working table by equality on ``on`` ({child_col:
+    parent_col}).  The aux side is reduced to join keys + projected
+    columns and BROADCAST — the route-config shape of the classic
+    fact × dimension join (c1), never a shuffle of the working table.
+    ``how`` is left (default — enrichment must not drop working rows)
+    or inner.  DI safety is enforced by the route runner: an
+    enrich_join aux must carry a columns declaration and the merged
+    config goes through the same DI-coverage gate as the main input
+    (cli._check_di_covered)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"enrich_join: how must be left|inner, got {how!r}")
+    keys = dict(on)
+    missing = [c for c in list(keys.values()) + list(cols) if c not in aux.columns]
+    if missing:
+        raise ValueError(f"enrich_join: aux table lacks columns {missing}")
+    aux_sel = aux.select(*dict.fromkeys(list(keys.values()) + list(cols)))
+    cond = None
+    for ck, pk in keys.items():
+        eq = df[ck] == aux_sel[pk]
+        cond = eq if cond is None else (cond & eq)
+    out = df.join(F.broadcast(aux_sel), cond, how)
+    drop_keys = [k for k in keys.values() if k not in cols]
+    return out.drop(*[aux_sel[k] for k in drop_keys]) if drop_keys else out
 
 
 def _step_fd_report(df, dependencies):
@@ -294,7 +331,13 @@ STEPS = {
     "domain_quota_filter": _step_domain_quota_filter,
     "constraint_report": _step_constraint_report,
     "fd_report": _step_fd_report,
+    "enrich_join": _step_enrich_join,
 }
+
+# Steps that may consume SEVERAL named aux tables; anonymize_pipeline
+# hands them the full `tables` mapping so per-item references
+# (constraint_report's parent_aux) resolve at run time.
+TABLES_AWARE_OPS = {"constraint_report"}
 
 # Ops whose OUTPUT contains only their group key and release metrics —
 # the DI-coverage guard treats them as an implicit projection down to
@@ -333,5 +376,7 @@ def anonymize_pipeline(
                     f"declares aux_inputs: {sorted(tables or {})}"
                 )
             params["aux"] = tables[name]
+        if op in TABLES_AWARE_OPS:
+            params["tables"] = tables
         out = STEPS[op](out, **params)
     return out
