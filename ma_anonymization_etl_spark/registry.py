@@ -65,20 +65,18 @@ DRIVER_WINDOW = [
     "c2_join_shuffle",
     "c6_join_range_theta",
     "c7_join_asof",
-    "d19_quantile_binning",
     "f6_skyline_pareto",
     "g4_except",
-    # extension flagships (round-8 rotation #3 swapped six long-green
-    # entries — d18, n11, f4, h6, j38, j44 — for the round-8 surface
-    # p7b/p8/j9c/j9d/j31/j29: new engines and rewrites belong inside
-    # the gate)
+    # extension flagships (round-9 rotation #4 swapped five long-green
+    # entries — d19, q9, i42, j14, j23 — for the round-9 surface
+    # j50b/j50c/j52b/j32b/j54: new engines and contracts belong inside
+    # the gate; round-8's p7b/p8/j9c/j9d/j31/j29 stay one more round)
     "p7b_cc_altstar",
     "p8_kcore",
     "j9c_lsh_band_plan",
     "j9d_sim_pair_lsh_fast",
     "j31_sequence_packing",
     "j29_decontamination",
-    "i42_t_closeness_enforce",
     "p1b_pagerank_converged",
     "p7_connected_components",
     # sources / sinks (3)
@@ -105,17 +103,19 @@ DRIVER_WINDOW = [
     # the round-7 operators f6/d19/i43/j50-j53/p7/q8/q9: the newest
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
     "j50_jaccard_prefix_join",
+    "j50b_jaccard_routed",
+    "j50c_jaccard_routed_lsh",
     "j51_weighted_sample",
     "j52_containment_join",
+    "j52b_containment_capped",
+    "j32b_substring_dedup",
+    "j54_bm25_topk",
     "j43b_kmeans_converged",
     "j3_dedup_near_minhash",
     "j9b_sim_pair_lsh",
-    "j14_text_quality_score",
-    "j23_dedup_clusters",
     "j53_incremental_dedup",
     # events / streaming (3)
     "q8_ewma_anomaly",
-    "q9_mad_outliers",
     "q10_seasonal_anomaly",
     "k3_win_session_batch",
     "k9_stream_anonymize",
