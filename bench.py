@@ -68,6 +68,14 @@ HEADLINE = [
     "p7b_cc_altstar",
     "p8_kcore",
     "j9d_sim_pair_lsh_fast",
+    # Round-9 additions (BASELINE.md round-9 note): the cardinality-
+    # routed jaccard join (exact branch at bench SF), the df-capped
+    # containment contract, substring-dedup-as-action, and BM25 —
+    # appended so every earlier subtotal stays comparable.
+    "j50b_jaccard_routed",
+    "j52b_containment_capped",
+    "j32b_substring_dedup",
+    "j54_bm25_topk",
 ]
 
 
