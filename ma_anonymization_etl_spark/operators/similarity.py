@@ -1180,10 +1180,12 @@ def _km_sql_recompute(src_a: str) -> str:
   GROUP BY cl, pos) GROUP BY cl)"""
 
 
-def _km_sql_chain() -> str:
+def _km_sql_chain(k_expr: str = str(_KM_K)) -> str:
     """CTE chain e -> c0 -> a1 -> c1 -> a2 -> c2 -> a3 (expects an `e`
-    CTE with (vec_id, v) to exist)."""
-    parts = [f"c0 AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < {_KM_K})"]
+    CTE with (vec_id, v) to exist).  ``k_expr`` is the seed-count SQL
+    expression — the fixed _KM_K for j43/j43b, a derived scalar
+    subquery for j44 (cell-size-targeted k)."""
+    parts = [f"c0 AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < {k_expr})"]
     prev_c = "c0"
     for i in range(1, _KM_ROUNDS + 1):
         parts.append(f"a{i} AS {_km_sql_assign('e', prev_c)}")
@@ -1228,13 +1230,13 @@ def _km_recompute(assign: DataFrame) -> DataFrame:
     )
 
 
-def _km_fit(corpus: DataFrame):
+def _km_fit(corpus: DataFrame, k: int = _KM_K):
     """Run the deterministic Lloyd loop; returns (final_assign, cents).
     The corpus is checkpointed on entry: three assignments and two
     recomputes would otherwise each re-derive its full lineage (for
     j44 that is load + cast + sin-perturbation + union, ~5 times)."""
     corpus = corpus.localCheckpoint(eager=True)
-    cents = corpus.filter(F.col("vec_id") < _KM_K).select(
+    cents = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cl"), F.col("v").alias("cent")
     )
     for _ in range(_KM_ROUNDS):
@@ -1295,6 +1297,17 @@ def j43_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# j44's k is DERIVED (VERDICT r8's docstring-vs-code lesson, applied
+# here after the round-9 sf1 sweep OOM'd the fixed-k=8 version): cells
+# target ~_J44_CELL_TARGET vectors, so the per-cell gram matrix stays
+# ~target^2*8B regardless of corpus size; k = max(_KM_K, ceil(n /
+# target)).  The oracle re-derives the same k from COUNT(*) (integer
+# ceil via (n + t - 1) // t — no float), so the derivation itself is
+# gate-attested (the j9c/i43/j38 discipline).  At the gate SFs k
+# collapses to the old constant 8, keeping the release unchanged.
+_J44_CELL_TARGET = 10_000
+
+
 @register(
     "j44_semantic_dedup",
     oracle=f"""
@@ -1306,7 +1319,10 @@ e AS (
          list_transform(v, x -> x * (1 + 0.1 * sin(orig_id + x * 1000)))
   FROM e0
 ),
-{_km_sql_chain()},
+kd AS (SELECT GREATEST({_KM_K},
+              (COUNT(*) + {_J44_CELL_TARGET} - 1) // {_J44_CELL_TARGET}) AS k
+       FROM e),
+{_km_sql_chain("(SELECT k FROM kd)")},
 a AS (SELECT * FROM a{_KM_ROUNDS + 1}),
 dropped AS (
   SELECT x.cl, x.vec_id
@@ -1353,7 +1369,11 @@ def j44_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = e0.select(F.col("orig_id").alias("vec_id"), "v").unionByName(pert)
-    assign, _ = _km_fit(corpus)
+    # one metadata-cheap count derives k (bounded driver scalar, the
+    # j38 discipline); integer ceil, replayed by the oracle's kd CTE
+    n = corpus.count()
+    k = max(_KM_K, (n + _J44_CELL_TARGET - 1) // _J44_CELL_TARGET)
+    assign, _ = _km_fit(corpus, k=k)
     assign = assign.localCheckpoint(eager=False)  # pair scan reads it twice
 
     def cell_pairs(pdf):

@@ -1725,3 +1725,33 @@ def test_j54_registered_query_smoke(spark):
     assert ranks == list(range(1, len(rows) + 1))
     scores = [r.bm25_micro for r in sorted(rows, key=lambda r: r.rank)]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_j44_cell_target_derives_k(spark):
+    """Round-9 OOM lesson: j44's k must grow with the corpus so cells
+    stay ~_J44_CELL_TARGET vectors (the fixed k=8 version OOM'd the
+    sf1 sweep building 125k-vector gram matrices).  The derivation is
+    integer-exact and collapses to the old constant at gate SFs."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J44_CELL_TARGET,
+        _KM_K,
+        _km_fit,
+    )
+
+    assert _J44_CELL_TARGET == 10_000
+    for n, want in ((400, 8), (10_000, 8), (80_001, 9), (400_000, 40)):
+        k = max(_KM_K, (n + _J44_CELL_TARGET - 1) // _J44_CELL_TARGET)
+        assert k == want, (n, k)
+    # _km_fit honors a larger k: more distinct seeds -> >8 clusters
+    import pyspark.sql.functions as F
+
+    corpus = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1) % 7).cast("double") + F.lit(0.1)
+                      for i in range(4)]).alias("v"),
+        )
+    )
+    assign, cents = _km_fit(corpus, k=16)
+    assert cents.count() == 16
