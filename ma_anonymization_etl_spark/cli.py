@@ -122,7 +122,7 @@ def _load_input(spark: SparkSession, src: Mapping[str, Any]) -> DataFrame:
 # requires the aux to declare columns, and the projected columns join
 # the main config for the DI-coverage gate (ADVICE r8: aux_inputs must
 # not become a side door around the DI refusal).
-AUX_OBSERVE_ONLY_OPS = {"decontaminate_filter", "constraint_report"}
+AUX_OBSERVE_ONLY_OPS = {"decontaminate_filter", "constraint_report", "bm25_filter"}
 
 
 def _merged_columns_cfg(route: Mapping[str, Any]) -> Mapping[str, str] | None:

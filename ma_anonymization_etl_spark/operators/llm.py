@@ -4568,6 +4568,23 @@ def bm25_topk(
     shuffles more than (docs × |q|) rows."""
     from pyspark.sql import Window
 
+    sc = bm25_scores(docs, query_terms, k1, b)
+    topk = sc.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k1: float = _J54_K1,
+    b: float = _J54_B,
+) -> DataFrame:
+    """Per-doc integer micro-BM25 scores for ``query_terms`` (docs with
+    no query term are absent — their score is zero by definition).
+    The scoring core shared by ``bm25_topk`` (retrieval) and the
+    ``bm25_filter`` route step (decontamination); see ``bm25_topk``
+    for the cross-engine exactness argument."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -4584,7 +4601,7 @@ def bm25_topk(
             .limit(5)
             .collect()
         ]
-    qtoks = toks.filter(F.col("tok").isin(query_terms))
+    qtoks = toks.filter(F.col("tok").isin(list(query_terms)))
     dfq = qtoks.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -4611,10 +4628,25 @@ def bm25_topk(
         .join(dl, "doc_id")
         .select("doc_id", F.floor(F.col("idf6") * sat).cast("long").alias("c6"))
     )
-    sc = contrib.groupBy("doc_id").agg(F.sum("c6").alias("bm25_micro"))
-    topk = sc.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
-    return topk.withColumn("rank", F.row_number().over(w))
+    return contrib.groupBy("doc_id").agg(F.sum("c6").alias("bm25_micro"))
+
+
+def top_terms(docs: DataFrame, n_terms: int, text_col: str = "text") -> list[str]:
+    """The ``n_terms`` most frequent whitespace tokens of ``docs``
+    (count desc, token asc — deterministic), collected as a bounded
+    driver scalar (the j38/i43 discipline).  The query-derivation step
+    of BM25 retrieval and BM25 decontamination."""
+    cnt = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return [
+        r["tok"]
+        for r in cnt.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(int(n_terms))
+        .collect()
+    ]
 
 
 _J54_ORACLE = f"""

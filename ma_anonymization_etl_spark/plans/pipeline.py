@@ -216,6 +216,32 @@ def _step_decontaminate_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def _step_bm25_filter(
+    df, aux, id_col="doc_id", text_col="text",
+    n_terms=10, max_score_micro=2_000_000,
+):
+    """BM25-scored decontamination (the j54 stretch item): derive the
+    ``n_terms`` most frequent words of the ``aux`` benchmark corpus
+    (bounded driver scalar), score every working-table doc against
+    them with the integer micro-BM25 core, and DROP docs scoring above
+    ``max_score_micro`` — the retrieval-grade complement of
+    decontaminate_filter's exact n-gram overlap: saturating tf and
+    length normalization rank short benchmark-wordy docs that raw
+    overlap fractions miss.  Docs with no query term score 0 and
+    always survive."""
+    from ma_anonymization_etl_spark.operators.llm import bm25_scores, top_terms
+
+    terms = top_terms(aux, n_terms, text_col=text_col)
+    scores = bm25_scores(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        query_terms=terms,
+    )
+    hot = scores.filter(F.col("bm25_micro") > max_score_micro).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(hot, id_col, "left_anti")
+
+
 def _step_constraint_report(df, checks, aux=None, tables=None):
     """Terminal release: (check_name, n_violations) over the route's
     working table.  Each JSON check is {"name", "type": "unique"|
@@ -326,6 +352,7 @@ STEPS = {
     "quality_filter": _step_quality_filter,
     "lang_filter": _step_lang_filter,
     "decontaminate_filter": _step_decontaminate_filter,
+    "bm25_filter": _step_bm25_filter,
     "split_assign": _step_split_assign,
     "group_sample_exact_k": _step_group_sample_exact_k,
     "domain_quota_filter": _step_domain_quota_filter,

@@ -378,3 +378,32 @@ def test_route_enrich_join_undeclared_projected_column_refused(spark):
     }
     with pytest.raises(SystemExit, match="does not declare roles"):
         run_route(spark, route)
+
+
+def test_route_bm25_filter_step(spark):
+    """The j54 stretch: BM25-scored decontamination as a route step —
+    docs saturated with the benchmark corpus's vocabulary drop, docs
+    sharing no vocabulary survive untouched."""
+    import pyspark.sql.functions as SF
+
+    bench_rows = [(100 + i, "alpha beta gamma delta " * 8) for i in range(4)]
+    work_rows = [
+        (1, "alpha beta gamma delta alpha beta gamma delta alpha beta"),
+        (2, " ".join(f"w{i}" for i in range(30))),
+        (3, "alpha " + " ".join(f"z{i}" for i in range(40))),
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    work = spark.createDataFrame(work_rows, "doc_id long, text string")
+
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    out = anonymize_pipeline(
+        work,
+        [{"op": "bm25_filter", "aux": "bench", "n_terms": 4,
+          "max_score_micro": 3_000_000}],
+        tables={"bench": bench},
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 not in kept, "benchmark-saturated doc must drop"
+    assert {2, 3} <= kept, "clean / barely-overlapping docs must survive"
+    assert out.columns == work.columns
