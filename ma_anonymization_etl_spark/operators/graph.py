@@ -78,11 +78,22 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int | None 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (both-direction) edge list, checkpointed once for reuse
-    across iterative rounds (the j23 connected-components discipline)."""
+    across iterative rounds (the j23 connected-components discipline).
+
+    Storage is DISK_ONLY (serialized), not the default deserialized
+    MEMORY_AND_DISK: the UNFILTERED co-purchase list is the largest
+    object in the P family (~Σ C(order_size, 2) rows — order of the
+    fact table itself), and the round-9 sf10 sweep measured the
+    deserialized form OOM-ing a 24 GB heap via GCLocker-pinned 512 MB
+    partition arrays while every per-round consumer streams it
+    exactly once anyway.  On a real cluster this is `checkpoint()` to
+    reliable storage — same shape."""
+    from pyspark import StorageLevel
+
     pairs = _copurchase_pairs(spark, sf_dir)
     return pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def _p1_oracle() -> str:
