@@ -1760,3 +1760,49 @@ def test_j44_cell_target_derives_k(spark):
     assign, cents = _km_fit(corpus, k=16)
     n_cl = cents.count()
     assert 8 < n_cl <= 16, n_cl  # seeds honored (empty cells may collapse)
+
+
+def test_j44b_arrow_assignment_equals_declarative(spark):
+    """The Arrow/BLAS Lloyd twin must release EXACTLY j44's accounting
+    (shared oracle notwithstanding — this pins engine-vs-engine), and
+    the near-tie re-adjudication must pick the declarative winner on a
+    constructed exact tie (two identical centroids' clusters -> lower
+    cl wins)."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _km_assign,
+        _km_assign_arrow,
+        j44_semantic_dedup,
+        j44b_semdedup_fast,
+    )
+
+    a = {
+        tuple(r) for r in j44_semantic_dedup(spark, SF_SMOKE).collect()
+    }
+    b = {
+        tuple(r) for r in j44b_semdedup_fast(spark, SF_SMOKE).collect()
+    }
+    assert a == b and a
+
+    # exact-tie corpus: centroids c0 == c2 (vec_id 0 and 2 identical),
+    # every vector equally close to both -> declarative tie-break (lower
+    # cl) must be reproduced by the arrow path's re-adjudication.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.7, 0.7, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0, 0.0]),
+        (12, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = corpus.filter("vec_id < 3").selectExpr("vec_id as cl", "v as cent")
+    want = {
+        (r.vec_id, r.cl) for r in _km_assign(corpus, cents).collect()
+    }
+    got = {
+        (r.vec_id, r.cl)
+        for r in _km_assign_arrow(corpus, cents.collect()).collect()
+    }
+    assert got == want
+    # the ties really landed on the LOWER cl (0, never 2)
+    assert all(cl != 2 for _, cl in got)

@@ -26,6 +26,7 @@ PYTHON_OK = {
     "j10b_knn_vectorized",  # deliberate Arrow/numpy perf twin of j10
     "j9b_sim_pair_lsh",  # LSH signatures via Arrow matmul; verify is declarative
     "j9d_sim_pair_lsh_fast",  # deliberate Arrow/numpy verify twin of j9b
+    "j44b_semdedup_fast",  # deliberate Arrow/BLAS Lloyd-assignment twin of j44
 }
 
 # Streaming queries execute eagerly (memory sink) — skip plan text checks.
