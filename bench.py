@@ -76,6 +76,7 @@ HEADLINE = [
     "j52b_containment_capped",
     "j32b_substring_dedup",
     "j54_bm25_topk",
+    "j44b_semdedup_fast",
 ]
 
 

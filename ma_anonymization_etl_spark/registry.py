@@ -67,9 +67,9 @@ DRIVER_WINDOW = [
     "c7_join_asof",
     "f6_skyline_pareto",
     "g4_except",
-    # extension flagships (round-9 rotation #4 swapped five long-green
-    # entries — d19, q9, i42, j14, j23 — for the round-9 surface
-    # j50b/j50c/j52b/j32b/j54: new engines and contracts belong inside
+    # extension flagships (round-9 rotation #4 swapped six long-green
+    # entries — d19, q9, i42, j14, j23, i8 — for the round-9 surface
+    # j50b/j50c/j52b/j32b/j54/j44b: new engines and contracts belong inside
     # the gate; round-8's p7b/p8/j9c/j9d/j31/j29 stay one more round)
     "p7b_cc_altstar",
     "p8_kcore",
@@ -90,7 +90,6 @@ DRIVER_WINDOW = [
     "i1_classify_columns",
     "i43_dp_topk",
     "i4_tokenize_consistent",
-    "i8_generalize_numeric",
     "i16_k_anonymity_metric",
     "i17_k_enforce_suppress",
     "i18_k_enforce_generalize",
@@ -110,6 +109,7 @@ DRIVER_WINDOW = [
     "j52b_containment_capped",
     "j32b_substring_dedup",
     "j54_bm25_topk",
+    "j44b_semdedup_fast",
     "j43b_kmeans_converged",
     "j3_dedup_near_minhash",
     "j9b_sim_pair_lsh",
