@@ -105,6 +105,10 @@ def test_query_delegates_to_public_df_function(qname, fname):
         "token_counts",
         "lang_id",
         "run_constraint_checks",
+        # the (vec_id, cl, v) assignment table IS the parameterization:
+        # thresholds live in the shared module constants both j44 twins
+        # must agree on
+        "semdedup_release",
     ), f"{fname} should be parameterized beyond the input DataFrame"
     assert fname in q.fn.__code__.co_names, (
         f"{qname} does not reference {fname} — it inlines its logic"
