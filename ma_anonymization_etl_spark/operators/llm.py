@@ -4694,6 +4694,139 @@ def j54_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d)
 
 
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k1: float = _J54_K1,
+    b: float = _J54_B,
+    k: int = 20,
+) -> DataFrame:
+    """Multi-query BM25 retrieval in ONE corpus pass (NEXT r9 item d):
+    ``queries`` is a small [(query_id, [terms...])] list (driver-held —
+    eval suites are dozens of queries, the j38 bounded-scalar shape).
+    Term statistics (df, idf, tf) are computed once over the UNION of
+    all query terms; each tf row then fans out only to the queries
+    containing its term (a broadcast join against the ≤ Σ|q| term
+    table), and per-(query, doc) scores aggregate the floored integer
+    contributions — so Q queries cost one corpus scan plus a
+    (docs × matched-terms) shuffle, not Q passes.  Top-``k`` per query
+    via a window PARTITIONED by query_id (the f4 shape, never global).
+    Cross-engine exactness: identical to ``bm25_topk`` (integer
+    micro-nats idf, IEEE-mirrored saturation, floor-before-sum)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qrows = [
+        (int(qid), tok) for qid, terms in queries for tok in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, tok string")
+    all_terms = sorted({tok for _, tok in qrows})
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(all_terms))
+    dfq = qtoks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = dfq.crossJoin(F.broadcast(st)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf6"),
+        "avgdl",
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qdf), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(F.col("idf6") * sat).cast("long").alias("c6"),
+        )
+    )
+    sc = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c6").alias("bm25_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25_micro", "rank")
+    )
+
+
+# j54b's queries: the corpus's top-15 words split into 3 query sets of
+# 5 (ranks 1-5, 6-10, 11-15 by count desc / token asc) — deterministic
+# and replayed by the oracle's ROW_NUMBER derivation, so the query
+# DERIVATION is gate-attested alongside the scoring.
+_J54B_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+q AS (SELECT tok,
+             CAST((ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1) // 5
+                  AS BIGINT) AS query_id
+      FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 15),
+dfq AS (SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks
+              WHERE tok IN (SELECT tok FROM q))
+        GROUP BY tok),
+idf AS (SELECT tok,
+               CAST(ROUND(ln(((SELECT n FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+                          * 1000000) AS BIGINT) AS idf6
+        FROM dfq),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(FLOOR(idf6 * ((t.tf * {_J54_K1 + 1.0!r}) /
+              (t.tf + {_J54_K1!r} * (1.0 - {_J54_B!r} + {_J54_B!r} * d.dl
+                                     / (SELECT avgdl FROM st))))) AS BIGINT) AS c6
+  FROM tf t JOIN idf USING (tok) JOIN q USING (tok)
+  JOIN dl d ON d.doc_id = t.doc_id),
+sc AS (SELECT query_id, doc_id, CAST(SUM(c6) AS BIGINT) AS bm25_micro
+       FROM contrib GROUP BY query_id, doc_id),
+top AS (SELECT query_id, doc_id, bm25_micro,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+        FROM sc)
+SELECT query_id, doc_id, bm25_micro, rank FROM top WHERE rank <= 20
+"""
+
+
+@register("j54b_bm25_multi", oracle=_J54B_ORACLE)
+def j54b_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j54b (extension): BM25 top-20 per query for THREE query sets
+    (the corpus's top-15 words in rank bands of 5) scored in one
+    corpus pass — the eval-suite retrieval shape.  The query
+    derivation, term statistics, and floored integer scores all replay
+    in the oracle.  See ``bm25_multi_topk``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    terms = top_terms(d, 15)
+    queries = [(i, terms[i * 5:(i + 1) * 5]) for i in range(3)]
+    return bm25_multi_topk(d, queries, k=20)
+
+
 # ---------------------------------------------------------------------------
 # j53: incremental (batch-vs-corpus) near-dedup — the ingestion path
 # ---------------------------------------------------------------------------

@@ -1806,3 +1806,32 @@ def test_j44b_arrow_assignment_equals_declarative(spark):
     assert got == want
     # the ties really landed on the LOWER cl (0, never 2)
     assert all(cl != 2 for _, cl in got)
+
+
+def test_j54b_multi_query_consistency(spark):
+    """Each query set's multi-pass ranking must equal the single-query
+    engine run with the same terms — one corpus pass may not change a
+    single score or rank."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        bm25_multi_topk,
+        bm25_topk,
+        top_terms,
+    )
+    from ma_anonymization_etl_spark.sources.io import load
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    terms = top_terms(d, 15)
+    queries = [(i, terms[i * 5:(i + 1) * 5]) for i in range(3)]
+    multi = bm25_multi_topk(d, queries, k=20).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, set()).add((r.doc_id, r.bm25_micro, r.rank))
+    assert set(by_q) == {0, 1, 2}
+    for qid, qterms in queries:
+        single = {
+            (r.doc_id, r.bm25_micro, r.rank)
+            for r in bm25_topk(d, query_terms=qterms, k=20).collect()
+        }
+        assert by_q[qid] == single, f"query {qid} diverged"
