@@ -42,7 +42,11 @@ from ma_anonymization_etl_spark.plans.pipeline import (
 from ma_anonymization_etl_spark.sources.io import load, write_parquet
 
 
-def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) -> None:
+def _check_di_covered(
+    cfg: Mapping[str, str],
+    steps: list[Mapping[str, Any]],
+    introduced_at: Mapping[str, int] | None = None,
+) -> None:
     """Refuse routes where a direct identifier survives to the output.
 
     A DI is covered only if (a) some UNCONDITIONAL rewrite step
@@ -56,8 +60,19 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
     down to its group key — which covers every DI EXCEPT a DI used as
     the group itself (publishing per-DI noisy stats still lists the DI
     values).  Merely referencing the DI as a step input is not coverage.
+
+    Coverage is ORDER-AWARE for aux-projected columns (ADVICE r9 high):
+    ``introduced_at`` maps column → index of the LAST enrich_join step
+    that projects it into the working table.  A covering step counts
+    only if it runs AFTER that introduction — a suppress_columns before
+    the join is a silent ``df.drop`` no-op on a not-yet-existing column,
+    and a select before the join is undone by the join re-adding the
+    column; both previously passed the gate while the output carried the
+    raw DI.  Main-input columns exist from step 0, so every step covers
+    them (index -1).
     """
     roles = classify_columns(cfg)
+    intro = introduced_at or {}
     # Ops that rewrite every value of `col` regardless of data/predicate.
     # NOT swap_within_group: a swap rewrites every row but publishes the
     # full multiset of raw values (only re-paired with other rows) — for
@@ -71,33 +86,30 @@ def _check_di_covered(cfg: Mapping[str, str], steps: list[Mapping[str, Any]]) ->
         # so no raw value survives — the unconditional claim holds.
         "microaggregate",
     }
-    transformed: set[str] = set()
-    for s in steps:
-        col = s.get("col")
-        if (col is not None and s.get("op") in unconditional_rewrites
-                and s.get("out", col) == col):
-            transformed.add(col)
-    dropped = {
-        c
-        for s in steps
-        if s.get("op") in ("suppress_columns", "null_columns")
-        for c in s["cols"]
-    }
-    kept: set[str] | None = None  # None = no select step, everything survives
-    for s in steps:
-        if s.get("op") == "select":
-            kept = set(s["cols"])  # last projection decides the output
-        elif s.get("op") in AGGREGATE_RELEASE_OPS:
-            # A release aggregate projects down to its group key(s):
-            # every other column is gone; the keys themselves survive (a
-            # per-DI noisy release still publishes the DI values).
-            # dp_* steps carry one "group"; cell_suppression a "qis" list.
-            kept = set(s["qis"]) if "qis" in s else {s["group"]}
-    uncovered = [
-        c for c in roles["di"]
-        if c not in transformed and c not in dropped
-        and (kept is None or c in kept)
-    ]
+
+    def covered(c: str) -> bool:
+        born = intro.get(c, -1)
+        kept: set[str] | None = None  # None = no projection after birth
+        for i, s in enumerate(steps):
+            if i <= born:
+                continue  # the column does not exist yet — step is a no-op on it
+            op = s.get("op")
+            if (op in unconditional_rewrites and s.get("col") == c
+                    and s.get("out", c) == c):
+                return True
+            if op in ("suppress_columns", "null_columns") and c in s["cols"]:
+                return True
+            if op == "select":
+                kept = set(s["cols"])  # last projection decides the output
+            elif op in AGGREGATE_RELEASE_OPS:
+                # A release aggregate projects down to its group key(s):
+                # every other column is gone; the keys themselves survive
+                # (a per-DI noisy release still publishes the DI values).
+                # dp_* steps carry one "group"; cell_suppression a "qis".
+                kept = set(s["qis"]) if "qis" in s else {s["group"]}
+        return kept is not None and c not in kept
+
+    uncovered = [c for c in roles["di"] if not covered(c)]
     if uncovered:
         raise SystemExit(
             f"route error: direct identifiers {uncovered} are not transformed, "
@@ -125,14 +137,20 @@ def _load_input(spark: SparkSession, src: Mapping[str, Any]) -> DataFrame:
 AUX_OBSERVE_ONLY_OPS = {"decontaminate_filter", "constraint_report", "bm25_filter"}
 
 
-def _merged_columns_cfg(route: Mapping[str, Any]) -> Mapping[str, str] | None:
+def _merged_columns_cfg(
+    route: Mapping[str, Any],
+) -> tuple[Mapping[str, str] | None, dict[str, int]]:
     """The route's columns config, extended with the declared role of
-    every aux column an enrich_join projects into the working table.
-    Refuses (a) projecting steps on an aux with no columns block and
-    (b) projected aux columns missing from that block."""
+    every aux column an enrich_join projects into the working table,
+    plus ``introduced_at``: column → index of the LAST projecting step
+    that introduces it (so the DI gate only credits covering steps that
+    run after the join — ADVICE r9).  Refuses (a) projecting steps on an
+    aux with no columns block and (b) projected aux columns missing from
+    that block."""
     cfg = dict(route.get("columns", {}))
     aux_cfg = route.get("aux_inputs", {})
-    for step in route.get("steps", []):
+    introduced_at: dict[str, int] = {}
+    for idx, step in enumerate(route.get("steps", [])):
         if "aux" not in step or not isinstance(step["aux"], str):
             continue
         if step.get("op") in AUX_OBSERVE_ONLY_OPS:
@@ -154,7 +172,8 @@ def _merged_columns_cfg(route: Mapping[str, Any]) -> Mapping[str, str] | None:
             )
         for c in projected:
             cfg[c] = declared[c]
-    return cfg or None
+            introduced_at[c] = idx  # last introduction wins
+    return (cfg or None), introduced_at
 
 
 def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
@@ -165,9 +184,9 @@ def run_route(spark: SparkSession, route: Mapping[str, Any]) -> DataFrame:
         name: _load_input(spark, src)
         for name, src in route.get("aux_inputs", {}).items()
     }
-    merged_cfg = _merged_columns_cfg(route)
+    merged_cfg, introduced_at = _merged_columns_cfg(route)
     if merged_cfg is not None:
-        _check_di_covered(merged_cfg, route.get("steps", []))
+        _check_di_covered(merged_cfg, route.get("steps", []), introduced_at)
     out = anonymize_pipeline(df, route.get("steps", []), tables=tables)
     sink = route.get("output")
     if sink:

@@ -2086,7 +2086,6 @@ def substring_dedup_release(
     single-partition stage anywhere, nothing quadratic.  At 100 TB,
     grams would be hash31_md5'd before the shuffles to cap key width
     (same note as j32)."""
-    ws = words_of("text")
     base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
     w = base.select(
         "doc_id", "text", F.split("text", " ").alias("ws")
@@ -4134,7 +4133,7 @@ _J50C_BUDGET = 1_000
 @register("j50b_jaccard_routed", oracle=_j50_routed_oracle(_J50B_BUDGET))
 def j50b_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j50b (extension): ``jaccard_join_routed`` at τ=0.5 over the
-    j50 planted corpus with the production candidate budget (1e9) —
+    j50 planted corpus with the production candidate budget (``_J50B_BUDGET`` = 5e7) —
     the gate SFs route EXACT (estimate replayed in the oracle guard),
     and the same registered query flips to the LSH contract at the
     scale where round 8 recorded the exact contract exhausting disk.

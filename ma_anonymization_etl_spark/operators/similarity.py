@@ -103,7 +103,13 @@ def j9_sim_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sin-noise, cos(v, v') ≈ 0.997).  Both engines derive the same corpus,
 # so the oracle's exhaustive pair join IS the equality-with-exhaustive
 # check for the LSH-composed plan.
-_J9B_OFF = 100000          # id offset for jittered copies
+# Round-10 fix (VERDICT r9 item 1 / NEXT item c): the old offset 100000
+# collided with original vec_ids at sf10 (200k originals → twins
+# 100000..299999 overlapped originals 100000..199999).  1e9 clears every
+# generated SF (sf10 max orig_id ≈ 2e5) while staying well inside int32,
+# so neither engine's types shift.  Bench history note in BASELINE.md —
+# j9b-family numbers before round 10 describe the colliding corpus.
+_J9B_OFF = 1_000_000_000   # id offset for jittered copies
 _J9B_TAU = 0.9             # near-dup threshold
 # Banding is DERIVED FROM CORPUS SIZE, not fixed (the round-7 sf10
 # sweep of the old fixed 16×12 constants was killed at ~55 min: 200k

@@ -298,6 +298,16 @@ def _step_enrich_join(df, aux, on, cols, how="left"):
     missing = [c for c in list(keys.values()) + list(cols) if c not in aux.columns]
     if missing:
         raise ValueError(f"enrich_join: aux table lacks columns {missing}")
+    # Refuse name collisions with the working table (ADVICE r9): a
+    # projected column that already exists would yield duplicate column
+    # names after the join — ambiguous references downstream, and the
+    # merged DI config's one-role-per-name assumption breaks.
+    clash = [c for c in cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"enrich_join: projected columns {clash} already exist in the "
+            "working table — rename or drop them before enriching"
+        )
     aux_sel = aux.select(*dict.fromkeys(list(keys.values()) + list(cols)))
     cond = None
     for ck, pk in keys.items():

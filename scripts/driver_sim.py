@@ -28,9 +28,12 @@ _parser = argparse.ArgumentParser(description=__doc__)
 _parser.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
 _parser.add_argument("--window", type=int, default=None,
                      help="restrict to the first N queries in registration order")
+_parser.add_argument("--only", default=None,
+                     help="comma-separated name substrings — run only matching queries")
 _cli = _parser.parse_args()
 SF_DIR = _cli.sf_dir
 WINDOW = _cli.window
+ONLY = _cli.only.split(",") if _cli.only else None
 
 
 def main() -> int:
@@ -56,6 +59,8 @@ def main() -> int:
     items = list(qs.items())  # registration order — the order the driver samples in
     if WINDOW is not None:
         items = items[:WINDOW]
+    if ONLY is not None:
+        items = [(n, q) for n, q in items if any(s in n for s in ONLY)]
         print(f"window: first {len(items)} queries in registration order")
     n_ok = n_fail = n_rows_only = 0
     for name, fn in items:

@@ -366,6 +366,65 @@ def test_route_enrich_join_di_projection_must_be_covered(spark):
     assert out.filter(F.length("p_name") != 64).count() == 0
 
 
+def test_route_enrich_join_di_coverage_is_order_aware(spark):
+    """ADVICE r9 (high): a covering step placed BEFORE the enrich_join
+    must NOT count — suppress_columns before the join is a silent
+    df.drop no-op on a not-yet-existing column, and a select before the
+    join is undone by the join re-adding the column.  Both shapes
+    previously passed the gate while the output carried the raw DI."""
+    base = {
+        "input": {"table": "lineitem", "sf_dir": SF_ORACLE,
+                  "where": "l_quantity >= 49"},
+        "columns": {"l_partkey": "keep"},
+        "aux_inputs": {"part": {"table": "part",
+                                "columns": {"p_partkey": "keep",
+                                            "p_name": "di"}}},
+    }
+    join = {"op": "enrich_join", "aux": "part",
+            "on": {"l_partkey": "p_partkey"}, "cols": ["p_name"]}
+
+    # Side door 1: suppress BEFORE the join — must refuse.
+    r1 = dict(base, steps=[
+        {"op": "suppress_columns", "cols": ["p_name"]}, join])
+    with pytest.raises(SystemExit, match="direct identifiers"):
+        run_route(spark, r1)
+
+    # Side door 2: select BEFORE the join excludes the DI — must refuse.
+    r2 = dict(base, steps=[
+        {"op": "select", "cols": ["l_partkey"]}, join])
+    with pytest.raises(SystemExit, match="direct identifiers"):
+        run_route(spark, r2)
+
+    # Covering step AFTER the join — accepted, and really covered.
+    r3 = dict(base, steps=[
+        join, {"op": "suppress_columns", "cols": ["p_name"]}])
+    out = run_route(spark, r3)
+    assert "p_name" not in out.columns
+
+    r4 = dict(base, steps=[join, {"op": "select", "cols": ["l_partkey"]}])
+    out = run_route(spark, r4)
+    assert out.columns == ["l_partkey"]
+
+
+def test_enrich_join_refuses_existing_column_names(spark):
+    """ADVICE r9 (low): projecting an aux column whose name already
+    exists in the working table would create duplicate column names —
+    refuse instead of producing ambiguous references downstream."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    work = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k int, p_brand string")
+    aux = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey int, p_brand string")
+    with pytest.raises(ValueError, match="already exist"):
+        anonymize_pipeline(
+            work,
+            [{"op": "enrich_join", "aux": "part",
+              "on": {"k": "p_partkey"}, "cols": ["p_brand"]}],
+            tables={"part": aux},
+        )
+
+
 def test_route_enrich_join_undeclared_projected_column_refused(spark):
     route = {
         "input": {"table": "lineitem", "sf_dir": SF_ORACLE,
