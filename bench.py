@@ -77,6 +77,9 @@ HEADLINE = [
     "j32b_substring_dedup",
     "j54_bm25_topk",
     "j44b_semdedup_fast",
+    # round-10 additions (BASELINE.md round-10 note)
+    "j55_ann_routed",
+    "j56_maximal_dup_spans",
 ]
 
 

@@ -56,6 +56,10 @@ def cache_put(cache: dict, key: tuple, value: Any) -> Any:
     gen = key[:2]
     for k in [k for k in cache if k[:2] != gen]:
         _unpersist_value(cache.pop(k))
+    # Same-key overwrite must not leak the old persisted value (the
+    # routed-prefix cache overwrites its single key per routed call).
+    if key in cache:
+        _unpersist_value(cache.pop(key))
     cache[key] = value
     return value
 

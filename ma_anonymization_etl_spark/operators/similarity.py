@@ -670,12 +670,23 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (the inverted-file cell), then search only within the
     query's cell — candidates drop from N to N/#cells.  Centroids are
     6-dp-rounded per-dimension means, so both engines fold identical
-    doubles.  Top-3 neighbours for the first 10 query vectors."""
-    from pyspark.sql import Window
-
+    doubles.  Top-3 neighbours for the first 10 query vectors.
+    Delegates to ``ivf_topk`` (the routed entry j55 shares the same
+    IVF engine, so one body serves both)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
+    return ivf_topk(e, k=3, n_queries=10)
+
+
+def ivf_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
+    """IVF cell-probed top-k (j20's engine as a public df-first API):
+    ``e`` carries (vec_id, label, v double-array); queries are the
+    vectors with vec_id < n_queries; release is (query_id, neighbor_id,
+    cos_sim) — the true top-k AMONG the query's cell (the IVF recall
+    trade: a true neighbour quantized to another cell is lost)."""
+    from pyspark.sql import Window
+
     per_dim = (
         e.select("label", F.posexplode("v").alias("pos0", "x"))
         .groupBy("label", "pos0")
@@ -704,7 +715,7 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cell"), "v")
     )
-    q = assign.filter(F.col("vec_id") < 10).select(
+    q = assign.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"), F.col("v").alias("qv")
     )
     cand = q.join(
@@ -714,13 +725,175 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
         .withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round("cos_raw", 5).alias("cos_sim"),
         )
     )
+
+
+def exact_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
+    """Brute-force cosine top-k for the query panel (vec_id <
+    n_queries) over the FULL corpus — the no-false-negatives contract
+    the router pays for while affordable.  One shuffle-free scored scan
+    (the query panel broadcasts) + a per-query window top-k."""
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.select("vec_id", "v").join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 5).alias("cos_sim"),
+        )
+    )
+
+
+def ann_scan_estimate(e: DataFrame, n_queries: int = 10) -> int:
+    """The exact branch's scoring volume, as a deterministic integer an
+    oracle can replay (the j38/j50b discipline): n_q × (N − 1), where
+    n_q = |{vec_id < n_queries}| and N = |corpus| — exactly the number
+    of (query, candidate) cosines a brute-force scan folds.  One
+    metadata-cheap aggregate pass; no data-scale collect."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("vec_id") < n_queries, 1).otherwise(0)).alias("nq"),
+    ).first()
+    return int(row["nq"] or 0) * max(int(row["n"]) - 1, 0)
+
+
+def ann_topk_routed(
+    e: DataFrame,
+    k: int = 3,
+    scan_budget: int = 1_000_000,
+    n_queries: int = 10,
+    force_route: str | None = None,
+) -> DataFrame:
+    """ONE entry point for vector top-k that picks the EXACT brute-force
+    scan (j8/j21's contract) or the IVF cell-probed search (j20's) by
+    ESTIMATED scoring volume — VERDICT r9's item 2, the j50b routing
+    pattern applied to the vector side: at 100 TB nobody runs the exact
+    scan, but below the budget it is both affordable and strictly
+    better (no recall trade).  The estimate is a deterministic integer
+    (``ann_scan_estimate``), the branch a pure comparison against
+    ``scan_budget``, and registered queries replay estimate + branch +
+    BOTH release definitions in their oracle, so a routing regression
+    mismatches even when both branches are individually correct.
+
+    Contract by branch (declared in the released ``route`` column):
+    ``exact`` releases the TRUE top-k per query (no false negatives);
+    ``ivf`` releases the top-k among the query's coarse-quantizer cell
+    — the standard IVF recall trade (a true neighbour quantized to
+    another cell is lost).  Released cosines are exact on both branches
+    (IVF re-scores candidates with full vectors).
+
+    100 TB shape: the estimate is one aggregate; the exact branch
+    broadcasts the query panel over a scored scan (no shuffle); the IVF
+    branch scores only within cells (candidates drop N → N/#cells, and
+    a production deployment raises #cells ~ √N — here the coarse
+    quantizer is the label-centroid codebook so the decision is
+    oracle-replayable).  The budget is a CONTRACT dial, like j50b's:
+    pay for exactness while affordable, fall back to cell-probed recall
+    when not."""
+    route = force_route
+    est = None
+    if route is None:
+        est = ann_scan_estimate(e, n_queries)
+        route = "exact" if est <= scan_budget else "ivf"
+    if route == "exact":
+        out = exact_topk(e, k, n_queries)
+    else:
+        out = ivf_topk(e, k, n_queries)
+    return out.withColumn("route", F.lit(route))
+
+
+def _j55_oracle(budget: int) -> str:
+    """j50b-style routed oracle: BOTH release definitions (brute-force
+    exact and the j20 IVF replay) are defined, and the replayed integer
+    estimate guards which one emits rows."""
+    return f"""
+WITH {_IVF_SQL_CENTROIDS},
+e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+est AS (SELECT (SELECT COUNT(*) FROM e WHERE vec_id < 10)
+             * ((SELECT COUNT(*) FROM e) - 1) AS n_pairs),
+exact_rel AS (
+  SELECT query_id, neighbor_id, cos_sim, 'exact' AS route FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 3),
+assign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.label AS cell, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.v', 'c.cent')} DESC, c.label) AS rn
+    FROM e, centroids c
+  ) WHERE rn = 1),
+ivf_rel AS (
+  SELECT query_id, neighbor_id, cos_sim, 'ivf' AS route FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+    FROM assign q
+    JOIN assign x ON x.cell = q.cell AND x.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= 3)
+SELECT * FROM exact_rel WHERE (SELECT n_pairs FROM est) <= {budget}
+UNION ALL
+SELECT * FROM ivf_rel WHERE (SELECT n_pairs FROM est) > {budget}
+"""
+
+
+# j55's budget is calibrated like j50b's — to flip INSIDE the measured
+# decade so both contracts are exercised at real scale: the estimate is
+# 10 × (N − 1) ≈ 5e3 at the gate SFs (N=500), 2e4 at sf0.1, 2e5 at sf1,
+# 2e6 at sf10.  1e6 routes EXACT through sf1 and flips to the IVF
+# contract at sf10.  j55b pins the budget BELOW the gate-SF estimate so
+# the gate also attests the IVF branch and the guard's other side —
+# same engine, same oracle template, different constant.
+_J55_BUDGET = 1_000_000
+_J55B_BUDGET = 1_000
+
+
+@register("j55_ann_routed", oracle=_j55_oracle(_J55_BUDGET))
+def j55_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j55 (extension): ``ann_topk_routed`` — exact scan vs IVF behind
+    one size-routed entry (top-3 for the 10-query panel), the j50b
+    pattern on the vector side.  The gate SFs route EXACT (estimate
+    replayed in the oracle guard); the same registered query flips to
+    the IVF contract at the scale where an exact scan stops being the
+    plan anyone runs."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ann_topk_routed(e, k=3, scan_budget=_J55_BUDGET)
+
+
+@register("j55b_ann_routed_ivf", oracle=_j55_oracle(_J55B_BUDGET))
+def j55b_ann_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j55b (extension): j55's twin with the budget pinned BELOW the
+    gate-SF estimate (1e3 < 10×499), so every gate run attests the IVF
+    branch and the routing guard's other side — same engine, same
+    oracle template, different constant."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ann_topk_routed(e, k=3, scan_budget=_J55B_BUDGET)
 
 
 @register(

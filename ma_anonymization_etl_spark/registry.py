@@ -67,16 +67,18 @@ DRIVER_WINDOW = [
     "c7_join_asof",
     "f6_skyline_pareto",
     "g4_except",
-    # extension flagships (round-9 rotation #4 swapped six long-green
-    # entries — d19, q9, i42, j14, j23, i8 — for the round-9 surface
-    # j50b/j50c/j52b/j32b/j54/j44b: new engines and contracts belong inside
-    # the gate; round-8's p7b/p8/j9c/j9d/j31/j29 stay one more round)
+    # extension flagships (round-10 rotation #5 swapped four long-green
+    # entries — j9c, j31, j29, j50 — for the round-10 surface
+    # j55/j55b/j56/j54b: the routed-ANN twins, the ExactSubstr span
+    # inventory, and multi-query BM25 (registered post-capture in r9,
+    # VERDICT r9 item 7) belong inside the gate; p7b/p8/j9d/p1b stay)
     "p7b_cc_altstar",
     "p8_kcore",
-    "j9c_lsh_band_plan",
     "j9d_sim_pair_lsh_fast",
-    "j31_sequence_packing",
-    "j29_decontamination",
+    "j55_ann_routed",
+    "j55b_ann_routed_ivf",
+    "j56_maximal_dup_spans",
+    "j54b_bm25_multi",
     "p1b_pagerank_converged",
     "p7_connected_components",
     # sources / sinks (3)
@@ -101,7 +103,6 @@ DRIVER_WINDOW = [
     # long-green basics — c1, d11, e1, e5, h2, i2, j2, j8, j24, k1 — for
     # the round-7 operators f6/d19/i43/j50-j53/p7/q8/q9: the newest
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
-    "j50_jaccard_prefix_join",
     "j50b_jaccard_routed",
     "j50c_jaccard_routed_lsh",
     "j51_weighted_sample",

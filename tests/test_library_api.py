@@ -81,6 +81,11 @@ DELEGATES = {
     # round-8 additions (p7b's engine lives in llm.py next to the
     # min-label loop — module-local lookup can't see it, like p7)
     "p8_kcore": "kcore",
+    # round-10 additions
+    "j55_ann_routed": "ann_topk_routed",
+    "j55b_ann_routed_ivf": "ann_topk_routed",
+    "j20_ivf_ann": "ivf_topk",
+    "j56_maximal_dup_spans": "maximal_dup_spans",
 }
 
 _ALL = registry.load_all()

@@ -1835,3 +1835,162 @@ def test_j54b_multi_query_consistency(spark):
             for r in bm25_topk(d, query_terms=qterms, k=20).collect()
         }
         assert by_q[qid] == single, f"query {qid} diverged"
+
+
+def test_j55_ann_router_branches_and_decision(spark):
+    """The j50b routing pattern on the vector side (VERDICT r9 item 2):
+    forced branches must equal their reference engines exactly, and the
+    free decision must follow the replayable estimate-vs-budget
+    comparison on the gated corpus."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J55B_BUDGET,
+        _J55_BUDGET,
+        ann_scan_estimate,
+        ann_topk_routed,
+        exact_topk,
+        ivf_topk,
+    )
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.sources.io import load
+
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    key = lambda r: (r.query_id, r.neighbor_id, r.cos_sim)  # noqa: E731
+    exact_ref = {key(r) for r in exact_topk(e, 3, 10).collect()}
+    ivf_ref = {key(r) for r in ivf_topk(e, 3, 10).collect()}
+    forced_exact = {
+        key(r) for r in ann_topk_routed(e, 3, 0, force_route="exact").collect()
+    }
+    forced_ivf = {
+        key(r) for r in ann_topk_routed(e, 3, 10**18, force_route="ivf").collect()
+    }
+    assert forced_exact == exact_ref and exact_ref
+    assert forced_ivf == ivf_ref and ivf_ref
+
+    # The replayable decision: est = n_q * (N - 1), hand-recomputed.
+    n = e.count()
+    est = ann_scan_estimate(e, 10)
+    assert est == 10 * (n - 1)
+    assert est > _J55B_BUDGET, "j55b must take the IVF branch at gate SF"
+    assert est <= _J55_BUDGET, "j55 must take the exact branch at gate SF"
+    routes = {
+        r.route
+        for r in ann_topk_routed(e, 3, _J55B_BUDGET).select("route").distinct().collect()
+    }
+    assert routes == {"ivf"}
+
+
+def test_j55_ivf_recall_trade_planted(spark):
+    """The IVF contract made concrete (j28's recall audit as a planted
+    property): a corpus where query 0's TRUE nearest neighbour is
+    coarse-quantized to the OTHER cell — the exact branch must release
+    it as top-1; the IVF branch must miss it and release only same-cell
+    neighbours.  Both engines' released cosines are exact."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        ann_topk_routed,
+    )
+
+    # Label-0 cluster hugs e1, label-1 cluster hugs e2.  Query (vec_id
+    # 0) sits between but tips to cell 0; the planted neighbour (vec_id
+    # 7) is geometrically closest to the query yet tips to cell 1.
+    rows = [
+        (0, 0, [1.0, 0.95, 0.0, 0.0]),   # the query: nearest centroid 0
+        (1, 0, [1.0, 0.01, 0.0, 0.0]),
+        (2, 0, [1.0, 0.02, 0.0, 0.0]),
+        (3, 0, [1.0, 0.03, 0.0, 0.0]),
+        (4, 1, [0.0, 1.0, 0.01, 0.0]),
+        (5, 1, [0.0, 1.0, 0.02, 0.0]),
+        (6, 1, [0.0, 1.0, 0.03, 0.0]),
+        (7, 1, [0.9, 1.0, 0.0, 0.0]),    # true NN of 0; tips to cell 1
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label long, v array<double>")
+
+    ex = ann_topk_routed(e, 1, 0, n_queries=1, force_route="exact").collect()
+    assert [(r.query_id, r.neighbor_id) for r in ex] == [(0, 7)]
+
+    iv = ann_topk_routed(e, 3, 0, n_queries=1, force_route="ivf").collect()
+    got = {r.neighbor_id for r in iv}
+    assert 7 not in got, "IVF must miss the cross-cell true NN"
+    assert got == {1, 2, 3}, "IVF releases the query's cell only"
+    # recall@3 on this corpus is measurable and < 1 — the trade is real,
+    # and the router's budget is the dial that buys it back.
+    exact3 = {
+        r.neighbor_id
+        for r in ann_topk_routed(e, 3, 0, n_queries=1, force_route="exact").collect()
+    }
+    recall = len(exact3 & got) / 3
+    assert 0 < recall < 1
+
+
+def test_j56_maximal_dup_spans_planted(spark):
+    """Planted spans for the ExactSubstr inventory (VERDICT r9 item 5):
+    a 10-word block shared by two docs at different offsets releases
+    one maximal span each, anchored and sized exactly; a WITHIN-doc
+    repeated phrase releases two spans (occurrence-count semantics);
+    two separate duplicated regions stay two rows; a whole-short-doc
+    duplicate's span is capped at the doc length."""
+    from ma_anonymization_etl_spark.operators.llm import maximal_dup_spans
+
+    blk = " ".join(f"b{i}" for i in range(10))          # the shared block
+    phr = " ".join(f"p{i}" for i in range(6))           # self-repeated phrase
+    docs = [
+        # block at words 5..14 of A (30 words total)
+        (1, " ".join(f"a{i}" for i in range(4)) + " " + blk + " "
+            + " ".join(f"a{i}" for i in range(4, 20))),
+        # block at words 4..13 of B
+        (2, " ".join(f"c{i}" for i in range(3)) + " " + blk + " "
+            + " ".join(f"c{i}" for i in range(3, 10))),
+        # C: phrase twice, separated by unique words -> two spans
+        (3, phr + " " + " ".join(f"d{i}" for i in range(8)) + " " + phr),
+        # identical 5-word docs: span capped at n_words=5 (not 2+4)
+        (4, "e0 e1 e2 e3 e4"),
+        (5, "e0 e1 e2 e3 e4"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in maximal_dup_spans(d, ngram=4, min_span=5).collect()
+    }
+    a_spans = {(s, l) for (i, s, l) in out if i == 1}
+    b_spans = {(s, l) for (i, s, l) in out if i == 2}
+    assert a_spans == {(5, 10)}
+    assert b_spans == {(4, 10)}
+    c_spans = sorted((s, l) for (i, s, l) in out if i == 3)
+    assert c_spans == [(1, 6), (15, 6)], c_spans
+    assert {(s, l) for (i, s, l) in out if i == 4} == {(1, 5)}
+    assert {(s, l) for (i, s, l) in out if i == 5} == {(1, 5)}
+
+
+def test_j50_router_prebuilt_prefix_reuse_identical(spark):
+    """VERDICT r9 item 4: the live-routed exact branch (which reuses
+    the persisted prefix index the estimate materialized) must release
+    exactly the pairs of a from-scratch set_similarity_join, and the
+    routed-prefix cache must hold exactly one live generation."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _ROUTED_PREFIX_CACHE,
+        _J50_TAU,
+        _j50_corpus_toks,
+        jaccard_join_routed,
+        set_similarity_join,
+    )
+
+    toks = _j50_corpus_toks(spark, SF_SMOKE)
+    scratch = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in set_similarity_join(toks, _J50_TAU, assume_distinct=True).collect()
+    }
+    routed = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in jaccard_join_routed(
+            toks, _J50_TAU, 10**18, assume_distinct=True  # live routing -> exact
+        ).collect()
+    }
+    assert routed == scratch and scratch
+    assert len(_ROUTED_PREFIX_CACHE) == 1  # one generation, bounded
+    # a second routed call overwrites (and unpersists) the previous
+    # index rather than accumulating
+    jaccard_join_routed(toks, _J50_TAU, 0, assume_distinct=True).collect()
+    assert len(_ROUTED_PREFIX_CACHE) == 1

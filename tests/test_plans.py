@@ -340,3 +340,41 @@ def test_demo_global_windows_stay_out_of_steps():
         src = inspect.getsource(fn)
         hit = demo_engines & {w for w in _re.findall(r"\w+", src)}
         assert not hit, f"route step {op} references demo engine {hit}"
+
+
+def test_j56_island_window_is_partitioned(spark):
+    """j56's gaps-and-islands row_number must ride a doc_id-partitioned
+    window (per-doc runs), never a global ordered one, and the gram df
+    table must join BACK to occurrences — the same no-Θ(Σ df²) shape
+    j32 guards."""
+    from ma_anonymization_etl_spark.operators.llm import j56_maximal_dup_spans
+
+    out = j56_maximal_dup_spans(spark, SF_ORACLE)
+    bad = _global_windows(out)
+    assert not bad, "global window in j56:\n" + "\n".join(bad)
+    plan = plan_of(spark, "j56_maximal_dup_spans")
+    n_shuffles = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_shuffles <= 6, f"j56 shuffles too much ({n_shuffles}):\n{plan}"
+
+
+def test_j55_exact_branch_broadcasts_query_panel(spark):
+    """The routed ANN's exact branch must broadcast the 10-row query
+    panel over the scored scan (no shuffle of the corpus by join key)
+    and take per-query top-k through a partitioned window."""
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.similarity import ann_topk_routed
+    from ma_anonymization_etl_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    out = ann_topk_routed(e, 3, 0, force_route="exact")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan, f"query panel not broadcast:\n{plan}"
+    assert not _global_windows(out), "global window in j55 exact branch"
