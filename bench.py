@@ -80,6 +80,7 @@ HEADLINE = [
     # round-10 additions (BASELINE.md round-10 note)
     "j55_ann_routed",
     "j56_maximal_dup_spans",
+    "j57_ann_multiprobe",
 ]
 
 

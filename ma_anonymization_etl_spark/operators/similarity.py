@@ -896,6 +896,156 @@ def j55b_ann_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_routed(e, k=3, scan_budget=_J55B_BUDGET)
 
 
+# --- j57: derived-codebook multi-probe ANN --------------------------------
+#
+# j20/j55's coarse quantizer is the 10-label centroid codebook — fine
+# for the oracle-replayable routing demo, but its candidate volume is
+# N/10 per query at every scale.  The production IVF rule is
+# #cells ~ sqrt(N) (occupancy ~ sqrt(N), so per-query probe cost and
+# cell count balance), plus MULTI-PROBE: searching only the query's own
+# cell loses any true neighbour whose signature differs by one bit, so
+# real deployments also probe the nearest neighbouring cells
+# (FAISS nprobe; Lv et al., VLDB'07 multi-probe LSH).  j57 derives the
+# cell count from the corpus size with integer arithmetic (the j9c
+# discipline — the oracle re-derives it from COUNT(*)), uses seeded
+# random-hyperplane cells (replayable in SQL, unlike a k-means
+# codebook), and probes the query's cell plus every Hamming-1 cell:
+# candidates ~= (bits + 1) · occupancy per query.
+_J57_MAX_BITS = 20
+_J57_MIN_BITS = 4
+
+
+def _j57_planes() -> list[list[float]]:
+    rng = random.Random(47)  # fixed seed → identical constants in Spark & SQL
+    return [
+        [round(rng.gauss(0, 1), 6) for _ in range(64)]  # embedding dim
+        for _ in range(_J57_MAX_BITS)
+    ]
+
+
+def multiprobe_cell_bits(n_vectors: int) -> int:
+    """bits = ceil(log2(ceil(sqrt(N)))) clamped to [4, 20] — 2^bits
+    cells ≈ sqrt(N), INTEGER arithmetic throughout (isqrt + bit_length,
+    never float log2) so an exact power-of-two boundary cannot flip the
+    result by one ulp across engines."""
+    import math
+
+    need = max(2, math.isqrt(max(int(n_vectors), 1) - 1) + 1)  # ceil(sqrt(N))
+    return max(_J57_MIN_BITS, min(_J57_MAX_BITS, (need - 1).bit_length()))
+
+
+def multiprobe_ann_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
+    """Multi-probe LSH-cell ANN top-k: ``e`` carries (vec_id, v);
+    queries are vec_id < n_queries.  Every vector gets a ``bits``-bit
+    random-hyperplane cell id (bits derived from corpus size,
+    ``multiprobe_cell_bits``); each query probes its own cell plus the
+    ``bits`` Hamming-1 cells, candidates are exact-cosine re-ranked,
+    and the release is the true top-k AMONG vectors whose cell differs
+    from the query's in <= 1 bit — (query_id, neighbor_id, cos_sim,
+    n_bits), n_bits riding along so the gate attests the derivation
+    (j9c discipline).
+
+    Plan shape (the 100 TB story): signatures are one map stage; the
+    probe table is n_queries × (bits + 1) rows and BROADCASTS onto a
+    cell-keyed equality join against the signed corpus — never a
+    Hamming-distance theta join (which would be a corpus × query
+    nested loop).  Candidate volume per query is (bits+1) · N/2^bits ≈
+    (log2(sqrt N)+1) · sqrt(N); at N = 10^11 that is ~6e6 cosines per
+    query vs the exact scan's 10^11 — and vs own-cell-only IVF the
+    Hamming-1 ring buys back exactly the neighbours one sign flip
+    away (recall property-tested)."""
+    from pyspark.sql import Window
+
+    n = e.count()
+    bits = multiprobe_cell_bits(n)
+    planes = _j57_planes()[:bits]
+    bit_cols = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    sig = e.select("vec_id", "v", F.concat(*[b.cast("string") for b in bit_cols]).alias("cell"))
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    # probe cells: the query's own cell (i=0) plus each one-bit flip
+    flips = [F.col("qcell")] + [
+        F.concat(
+            F.substring("qcell", 1, i),
+            F.when(F.substring("qcell", i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("qcell", i + 2, bits - i - 1),
+        )
+        for i in range(bits)
+    ]
+    probes = q.select(
+        "query_id", "qv", F.explode(F.array(*flips)).alias("pcell")
+    )
+    cand = sig.join(
+        F.broadcast(probes),  # probes are n_queries × (bits+1) rows — the corpus streams past map-side
+        (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 5).alias("cos_sim"),
+            F.lit(bits).cast("long").alias("n_bits"),
+        )
+    )
+
+
+def _j57_oracle() -> str:
+    """The oracle re-derives bits from COUNT(*) (integer-safe pow-scan,
+    j9c-style), rebuilds the seeded-plane signatures, and releases the
+    exact top-3 among Hamming<=1 candidates — the multi-probe cell-join
+    release re-expressed as the equivalent Hamming filter (affordable
+    exhaustively at gate SF; the ENGINE must never join that way)."""
+    planes = _j57_planes()
+    sig_terms = ", ".join(
+        f"CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+nb AS (SELECT GREATEST({_J57_MIN_BITS}, LEAST({_J57_MAX_BITS},
+         (SELECT MIN(k) FROM range(1, {_J57_MAX_BITS + 1}) t(k)
+          WHERE POW(2.0, k) >= CEIL(SQRT((SELECT COUNT(*) FROM e)))))) AS bits),
+sig AS (SELECT vec_id, v, [{sig_terms}] AS s FROM e),
+q AS (SELECT vec_id, v, s FROM sig WHERE vec_id < 10)
+SELECT query_id, neighbor_id, cos_sim, n_bits FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+         CAST(nb.bits AS BIGINT) AS n_bits,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+  FROM q CROSS JOIN nb CROSS JOIN sig x
+  WHERE x.vec_id <> q.vec_id
+    AND len(list_filter(range(1, nb.bits + 1), i -> q.s[i] <> x.s[i])) <= 1
+) WHERE rn <= 3
+"""
+
+
+@register("j57_ann_multiprobe", oracle=_j57_oracle())
+def j57_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j57 (extension): derived-codebook multi-probe ANN — 2^bits ≈
+    sqrt(N) random-hyperplane cells (bits re-derived from COUNT(*) in
+    the oracle), each query probing its own cell + the Hamming-1 ring,
+    exact-cosine re-rank, top-3 for the 10-query panel.  Completes the
+    ANN family's 100 TB story next to j20/j55 (label-codebook IVF) and
+    j33 (SQ8): the cell count now SCALES with the corpus and the
+    recall knob (nprobe) is explicit.  Delegates to
+    ``multiprobe_ann_topk``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return multiprobe_ann_topk(e, k=3, n_queries=10)
+
+
 @register(
     "j33_sq8_ann",
     oracle=f"""

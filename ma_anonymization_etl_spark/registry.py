@@ -79,6 +79,7 @@ DRIVER_WINDOW = [
     "j55b_ann_routed_ivf",
     "j56_maximal_dup_spans",
     "j54b_bm25_multi",
+    "j57_ann_multiprobe",
     "p1b_pagerank_converged",
     "p7_connected_components",
     # sources / sinks (3)
@@ -115,8 +116,8 @@ DRIVER_WINDOW = [
     "j3_dedup_near_minhash",
     "j9b_sim_pair_lsh",
     "j53_incremental_dedup",
-    # events / streaming (3)
-    "q8_ewma_anomaly",
+    # events / streaming (3; q8 rotated out round 10 for j57 — q10
+    # keeps the q family inside the gate)
     "q10_seasonal_anomaly",
     "k3_win_session_batch",
     "k9_stream_anonymize",

@@ -86,6 +86,7 @@ DELEGATES = {
     "j55b_ann_routed_ivf": "ann_topk_routed",
     "j20_ivf_ann": "ivf_topk",
     "j56_maximal_dup_spans": "maximal_dup_spans",
+    "j57_ann_multiprobe": "multiprobe_ann_topk",
 }
 
 _ALL = registry.load_all()

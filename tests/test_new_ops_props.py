@@ -1994,3 +1994,67 @@ def test_j50_router_prebuilt_prefix_reuse_identical(spark):
     # index rather than accumulating
     jaccard_join_routed(toks, _J50_TAU, 0, assume_distinct=True).collect()
     assert len(_ROUTED_PREFIX_CACHE) == 1
+
+
+def test_j57_multiprobe_reference_and_derivation(spark):
+    """j57's release must equal a from-first-principles reference: the
+    exact top-3 among Hamming<=1 candidates computed in numpy from the
+    same seeded planes, and bits must follow the integer derivation
+    rule.  Multi-probe recall vs the exact scan must be >= own-cell
+    recall (the ring only ever ADDS candidates)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _j57_planes,
+        exact_topk,
+        multiprobe_ann_topk,
+        multiprobe_cell_bits,
+    )
+    from ma_anonymization_etl_spark.sources.io import load
+
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    rows = e.collect()
+    n = len(rows)
+    bits = multiprobe_cell_bits(n)
+    assert bits == max(4, min(20, (max(2, int(np.ceil(np.sqrt(n)))) - 1).bit_length()))
+
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.v for r in rows])
+    P = np.array(_j57_planes()[:bits])
+    S = (V @ P.T > 0).astype(int)  # (n, bits) signatures
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def topk_within(ham_max, k=3):
+        out = set()
+        for qi in np.where(ids < 10)[0]:
+            ham = (S != S[qi]).sum(axis=1)
+            mask = (ham <= ham_max) & (ids != ids[qi])
+            cand = np.where(mask)[0]
+            cos = Vn[cand] @ Vn[qi]
+            order = sorted(zip(-cos, ids[cand]))[:k]
+            out |= {(int(ids[qi]), int(v), round(float(-c), 5)) for c, v in order}
+        return out
+
+    ref = topk_within(1)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in multiprobe_ann_topk(e, 3, 10).collect()
+    }
+    assert got == ref and ref
+
+    # recall vs the exact scan: the Hamming-1 ring never loses to
+    # own-cell-only probing
+    exact3 = {
+        (r.query_id, r.neighbor_id)
+        for r in exact_topk(e, 3, 10).collect()
+    }
+    multi = {(q, v) for q, v, _ in ref}
+    own = {(q, v) for q, v, _ in topk_within(0)}
+    assert len(exact3 & multi) >= len(exact3 & own)
+    # and the released n_bits attests the derivation on every row
+    nb = {r.n_bits for r in multiprobe_ann_topk(e, 3, 10).collect()}
+    assert nb == {bits}

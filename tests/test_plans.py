@@ -378,3 +378,14 @@ def test_j55_exact_branch_broadcasts_query_panel(spark):
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan, f"query panel not broadcast:\n{plan}"
     assert not _global_windows(out), "global window in j55 exact branch"
+
+
+def test_j57_probe_join_is_broadcast_equality_not_theta(spark):
+    """j57's corpus join must be a broadcast EQUALITY join on the cell
+    key (probes are the tiny side) — never a Hamming-distance theta
+    join, which would nested-loop the corpus against the query panel."""
+    plan = plan_of(spark, "j57_ann_multiprobe")
+    assert "BroadcastExchange" in plan, f"probe table not broadcast:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"j57 degenerated to a non-equality join:\n{plan}"
+    )
