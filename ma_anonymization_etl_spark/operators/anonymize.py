@@ -796,3 +796,40 @@ def microaggregate(
         )
         .drop("__rn", "__n", "__grp")
     )
+
+
+def delta_presence(
+    population: DataFrame,
+    qis: list[str],
+    present_col: str,
+    dmin: float = 0.2,
+    dmax: float = 0.6,
+) -> DataFrame:
+    """δ-presence audit (Nergiz, Atzori & Clifton, SIGMOD'07): given
+    the PUBLIC population table and a boolean ``present_col`` marking
+    which individuals a release contains, the adversary's inference
+    probability for QI class c is δ(c) = |release ∩ c| / |c| — an
+    attacker who knows someone's QIs and the public table learns they
+    are in the release with probability δ(c).  The release satisfies
+    (δ_min, δ_max)-presence iff every class keeps δ inside the band:
+    δ too HIGH pins presence (the k-anonymity-style disclosure), δ too
+    LOW pins ABSENCE (the disclosure k-anonymity cannot see — being
+    provably absent from, e.g., a disease registry is also sensitive).
+
+    One row per QI class: (qis…, n_pop, n_sample, delta, violates).
+    Scale: a single partial-aggregated groupBy over the population —
+    O(classes) output, no join, no window."""
+    agg = population.groupBy(*qis).agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(F.when(F.col(present_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sample"),
+    )
+    delta = F.col("n_sample").cast("double") / F.col("n_pop")
+    return agg.select(
+        *qis,
+        "n_pop",
+        "n_sample",
+        F.round(delta, 6).alias("delta"),
+        ((delta < F.lit(float(dmin))) | (delta > F.lit(float(dmax)))).alias("violates"),
+    )

@@ -1053,3 +1053,43 @@ def i42_t_closeness_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(ranked), "c_nationkey").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "t_closeness"
     )
+
+
+def _i44_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.dp import _sql_uniform
+
+    u = _sql_uniform("c_custkey", "dpres|")
+    return f"""
+WITH s AS (SELECT c_mktsegment, c_nationkey, ({u}) < 0.4 AS in_sample
+           FROM customer),
+cls AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_pop,
+               CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sample
+        FROM s GROUP BY c_mktsegment, c_nationkey)
+SELECT c_mktsegment, c_nationkey, n_pop, n_sample,
+       ROUND(n_sample::DOUBLE / n_pop, 6) AS delta,
+       (n_sample::DOUBLE / n_pop < 0.2 OR n_sample::DOUBLE / n_pop > 0.6)
+         AS violates
+FROM cls
+"""
+
+
+@register("i44_delta_presence", oracle=_i44_oracle())
+def i44_delta_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i44 (extension): δ-presence (Nergiz/Atzori/Clifton, SIGMOD'07)
+    — the SDC disclosure measure the k/l/t family misses: given the
+    public customer population and a released subset (here a salted
+    md5-deterministic 40% sample, so both engines replay membership
+    exactly), per-(segment, nation) class δ = |sample ∩ class|/|class|
+    is the adversary's presence-inference probability; classes outside
+    the (0.2, 0.6) band are flagged — too high pins presence, too low
+    provably pins ABSENCE.  Completes the disclosure-metric family
+    i16/i19/i20/i21/i34.  Delegates to ``A.delta_presence``."""
+    from ma_anonymization_etl_spark.operators.dp import hash_uniform
+
+    c = load(spark, sf_dir, "customer").withColumn(
+        "in_sample", hash_uniform(F.col("c_custkey"), "dpres|") < 0.4
+    )
+    return A.delta_presence(
+        c, ["c_mktsegment", "c_nationkey"], "in_sample", dmin=0.2, dmax=0.6
+    )

@@ -264,3 +264,27 @@ def test_approx_count_distinct_accuracy(spark):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
+
+
+def test_i44_delta_presence_planted_bands(spark):
+    """δ-presence flags BOTH disclosure directions: a fully-released
+    class (δ=1, presence pinned) and a fully-withheld class (δ=0,
+    absence pinned) violate; an in-band class does not; counts and δ
+    are exact."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.anonymize import delta_presence
+
+    rows = (
+        [("all", i, True) for i in range(10)]
+        + [("none", 100 + i, False) for i in range(10)]
+        + [("mid", 200 + i, i < 4) for i in range(10)]  # δ = 0.4
+    )
+    df = spark.createDataFrame(rows, "cls string, pid int, in_sample boolean")
+    out = {
+        r.cls: (r.n_pop, r.n_sample, r.delta, r.violates)
+        for r in delta_presence(df, ["cls"], "in_sample", 0.2, 0.6).collect()
+    }
+    assert out["all"] == (10, 10, 1.0, True)
+    assert out["none"] == (10, 0, 0.0, True)
+    assert out["mid"] == (10, 4, 0.4, False)
