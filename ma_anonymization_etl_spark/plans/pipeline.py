@@ -138,6 +138,56 @@ def _step_dedup_exact(df, subset=None):
     return df.dropDuplicates(subset)
 
 
+def _step_substring_dedup(
+    df, id_col="doc_id", text_col="text", ngram=8, mask_min=0.15, drop_min=0.6
+):
+    """Curation step: Lee et al. substring dedup as a route ACTION
+    (j32b's engine) — docs above ``drop_min`` duplicated-gram coverage
+    are DROPPED from the working table; docs above ``mask_min`` get
+    their duplicated spans removed (``text_col`` is replaced with the
+    masked rebuild); the rest keep.  The release text is lowercase
+    (gram semantics are lowercase — same contract as j32b).  All other
+    working columns ride along via the id join."""
+    from ma_anonymization_etl_spark.operators.llm import substring_dedup_release
+
+    rel = substring_dedup_release(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        ngram=ngram, mask_min=mask_min, drop_min=drop_min,
+    )
+    keep = rel.filter(F.col("action") != "drop").select(
+        F.col("doc_id").alias(id_col), F.col("text_out")
+    )
+    return (
+        df.drop(text_col)
+        .join(keep, id_col)
+        .withColumnRenamed("text_out", text_col)
+    )
+
+
+def _step_near_dedup_drop(df, id_col="doc_id", text_col="text", tau=0.5, shingle=3):
+    """Curation step: MinHash-LSH near-duplicate REMOVAL — docs that
+    band-collide with and exact-verify Jaccard >= ``tau`` against a
+    LOWER-id doc drop (the canonical lowest-id-survives rule); every
+    other doc keeps.  Delegates to ``jaccard_join_routed``'s LSH branch
+    (j3's banding + exact verify), so the pair semantics are the
+    gate-attested ones; the drop list is the pair graph's b_id side
+    (a_id < b_id always), anti-joined back — never a corpus self-join."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        jaccard_join_routed,
+        word_shingles,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle)).alias("tok"),
+    ).distinct()
+    pairs = jaccard_join_routed(
+        toks, tau, 0, assume_distinct=True, force_route="lsh"
+    )
+    drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def _step_repetition_filter(df, id_col="doc_id", dup2_max=0.05, top_max=0.12):
     from ma_anonymization_etl_spark.operators.llm import repetition_signals
 
@@ -358,6 +408,8 @@ STEPS = {
     # Curation steps (the j/q families as route ops) — delegating to
     # operators.llm / operators.quality library functions.
     "dedup_exact": _step_dedup_exact,
+    "substring_dedup": _step_substring_dedup,
+    "near_dedup_drop": _step_near_dedup_drop,
     "repetition_filter": _step_repetition_filter,
     "quality_filter": _step_quality_filter,
     "lang_filter": _step_lang_filter,

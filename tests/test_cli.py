@@ -466,3 +466,50 @@ def test_route_bm25_filter_step(spark):
     assert 1 not in kept, "benchmark-saturated doc must drop"
     assert {2, 3} <= kept, "clean / barely-overlapping docs must survive"
     assert out.columns == work.columns
+
+
+def test_route_step_substring_dedup_and_near_dedup(spark):
+    """Round-10 curation steps: near_dedup_drop removes the higher-id
+    member of a near-identical pair (lowest-id survives) and keeps
+    unique docs; substring_dedup drops saturated docs, masks the shared
+    head out of boilerplate docs, and carries the other working columns
+    through."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    head = " ".join(f"h{i}" for i in range(16))
+    tail_a = " ".join(f"a{i}" for i in range(30))
+    tail_b = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            # 46 words, 39 grams, 9 duplicated (the head's) -> frac 0.23:
+            # above mask_min 0.15, below drop_min 0.6 -> MASK
+            (1, head + " " + tail_a, "en"),
+            (2, head + " " + tail_b, "en"),   # shares ONLY the head with 1
+            (3, " ".join(f"u{i}" for i in range(40)), "de"),  # unique
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # substring_dedup: docs 1 and 2 share the 16-word head -> masked
+    # (head removed, tails survive); doc 3 unique -> kept verbatim
+    # (lowercased); working column `lang` rides through.
+    out = anonymize_pipeline(docs, [{"op": "substring_dedup"}])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].text == " ".join(f"u{i}" for i in range(40))
+    for i in (1, 2):
+        assert "h0" not in rows[i].text.split()
+        assert rows[i].lang == "en"
+    assert rows[1].text.split()[0] == "a0" and rows[2].text.split()[0] == "b0"
+
+    # near_dedup_drop: plant a true near-dup pair (doc 11 = doc 10 with
+    # the first word dropped, the j50 corpus shape, J well above 0.5)
+    t = " ".join(f"w{i}" for i in range(50))
+    nd = spark.createDataFrame(
+        [(10, t), (11, t.split(" ", 1)[1]), (12, " ".join(f"z{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in anonymize_pipeline(nd, [{"op": "near_dedup_drop"}]).collect()
+    }
+    assert kept == {10, 12}, kept

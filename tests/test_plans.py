@@ -290,6 +290,8 @@ def _global_windows(df) -> list[str]:
 ROUTE_STEP_CASES = [
     ({"op": "dedup_exact", "subset": ["c_mktsegment"]}, None),
     ({"op": "quality_filter", "min_words": 5}, "docs"),
+    ({"op": "substring_dedup"}, "docs"),
+    ({"op": "near_dedup_drop"}, "docs"),
     ({"op": "lang_filter", "keep_langs": ["en"]}, "docs"),
     ({"op": "repetition_filter"}, "docs"),
     ({"op": "split_assign"}, "docs"),
