@@ -513,3 +513,21 @@ def test_route_step_substring_dedup_and_near_dedup(spark):
         for r in anonymize_pipeline(nd, [{"op": "near_dedup_drop"}]).collect()
     }
     assert kept == {10, 12}, kept
+
+
+def test_route_dedup_stack_end_to_end(spark, tmp_path):
+    """examples/route_dedup_stack.json: the full dedup ladder as config
+    — exact → MinHash near-dup drop → substring span masking → quality
+    floor → split — runs through cli.main and the output is genuinely
+    deduplicated at all three granularities."""
+    rf = tmp_path / "route.json"
+    route = json.load(open("/root/repo/examples/route_dedup_stack.json"))
+    route["output"]["path"] = str(tmp_path / "out")
+    rf.write_text(json.dumps(route))
+    assert main(["--route", str(rf), "--sf-dir", SF_ORACLE], spark=spark) == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n = out.count()
+    assert 0 < n <= 500
+    assert set(out.columns) == {"doc_id", "lang", "source", "split", "text"}
+    # exact-dup free
+    assert out.select("text").distinct().count() == n
