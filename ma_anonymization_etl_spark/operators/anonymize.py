@@ -833,3 +833,45 @@ def delta_presence(
         F.round(delta, 6).alias("delta"),
         ((delta < F.lit(float(dmin))) | (delta > F.lit(float(dmax)))).alias("violates"),
     )
+
+
+def recursive_cl_diversity(
+    df: DataFrame,
+    qis: list[str],
+    sa: str,
+    c: float = 2.0,
+    l: int = 2,  # noqa: E741 — the paper's parameter name
+) -> DataFrame:
+    """Recursive (c,l)-diversity audit (Machanavajjhala et al., TKDD'07
+    §4.2) — the third member of the l-diversity family next to the
+    distinct count (i19) and entropy (i36) checks: sort each QI class's
+    sensitive-value frequencies r_1 >= r_2 >= ... >= r_m; the class is
+    recursive-(c,l)-diverse iff r_1 < c · (r_l + r_{l+1} + ... + r_m) —
+    the most common sensitive value must not dominate even after the
+    adversary eliminates the l−1 next-most-common values.  Frequencies
+    and the tail sum are exact integers; the single c· comparison is
+    one int→double product, identical across engines.
+
+    One row per class: (qis…, n_rows, m_distinct, r1, tail_sum,
+    diverse).  Scale: one (QI, SA)-grained partial agg, a window
+    PARTITIONED by the class (never global) to rank frequencies, one
+    class-grained agg — i19's shuffle shape plus a per-class sort."""
+    freq = df.groupBy(*qis, sa).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*qis).orderBy(F.col("n").desc(), F.col(sa))
+    ranked = freq.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy(*qis).agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("m_distinct"),
+        F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") >= l, F.col("n"))), F.lit(0)
+        ).cast("long").alias("tail_sum"),
+    )
+    return agg.select(
+        *qis,
+        "n_rows",
+        "m_distinct",
+        "r1",
+        "tail_sum",
+        (F.col("r1") < F.lit(float(c)) * F.col("tail_sum")).alias("diverse"),
+    )

@@ -1093,3 +1093,40 @@ def i44_delta_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.delta_presence(
         c, ["c_mktsegment", "c_nationkey"], "in_sample", dmin=0.2, dmax=0.6
     )
+
+
+@register(
+    "i45_recursive_cl_diversity",
+    oracle="""
+WITH freq AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+ranked AS (
+  SELECT c_nationkey, n,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY n DESC, c_mktsegment) AS rk
+  FROM freq
+)
+SELECT c_nationkey,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS m_distinct,
+       CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS r1,
+       CAST(COALESCE(SUM(CASE WHEN rk >= 2 THEN n END), 0) AS BIGINT)
+         AS tail_sum,
+       (MAX(CASE WHEN rk = 1 THEN n END)
+          < 2.0 * COALESCE(SUM(CASE WHEN rk >= 2 THEN n END), 0)) AS diverse
+FROM ranked GROUP BY c_nationkey
+""",
+)
+def i45_recursive_cl_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i45 (extension): recursive (c,l)-diversity (Machanavajjhala et
+    al., TKDD'07 §4.2) with c=2, l=2 on the i36 class/SA shape
+    (nation classes, market-segment SA) — completes the l-diversity
+    family: i19 counts distinct SA values, i36 gates on entropy, this
+    gates on the DOMINANCE of the most common value after discarding
+    the l−1 runners-up.  Delegates to ``A.recursive_cl_diversity``."""
+    cust = load(spark, sf_dir, "customer")
+    return A.recursive_cl_diversity(
+        cust, ["c_nationkey"], "c_mktsegment", c=2.0, l=2
+    )

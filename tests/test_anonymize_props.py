@@ -288,3 +288,32 @@ def test_i44_delta_presence_planted_bands(spark):
     assert out["all"] == (10, 10, 1.0, True)
     assert out["none"] == (10, 0, 0.0, True)
     assert out["mid"] == (10, 4, 0.4, False)
+
+
+def test_i45_recursive_cl_diversity_planted(spark):
+    """Recursive (c,l): a class dominated by one SA value fails even
+    with many nominal values; a balanced class passes; the boundary is
+    strict (r1 == c·tail is NOT diverse)."""
+    from ma_anonymization_etl_spark.operators.anonymize import (
+        recursive_cl_diversity,
+    )
+
+    rows = (
+        # dominated: r = (10, 1, 1) -> r1=10 >= 2*(1+1)=4 -> fails
+        [("dom", "a")] * 10 + [("dom", "b"), ("dom", "c")]
+        # balanced: r = (4, 3, 3) -> 4 < 2*(3+3)=12 -> passes
+        + [("bal", "a")] * 4 + [("bal", "b")] * 3 + [("bal", "c")] * 3
+        # boundary: r = (4, 1, 1) -> 4 < 2*(1+1)=4 is FALSE -> fails
+        + [("edge", "a")] * 4 + [("edge", "b"), ("edge", "c")]
+        # single value: tail empty -> r1 < 0 false -> fails
+        + [("mono", "a")] * 5
+    )
+    df = spark.createDataFrame(rows, "cls string, sa string")
+    out = {
+        r.cls: (r.m_distinct, r.r1, r.tail_sum, r.diverse)
+        for r in recursive_cl_diversity(df, ["cls"], "sa", c=2.0, l=2).collect()
+    }
+    assert out["dom"] == (3, 10, 2, False)
+    assert out["bal"] == (3, 4, 6, True)
+    assert out["edge"] == (3, 4, 2, False)
+    assert out["mono"] == (1, 5, 0, False)
