@@ -32,8 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ma_anonymization_etl_spark.operators.session_cache import (
+    cache_put,
+    register_cache,
+)
 from ma_anonymization_etl_spark.registry import register
 from ma_anonymization_etl_spark.sources.io import load
+
+# The checkpointed symmetric co-purchase edge list, shared by the whole
+# P family (p1/p1b/p5/p7/p7b/p8) — keyed (applicationId, sf_dir) and
+# bounded like every session cache.  Before round 10 every graph query
+# rebuilt and re-checkpointed the largest object in the family.
+_GRAPH_EDGES_CACHE: dict = register_cache({})
 
 _PPB = 1_000_000_000
 _ITER = 5
@@ -87,13 +97,27 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deserialized form OOM-ing a 24 GB heap via GCLocker-pinned 512 MB
     partition arrays while every per-round consumer streams it
     exactly once anyway.  On a real cluster this is `checkpoint()` to
-    reliable storage — same shape."""
+    reliable storage — same shape.
+
+    Session-cached per (applicationId, sf_dir) (round 10): the whole P
+    family shares one edge list, so one checkpoint build serves
+    p1/p1b/p5/p7/p7b/p8 instead of each query rebuilding the family's
+    largest object — the production shape, where the graph is
+    materialized once per snapshot and every algorithm reads it."""
     from pyspark import StorageLevel
 
-    pairs = _copurchase_pairs(spark, sf_dir)
-    return pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    key = (spark.sparkContext.applicationId, sf_dir, "copurchase_edges")
+    cached = _GRAPH_EDGES_CACHE.get(key)
+    if cached is None:
+        pairs = _copurchase_pairs(spark, sf_dir)
+        cached = cache_put(
+            _GRAPH_EDGES_CACHE,
+            key,
+            pairs.unionByName(
+                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY),
+        )
+    return cached
 
 
 def _p1_oracle() -> str:
