@@ -531,3 +531,33 @@ def test_route_dedup_stack_end_to_end(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "lang", "source", "split", "text"}
     # exact-dup free
     assert out.select("text").distinct().count() == n
+
+
+def test_route_enrich_join_reintroduction_needs_fresh_coverage(spark):
+    """Order-aware gate, the re-introduction edge: a DI projected by an
+    enrich_join, suppressed, then RE-introduced by a second enrich_join
+    must be covered again AFTER the second join — the suppress between
+    the two joins is not coverage for the re-added column."""
+    base = {
+        "input": {"table": "lineitem", "sf_dir": SF_ORACLE,
+                  "where": "l_quantity >= 49"},
+        "columns": {"l_partkey": "keep"},
+        "aux_inputs": {"part": {"table": "part",
+                                "columns": {"p_partkey": "keep",
+                                            "p_name": "di"}}},
+    }
+    join = {"op": "enrich_join", "aux": "part",
+            "on": {"l_partkey": "p_partkey"}, "cols": ["p_name"]}
+    sup = {"op": "suppress_columns", "cols": ["p_name"]}
+
+    # join, suppress, join again, nothing -> the re-added DI leaks.
+    r1 = dict(base, steps=[join, sup, dict(join)])
+    with pytest.raises(SystemExit, match="direct identifiers"):
+        run_route(spark, r1)
+
+    # join, suppress, join again, suppress again -> covered, and the
+    # runtime clash check is satisfied (the column is absent when each
+    # join adds it).
+    r2 = dict(base, steps=[join, sup, dict(join), dict(sup)])
+    out = run_route(spark, r2)
+    assert "p_name" not in out.columns
