@@ -140,6 +140,27 @@ SHOWCASE = [
         "corpus-sized pass is parallel and the serial step is P rows, "
         "so packing a 100 TB token stream has no single-task stage",
     ),
+    (
+        "j57_ann_multiprobe",
+        "map-side hyperplane signatures; the probe table (queries x "
+        "(bits+1) Hamming-1 variants) returns by BroadcastExchange onto "
+        "a cell-key EQUALITY join; per-query top-k via a query-"
+        "partitioned window — no nested-loop, no Hamming theta join",
+        "the derived-codebook ANN shape: candidates per query are "
+        "(bits+1) x N/2^bits = (log2 sqrt(N)+1) x sqrt(N), and the "
+        "corpus streams past the broadcast probes exactly once — the "
+        "plan that replaces the exact scan at 100 TB",
+    ),
+    (
+        "j56_maximal_dup_spans",
+        "positional gram explode -> gram-keyed partial-agg count -> "
+        "join back to occurrences -> doc_id-PARTITIONED window for the "
+        "gaps-and-islands merge -> class-grained aggregate",
+        "ExactSubstr's span inventory without a suffix array: "
+        "everything is gram-keyed partial aggregation plus a per-doc "
+        "window — no pair join, no Theta(sum df^2) stage, no global "
+        "order anywhere",
+    ),
 ]
 
 
