@@ -81,6 +81,7 @@ HEADLINE = [
     "j55_ann_routed",
     "j56_maximal_dup_spans",
     "j57_ann_multiprobe",
+    "j58_ann_cost_routed",
 ]
 
 

@@ -1046,6 +1046,135 @@ def j57_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiprobe_ann_topk(e, k=3, n_queries=10)
 
 
+# --- j58: COST-MODEL routed ANN -------------------------------------------
+#
+# j55 routes on a scan-volume BUDGET (a contract dial); the round-10
+# matrix measurement (BASELINE) showed its inline-IVF branch is the
+# slower plan at every measured SF for a fixed 10-query panel, because
+# inline IVF pays the full-corpus centroid assignment (N·C cosines)
+# inside the query.  j58 closes that loop: it routes on the MODELED
+# TOTAL WORK of each branch —
+#     est_exact = n_q · (N − 1)                  (the scan's cosines)
+#     est_ivf   = N · C + n_q · ⌈N / C⌉          (assignment + probes)
+# — all integers, all re-derived from COUNT(*) / COUNT(DISTINCT label)
+# in the oracle, so the decision replays exactly.  The query panel is
+# DERIVED from the corpus (n_q = max(5, N // panel_divisor)): when the
+# panel grows with N, the scan term grows ~N²/div while IVF's grows
+# ~N·C + N²/(div·C), so the router genuinely crosses over inside the
+# measured range — j58 (div=100) routes exact at the 500-vector gate
+# SFs and IVF from sf0.1 up; j58b (div=10) makes the panel large
+# enough that IVF wins already at the gate, attesting the other
+# branch and the guard's other side.
+_J58_DIV = 100
+_J58B_DIV = 10
+
+
+def ann_topk_cost_routed(
+    e: DataFrame, k: int = 3, panel_divisor: int = _J58_DIV
+) -> DataFrame:
+    """Cost-model ANN router (see the block comment above for the
+    model): picks the branch with the smaller estimated cosine count.
+    Releases (query_id, neighbor_id, cos_sim, route, n_queries) —
+    n_queries rides along so the gate attests the panel derivation
+    (the j57 n_bits discipline).  One metadata aggregate feeds the
+    decision; both estimates are exact integers."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("c"),
+    ).first()
+    n, c = int(row["n"]), max(int(row["c"]), 1)
+    n_q = max(5, n // panel_divisor)
+    est_exact = n_q * max(n - 1, 0)
+    est_ivf = n * c + n_q * ((n + c - 1) // c)
+    route = "exact" if est_exact <= est_ivf else "ivf"
+    out = exact_topk(e, k, n_q) if route == "exact" else ivf_topk(e, k, n_q)
+    return out.select(
+        "*",
+        F.lit(route).alias("route"),
+        F.lit(n_q).cast("long").alias("n_queries"),
+    )
+
+
+def _j58_oracle(div: int) -> str:
+    """Routed oracle: the panel size, both work estimates, and both
+    release definitions re-derived in SQL; the integer comparison
+    guards which branch emits rows."""
+    return f"""
+WITH {_IVF_SQL_CENTROIDS},
+e AS (SELECT vec_id, label, {_SQL_E} AS v FROM embeddings),
+est AS (SELECT n, c, nq,
+               nq * (n - 1) AS est_exact,
+               n * c + nq * ((n + c - 1) // c) AS est_ivf
+        FROM (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS c,
+                     GREATEST(5, COUNT(*) // {div}) AS nq
+              FROM e)),
+exact_rel AS (
+  SELECT query_id, neighbor_id, cos_sim, 'exact' AS route,
+         CAST((SELECT nq FROM est) AS BIGINT) AS n_queries FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC,
+                                       x.vec_id) AS rn
+    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id < (SELECT nq FROM est)
+  ) WHERE rn <= 3),
+assign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.label AS cell, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.v', 'c.cent')} DESC,
+                                       c.label) AS rn
+    FROM e, centroids c
+  ) WHERE rn = 1),
+ivf_rel AS (
+  SELECT query_id, neighbor_id, cos_sim, 'ivf' AS route,
+         CAST((SELECT nq FROM est) AS BIGINT) AS n_queries FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC,
+                                       x.vec_id) AS rn
+    FROM assign q
+    JOIN assign x ON x.cell = q.cell AND x.vec_id <> q.vec_id
+    WHERE q.vec_id < (SELECT nq FROM est)
+  ) WHERE rn <= 3)
+SELECT * FROM exact_rel WHERE (SELECT est_exact <= est_ivf FROM est)
+UNION ALL
+SELECT * FROM ivf_rel WHERE (SELECT est_exact > est_ivf FROM est)
+"""
+
+
+@register("j58_ann_cost_routed", oracle=_j58_oracle(_J58_DIV))
+def j58_ann_cost_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j58 (extension): the cost-model ANN router — exact scan vs IVF
+    picked by comparing MODELED TOTAL WORK (scan cosines vs
+    assignment + probe cosines), both estimates integer and
+    oracle-replayed, panel size derived from the corpus (N // 100,
+    floor 5).  Routes exact at the gate SFs (the scan genuinely is
+    the cheaper plan there — the round-10 matrix measurement) and
+    flips to IVF once the growing panel amortizes the codebook build.
+    Delegates to ``ann_topk_cost_routed``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ann_topk_cost_routed(e, k=3, panel_divisor=_J58_DIV)
+
+
+@register("j58b_ann_cost_routed_ivf", oracle=_j58_oracle(_J58B_DIV))
+def j58b_ann_cost_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j58b (extension): j58's twin with panel_divisor=10 — the larger
+    derived panel makes the modeled scan cost exceed build+probe
+    already at the 500-vector gate SFs (50·499 > 500·10 + 50·50), so
+    every gate run attests the IVF branch and the cost comparison's
+    other side.  Same engine, same oracle template, different
+    constant."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ann_topk_cost_routed(e, k=3, panel_divisor=_J58B_DIV)
+
+
 @register(
     "j33_sq8_ann",
     oracle=f"""

@@ -87,6 +87,8 @@ DELEGATES = {
     "j20_ivf_ann": "ivf_topk",
     "j56_maximal_dup_spans": "maximal_dup_spans",
     "j57_ann_multiprobe": "multiprobe_ann_topk",
+    "j58_ann_cost_routed": "ann_topk_cost_routed",
+    "j58b_ann_cost_routed_ivf": "ann_topk_cost_routed",
 }
 
 _ALL = registry.load_all()

@@ -2058,3 +2058,40 @@ def test_j57_multiprobe_reference_and_derivation(spark):
     # and the released n_bits attests the derivation on every row
     nb = {r.n_bits for r in multiprobe_ann_topk(e, 3, 10).collect()}
     assert nb == {bits}
+
+
+def test_j58_cost_model_router_decision_and_equality(spark):
+    """The cost-model router (round-10 closing): the decision must
+    follow the hand-computed integer work estimates, and each branch
+    must equal its reference engine exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.operators.similarity import (
+        ann_topk_cost_routed,
+        exact_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, i % 10, [float(x) for x in rng.randn(8)]) for i in range(100)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label long, v array<double>")
+    n, c = 100, 10
+
+    # div=100 -> nq=5: est_exact = 5*99 = 495 < est_ivf = 1000 + 5*10
+    out = ann_topk_cost_routed(e, 3, panel_divisor=100)
+    got = {(r.query_id, r.neighbor_id, r.cos_sim, r.route, r.n_queries)
+           for r in out.collect()}
+    assert {g[3] for g in got} == {"exact"} and {g[4] for g in got} == {5}
+    ref = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact_topk(e, 3, 5).collect()}
+    assert {(q, v, s) for q, v, s, _, _ in got} == ref and ref
+
+    # div=2 -> nq=50: est_exact = 50*99 = 4950 > est_ivf = 1000 + 50*10
+    out2 = ann_topk_cost_routed(e, 3, panel_divisor=2)
+    got2 = {(r.query_id, r.neighbor_id, r.cos_sim, r.route, r.n_queries)
+            for r in out2.collect()}
+    assert {g[3] for g in got2} == {"ivf"} and {g[4] for g in got2} == {50}
+    ref2 = {(r.query_id, r.neighbor_id, r.cos_sim) for r in ivf_topk(e, 3, 50).collect()}
+    assert {(q, v, s) for q, v, s, _, _ in got2} == ref2 and ref2
