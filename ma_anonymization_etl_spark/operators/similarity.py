@@ -679,12 +679,14 @@ def j20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, k=3, n_queries=10)
 
 
-def ivf_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
-    """IVF cell-probed top-k (j20's engine as a public df-first API):
-    ``e`` carries (vec_id, label, v double-array); queries are the
-    vectors with vec_id < n_queries; release is (query_id, neighbor_id,
-    cos_sim) — the true top-k AMONG the query's cell (the IVF recall
-    trade: a true neighbour quantized to another cell is lost)."""
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """The IVF index content: every corpus vector coarse-quantized to
+    its nearest label-centroid cell — (vec_id, cell, v).  Centroids are
+    6-dp-rounded per-dimension means (order-independent, so DuckDB
+    replays them exactly); the centroid table broadcasts (C=10 rows)
+    and assignment is one scored map stage + a per-vector window.
+    Shared by ``ivf_topk`` (inline build) and ``ivf_index_build`` (the
+    persisted, session-cached form j59 probes against)."""
     from pyspark.sql import Window
 
     per_dim = (
@@ -707,7 +709,7 @@ def ivf_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("clabel")
     )
-    assign = (
+    return (
         e.drop("label")
         .crossJoin(F.broadcast(cents.select(F.col("label").alias("clabel"), "cent")))
         .withColumn("cos_c", cosine(F.col("v"), F.col("cent")))
@@ -715,6 +717,17 @@ def ivf_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cell"), "v")
     )
+
+
+def ivf_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
+    """IVF cell-probed top-k (j20's engine as a public df-first API):
+    ``e`` carries (vec_id, label, v double-array); queries are the
+    vectors with vec_id < n_queries; release is (query_id, neighbor_id,
+    cos_sim) — the true top-k AMONG the query's cell (the IVF recall
+    trade: a true neighbour quantized to another cell is lost)."""
+    from pyspark.sql import Window
+
+    assign = _ivf_assign(e)
     q = assign.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"), F.col("v").alias("qv")
     )
@@ -1173,6 +1186,125 @@ def j58b_ann_cost_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     return ann_topk_cost_routed(e, k=3, panel_divisor=_J58B_DIV)
+
+
+# --- j59: PREBUILT-index ANN probe — the amortized account as a contract --
+#
+# The round-10 matrix measurement (BASELINE.md) split the IVF cost into
+# its two real phases: building the index costs ~N·C cosines ONCE
+# (28.8 s at sf10), after which each 10-query probe batch costs 1.63 s
+# vs the exact scan's 18.7 s — but j20/j55/j58 all rebuild the index
+# INSIDE the query, so the amortized account existed only as a scratch
+# measurement.  j59 makes it a registered contract: the index (the
+# cell-assigned corpus) is persisted and session-cached keyed on
+# (applicationId, sf_dir), and TWO registered queries probe DIFFERENT
+# panels against it — j59 ([0,10), pays the build on a cold session),
+# j59b ([10,20), a cache HIT in any sequential gate/bench session, so
+# its measured time IS the probe-only amortized cost).  The release
+# definition never depends on the cache (a cold j59b rebuilds and
+# releases identically); only the TIMING account does — exactly how a
+# production vector store behaves (build once, probe forever).
+_J59_INDEX_CACHE: dict = register_cache({})
+
+
+def ivf_index_build(e: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build — or fetch the session-cached — persisted IVF index over
+    ``e`` (vec_id, label, v): the ``_ivf_assign`` table (vec_id, cell,
+    v), persisted so every subsequent probe batch scans memory instead
+    of re-quantizing the corpus.  Keyed (applicationId, sf_dir) via the
+    bounded session-cache discipline (ADVICE r8)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_index")
+    cached = _J59_INDEX_CACHE.get(key)
+    if cached is None:
+        cached = cache_put(_J59_INDEX_CACHE, key, _ivf_assign(e).persist())
+    return cached
+
+
+def ivf_probe(index: DataFrame, k: int = 3, lo: int = 0, hi: int = 10) -> DataFrame:
+    """Probe one query panel (vectors with lo <= vec_id < hi) against a
+    prebuilt IVF ``index`` (the ``ivf_index_build`` table).  The panel
+    BROADCASTS onto a cell-keyed equality join against the index —
+    per-batch work is #panel × occupancy cosines, never N·C.  Release
+    is (query_id, neighbor_id, cos_sim): the true top-k among the
+    query's cell, identical to ``ivf_topk``'s contract."""
+    from pyspark.sql import Window
+
+    q = index.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("v").alias("qv"),
+    )
+    cand = index.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 5).alias("cos_sim"),
+        )
+    )
+
+
+def _j59_oracle(lo: int, hi: int) -> str:
+    """The probe release replayed from first principles: the oracle
+    rebuilds the index content (centroids + assignment — deterministic,
+    so cache state cannot matter) and releases the panel's cell-probed
+    top-3."""
+    return f"""
+WITH {_IVF_SQL_CENTROIDS},
+e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.label AS cell, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.v', 'c.cent')} DESC, c.label) AS rn
+    FROM e, centroids c
+  ) WHERE rn = 1)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+  FROM assign q
+  JOIN assign x ON x.cell = q.cell AND x.vec_id <> q.vec_id
+  WHERE q.vec_id >= {lo} AND q.vec_id < {hi}
+) WHERE rn <= 3
+"""
+
+
+@register("j59_ann_prebuilt_probe", oracle=_j59_oracle(0, 10))
+def j59_ann_prebuilt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j59 (extension): probe panel [0,10) against the PREBUILT,
+    session-cached IVF index — the query that pays the one-time build
+    (N·C quantization, persisted) on a cold session.  Release is the
+    cell-probed top-3, identical semantics to j20; what's new is the
+    COST SHAPE: the index outlives the query.  Delegates to
+    ``ivf_index_build`` + ``ivf_probe``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ivf_probe(ivf_index_build(e, spark, sf_dir), k=3, lo=0, hi=10)
+
+
+@register("j59b_ann_prebuilt_reprobe", oracle=_j59_oracle(10, 20))
+def j59b_ann_prebuilt_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j59b (extension): a SECOND panel ([10,20)) probed against the
+    SAME session-cached index — in any sequential gate or bench session
+    this is a cache hit, so its measured wall time is the AMORTIZED
+    probe-only cost (the 1.63 s/batch account from the round-10 matrix,
+    now a registered contract instead of a scratch note).  Cold
+    sessions rebuild and release identically; the oracle replays the
+    index content from first principles either way."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return ivf_probe(ivf_index_build(e, spark, sf_dir), k=3, lo=10, hi=20)
 
 
 @register(

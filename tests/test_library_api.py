@@ -89,6 +89,8 @@ DELEGATES = {
     "j57_ann_multiprobe": "multiprobe_ann_topk",
     "j58_ann_cost_routed": "ann_topk_cost_routed",
     "j58b_ann_cost_routed_ivf": "ann_topk_cost_routed",
+    "j59_ann_prebuilt_probe": "ivf_probe",
+    "j59b_ann_prebuilt_reprobe": "ivf_probe",
 }
 
 _ALL = registry.load_all()

@@ -2095,3 +2095,44 @@ def test_j58_cost_model_router_decision_and_equality(spark):
     assert {g[3] for g in got2} == {"ivf"} and {g[4] for g in got2} == {50}
     ref2 = {(r.query_id, r.neighbor_id, r.cos_sim) for r in ivf_topk(e, 3, 50).collect()}
     assert {(q, v, s) for q, v, s, _, _ in got2} == ref2 and ref2
+
+
+def test_j59_prebuilt_index_probe_and_cache_reuse(spark):
+    """The prebuilt-index contract (NEXT r10 item c): the session-cached
+    index is built ONCE per (applicationId, sf_dir) — the second build
+    call returns the same persisted DataFrame — and probing it releases
+    exactly ``ivf_topk``'s cell-probed contract for the same panel.
+    The release must never depend on cache state: a cold rebuild after
+    clear_caches releases identically."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.session_cache import clear_caches
+    from ma_anonymization_etl_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_probe,
+        ivf_topk,
+    )
+    from ma_anonymization_etl_spark.sources.io import load
+
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    idx1 = ivf_index_build(e, spark, SF_ORACLE)
+    idx2 = ivf_index_build(e, spark, SF_ORACLE)
+    assert idx1 is idx2, "second build must be the cached index"
+
+    key = lambda r: (r.query_id, r.neighbor_id, r.cos_sim)  # noqa: E731
+    warm = {key(r) for r in ivf_probe(idx1, 3, 0, 10).collect()}
+    ref = {key(r) for r in ivf_topk(e, 3, 10).collect()}
+    assert warm == ref and ref, "probe must equal the inline IVF contract"
+
+    # Disjoint second panel — j59b's shape: all query ids in [10, 20).
+    batch2 = ivf_probe(idx1, 3, 10, 20).collect()
+    assert batch2 and all(10 <= r.query_id < 20 for r in batch2)
+    assert {r.query_id for r in batch2}.isdisjoint({q for q, _, _ in ref})
+
+    # Cold rebuild (cache cleared) releases identically.
+    clear_caches()
+    cold = {key(r) for r in ivf_probe(ivf_index_build(e, spark, SF_ORACLE), 3, 0, 10).collect()}
+    assert cold == warm

@@ -391,3 +391,22 @@ def test_j57_probe_join_is_broadcast_equality_not_theta(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
         f"j57 degenerated to a non-equality join:\n{plan}"
     )
+
+
+def test_j59_probe_broadcasts_panel_and_stays_partitioned(spark):
+    """j59's probe must broadcast the query panel onto a cell-keyed
+    EQUALITY join against the prebuilt index (per-batch work = panel ×
+    occupancy, never a corpus nested loop), and take per-query top-k
+    through a partitioned window."""
+    plan = plan_of(spark, "j59b_ann_prebuilt_reprobe")
+    assert "BroadcastExchange" in plan, f"probe panel not broadcast:\n{plan}"
+    # The probe itself must be a hash join on the cell key.  (The index
+    # BUILD legitimately contains one BroadcastNestedLoopJoin — the
+    # 10-row centroid grid crossed onto the corpus — so asserting "no
+    # BNLJ anywhere" would flag the intended broadcast-tiny stage.)
+    assert "BroadcastHashJoin" in plan, f"probe not a cell-keyed hash join:\n{plan}"
+    assert "CartesianProduct" not in plan, f"unbroadcast cartesian in j59:\n{plan}"
+    from ma_anonymization_etl_spark.registry import load_all
+
+    df = load_all()["j59b_ann_prebuilt_reprobe"].fn(spark, SF_ORACLE)
+    assert not _global_windows(df), "global window in j59 probe"
