@@ -2415,6 +2415,138 @@ def j56_maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_dup_spans(d.unionByName(twin), ngram=8, min_span=12)
 
 
+def maximal_dup_spans_chars(
+    docs: DataFrame,
+    cgram: int = 20,
+    min_span: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """j56b's engine: ``maximal_dup_spans`` at CHARACTER granularity —
+    the form Lee et al. actually run (their ExactSubstr suffix array is
+    built over bytes, threshold 50 bytes, not word tokens).  A window
+    is ``cgram`` consecutive characters; a window duplicated anywhere
+    in the corpus (total occurrence count >= 2, self-repeats included)
+    marks its start covered; merging consecutive covered starts
+    (gaps-and-islands per doc) yields the union of all duplicated
+    substrings of length >= ``cgram`` — released as (doc_id,
+    span_start, span_len, n_grams_in_span) in CHARACTER offsets, kept
+    at span_len >= ``min_span`` (Lee et al.'s 50-byte floor).
+
+    Relative to the word-gram j56: word tokenization needs a tokenizer
+    contract and loses intra-word duplication; the char form is
+    tokenizer-free and anchors spans at exact byte offsets — the
+    offsets a downstream cutter feeds to substr().  The price is
+    ~5× more windows per doc (one per character instead of one per
+    word); the plan shape is identical — positional gram explode,
+    gram-keyed partial-agg count, gram-keyed join back, PARTITIONED
+    island window — nothing all-pairs, nothing single-partition.  At
+    100 TB the 20-char gram keys would be hash31_md5'd before the two
+    shuffles (same note as j32/j56), and the explode would move into
+    mapInPandas emitting (pos, hash) pairs so the text column is
+    scanned once per doc rather than carried through Generate."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    occ = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("n_chars") - (cgram - 1), F.lit(1))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col("text").substr(i, F.lit(cgram)).alias("gr"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
+    dup = (
+        occ.groupBy("gr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gr")
+    )
+    covered = occ.join(dup, "gr").select("doc_id", "n_chars", "pos")
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        covered.withColumn("isl", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + (cgram - 1), F.min("n_chars")).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams_in_span"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("span_len") >= min_span)
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        "n_grams_in_span",
+    )
+
+
+# j56b's planted corpus: char-level twins sharing the doc's first 100
+# CHARACTERS (>= the 50-char floor, so doc and twin each release a
+# head-anchored span), tailed with the char-reversed text — which
+# cannot organically share a 20-char window with forward text except
+# where the corpus genuinely carries one (and then both engines see it).
+_J56B_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 600000,
+         substr(lower(text), 1, 100) || ' ' || reverse(lower(text))
+  FROM documents
+),
+w AS (SELECT doc_id, t, length(t) AS n_chars FROM corpus),
+occ AS (SELECT doc_id, n_chars, u.pos, substr(t, u.pos, 20) AS gr
+        FROM w, LATERAL unnest(range(1, greatest(n_chars - 19, 1) + 1)) u(pos)),
+dup AS (SELECT gr FROM (SELECT gr, COUNT(*) AS cnt FROM occ GROUP BY gr)
+        WHERE cnt >= 2),
+cov AS (SELECT o.doc_id, o.n_chars, o.pos,
+               o.pos - ROW_NUMBER() OVER (PARTITION BY o.doc_id
+                                          ORDER BY o.pos) AS isl
+        FROM occ o JOIN dup USING (gr)),
+sp AS (SELECT doc_id, MIN(pos) AS span_start,
+              LEAST(MAX(pos) + 19, MIN(n_chars)) AS span_end,
+              CAST(COUNT(*) AS BIGINT) AS n_grams_in_span
+       FROM cov GROUP BY doc_id, isl)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+       n_grams_in_span
+FROM sp
+WHERE span_end - span_start + 1 >= 50
+"""
+
+
+@register("j56b_maximal_dup_spans_chars", oracle=_J56B_ORACLE)
+def j56b_maximal_dup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j56b (extension): the ExactSubstr span inventory at CHARACTER
+    granularity — 20-char windows, 50-char floor (Lee et al.'s actual
+    byte-level form; j56 is the word-gram sibling), over a planted
+    corpus of 100-char-head-duplicated twins.  Span offsets are exact
+    character anchors a cutter can substr() on.  Delegates to
+    ``maximal_dup_spans_chars``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    twin = d.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100), F.lit(" "), F.reverse(F.col("text"))
+        ).alias("text"),
+    )
+    return maximal_dup_spans_chars(d.unionByName(twin), cgram=20, min_span=50)
+
+
 @register(
     "j34_grouped_split",
     oracle="""

@@ -2136,3 +2136,42 @@ def test_j59_prebuilt_index_probe_and_cache_reuse(spark):
     clear_caches()
     cold = {key(r) for r in ivf_probe(ivf_index_build(e, spark, SF_ORACLE), 3, 0, 10).collect()}
     assert cold == warm
+
+
+def test_j56b_char_spans_planted(spark):
+    """Planted character-level spans (NEXT r10 item f): a 60-char block
+    shared by two docs at different offsets releases one maximal span
+    each at exact char anchors; a WITHIN-doc repeated 25-char phrase
+    releases two spans (occurrence-count semantics); an identical pair
+    of docs SHORTER than the gram width still releases, capped at the
+    doc length (the single whole-doc window)."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.llm import maximal_dup_spans_chars
+
+    rng = random.Random(31)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rnd = lambda n: "".join(rng.choice(letters) for _ in range(n))  # noqa: E731
+    blk = rnd(60)
+    phr = rnd(25)
+    short = rnd(15)
+    docs = [
+        (1, rnd(37) + blk + rnd(25)),       # block at chars 38..97
+        (2, blk + rnd(40)),                 # block at chars 1..60
+        (3, phr + rnd(30) + phr),           # self-repeat: spans at 1 and 56
+        (4, short),                         # identical short pair:
+        (5, short),                         #   one whole-doc window each
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: []
+        for r in maximal_dup_spans_chars(d, cgram=20, min_span=10).collect()
+    }
+    for r in maximal_dup_spans_chars(d, cgram=20, min_span=10).collect():
+        got[r.doc_id].append((r.span_start, r.span_len, r.n_grams_in_span))
+    for k in got:
+        got[k].sort()
+    assert got[1] == [(38, 60, 41)]
+    assert got[2] == [(1, 60, 41)]
+    assert got[3] == [(1, 25, 6), (56, 25, 6)]
+    assert got[4] == [(1, 15, 1)] and got[5] == [(1, 15, 1)]

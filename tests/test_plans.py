@@ -410,3 +410,20 @@ def test_j59_probe_broadcasts_panel_and_stays_partitioned(spark):
 
     df = load_all()["j59b_ann_prebuilt_reprobe"].fn(spark, SF_ORACLE)
     assert not _global_windows(df), "global window in j59 probe"
+
+
+def test_j56b_char_island_window_is_partitioned(spark):
+    """j56b (char granularity) keeps j56's plan shape: doc-partitioned
+    island window, gram-keyed join back, bounded shuffle count."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        j56b_maximal_dup_spans_chars,
+    )
+
+    out = j56b_maximal_dup_spans_chars(spark, SF_ORACLE)
+    bad = _global_windows(out)
+    assert not bad, "global window in j56b:\n" + "\n".join(bad)
+    plan = plan_of(spark, "j56b_maximal_dup_spans_chars")
+    n_shuffles = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_shuffles <= 6, f"j56b shuffles too much ({n_shuffles}):\n{plan}"
