@@ -5157,6 +5157,167 @@ def j54b_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_multi_topk(d, queries, k=20)
 
 
+_J54C_TITLE_LEN = 8
+_J54C_W_TITLE = 2.0
+_J54C_W_BODY = 1.0
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k1: float = _J54_K1,
+    b_title: float = _J54_B,
+    b_body: float = _J54_B,
+    w_title: float = _J54C_W_TITLE,
+    w_body: float = _J54C_W_BODY,
+    title_len: int = _J54C_TITLE_LEN,
+    k: int = 100,
+) -> DataFrame:
+    """j54c's engine: BM25F (Robertson/Zaragoza/Taylor, CIKM 2004) —
+    FIELD-WEIGHTED retrieval.  Real corpora carry structured fields
+    (title/body/anchor) where a term hit is worth more in some fields
+    than others; BM25F normalizes term frequency PER FIELD first, sums
+    the weighted per-field tfs into one pseudo-frequency, and saturates
+    ONCE — which is what distinguishes it from naively summing per-field
+    BM25 scores (that would let a stuffed field saturate independently).
+    This corpus has a single text column, so the field structure is
+    DERIVED and contract-pinned: field "title" = the first
+    ``title_len`` words, field "body" = the rest (the derivation the
+    oracle replays; swap in real columns when a corpus has them).
+
+        wtf(t,d)  = w_title·tf_title/B_title + w_body·tf_body/B_body
+        B_f       = 1 − b_f + b_f·dl_f/avgdl_f        (per-field soft norm)
+        score(d)  = Σ_t idf(t) · wtf·(k1+1)/(k1 + wtf)
+
+    Cross-engine exactness: j54's integer micro-nat discipline — idf
+    quantized once to int64 micro-nats; wtf/saturation are fixed IEEE
+    expression trees mirrored token-for-token in the oracle (per-field
+    lengths are ints, avgdl_f exact int-sum ÷ count); each per-term
+    contribution floors to int64 BEFORE the order-free per-doc sum.  A
+    corpus where every doc is all-title (avgdl_body = 0) drops the body
+    component via an explicit guard rather than dividing by zero.
+
+    Plan shape: identical to j54 plus one positional explode — the
+    field tag rides the token (pos < title_len), tf_title/tf_body are
+    one conditional aggregate, the idf/avgdl table (≤ |q| rows)
+    broadcasts, top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")).select(
+        "doc_id",
+        F.least(F.col("dl"), F.lit(title_len)).alias("dlt"),
+        F.greatest(F.col("dl") - title_len, F.lit(0)).alias("dlb"),
+    )
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dlt").cast("double") / F.count(F.lit(1))).alias("avgdlt"),
+        (F.sum("dlb").cast("double") / F.count(F.lit(1))).alias("avgdlb"),
+    )
+    if query_terms is None:
+        query_terms = top_terms(docs, 5)
+    qtoks = toks.filter(F.col("tok").isin(list(query_terms)))
+    dfq = qtoks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = dfq.crossJoin(F.broadcast(st)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf6"),
+        "avgdlt",
+        "avgdlb",
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(
+        F.sum(F.when(F.col("pos0") < title_len, 1).otherwise(0)).alias("tft"),
+        F.sum(F.when(F.col("pos0") >= title_len, 1).otherwise(0)).alias("tfb"),
+    )
+    bt = F.lit(1.0) - F.lit(b_title) + F.lit(b_title) * F.col("dlt") / F.col("avgdlt")
+    bb = F.lit(1.0) - F.lit(b_body) + F.lit(b_body) * F.col("dlb") / F.col("avgdlb")
+    wtf = F.lit(w_title) * F.col("tft") / bt + F.when(
+        F.col("avgdlb") > 0.0, F.lit(w_body) * F.col("tfb") / bb
+    ).otherwise(F.lit(0.0))
+    sat = (wtf * F.lit(k1 + 1.0)) / (F.lit(k1) + wtf)
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", F.floor(F.col("idf6") * sat).cast("long").alias("c6"))
+    )
+    sc = contrib.groupBy("doc_id").agg(F.sum("c6").alias("bm25f_micro"))
+    topk = sc.orderBy(F.col("bm25f_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25f_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+_J54C_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, u.pos, ws[u.pos] AS tok
+         FROM w, LATERAL unnest(range(1, len(ws) + 1)) u(pos)),
+dl AS (SELECT doc_id, LEAST(len(ws), {_J54C_TITLE_LEN}) AS dlt,
+              GREATEST(len(ws) - {_J54C_TITLE_LEN}, 0) AS dlb FROM w),
+st AS (SELECT COUNT(*) AS n,
+              SUM(dlt)::DOUBLE / COUNT(*) AS avgdlt,
+              SUM(dlb)::DOUBLE / COUNT(*) AS avgdlb FROM dl),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+q AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 5),
+dfq AS (SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks
+              WHERE tok IN (SELECT tok FROM q))
+        GROUP BY tok),
+idf AS (SELECT tok,
+               CAST(ROUND(ln(((SELECT n FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+                          * 1000000) AS BIGINT) AS idf6
+        FROM dfq),
+tf AS (SELECT doc_id, tok,
+              SUM(CASE WHEN pos <= {_J54C_TITLE_LEN} THEN 1 ELSE 0 END) AS tft,
+              SUM(CASE WHEN pos > {_J54C_TITLE_LEN} THEN 1 ELSE 0 END) AS tfb
+       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+wt AS (SELECT t.doc_id, t.tok,
+              ({_J54C_W_TITLE!r} * t.tft
+                 / (1.0 - {_J54_B!r} + {_J54_B!r} * d.dlt / (SELECT avgdlt FROM st))
+               + CASE WHEN (SELECT avgdlb FROM st) > 0.0
+                      THEN {_J54C_W_BODY!r} * t.tfb
+                           / (1.0 - {_J54_B!r} + {_J54_B!r} * d.dlb
+                              / (SELECT avgdlb FROM st))
+                      ELSE 0.0 END) AS wtf
+       FROM tf t JOIN dl d ON d.doc_id = t.doc_id),
+contrib AS (
+  SELECT doc_id,
+         CAST(FLOOR(idf6 * ((wtf * {_J54_K1 + 1.0!r}) / ({_J54_K1!r} + wtf)))
+              AS BIGINT) AS c6
+  FROM wt JOIN idf USING (tok)),
+sc AS (SELECT doc_id, CAST(SUM(c6) AS BIGINT) AS bm25f_micro
+       FROM contrib GROUP BY doc_id),
+top AS (SELECT doc_id, bm25f_micro FROM sc
+        ORDER BY bm25f_micro DESC, doc_id ASC LIMIT 100)
+SELECT doc_id, bm25f_micro,
+       ROW_NUMBER() OVER (ORDER BY bm25f_micro DESC, doc_id ASC) AS rank
+FROM top
+"""
+
+
+@register("j54c_bm25f_topk", oracle=_J54C_ORACLE)
+def j54c_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j54c (extension): BM25F top-100 for the corpus's 5 most frequent
+    words — per-field length normalization (title = first 8 words at
+    weight 2, body at weight 1), weighted pseudo-frequency, single
+    saturation (the property that distinguishes BM25F from summing
+    per-field BM25s).  Field derivation, term stats, and floored
+    integer scores all replay in the oracle.  See ``bm25f_topk``
+    (NEXT r10 item d)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return bm25f_topk(d)
+
+
 # ---------------------------------------------------------------------------
 # j53: incremental (batch-vs-corpus) near-dedup — the ingestion path
 # ---------------------------------------------------------------------------

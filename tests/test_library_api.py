@@ -70,6 +70,7 @@ DELEGATES = {
     "j52b_containment_capped": "containment_join",
     "j54_bm25_topk": "bm25_topk",
     "j54b_bm25_multi": "bm25_multi_topk",
+    "j54c_bm25f_topk": "bm25f_topk",
     "j44b_semdedup_fast": "semdedup_release",
     "j32b_substring_dedup": "substring_dedup_release",
     "j51_weighted_sample": "weighted_sample_topk",

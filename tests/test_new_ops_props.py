@@ -2175,3 +2175,55 @@ def test_j56b_char_spans_planted(spark):
     assert got[2] == [(1, 60, 41)]
     assert got[3] == [(1, 25, 6), (56, 25, 6)]
     assert got[4] == [(1, 15, 1)] and got[5] == [(1, 15, 1)]
+
+
+def test_j54c_bm25f_single_field_reduction_and_title_boost(spark):
+    """BM25F properties (NEXT r10 item d): (1) with one field, b=0 and
+    unit weights, BM25F reduces EXACTLY to BM25 — wtf = tf and
+    tf(k1+1)/(tf+k1·B) = wtf(k1+1)/(wtf+k1), bit-for-bit in the floored
+    integer scores; (2) with default weights a term hit in the derived
+    title outranks the same total tf sitting in the body; (3) an
+    all-title corpus (every doc shorter than title_len) scores without
+    NaN via the avgdl_body guard."""
+    from ma_anonymization_etl_spark.operators.llm import bm25_topk, bm25f_topk
+    from ma_anonymization_etl_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    # (1) exact reduction: everything-is-title, per-field norm off.
+    red = {
+        (r.doc_id, r.bm25f_micro)
+        for r in bm25f_topk(
+            d, b_title=0.0, b_body=0.0, w_title=1.0, w_body=1.0,
+            title_len=10**6, k=100,
+        ).collect()
+    }
+    ref = {
+        (r.doc_id, r.bm25_micro) for r in bm25_topk(d, b=0.0, k=100).collect()
+    }
+    assert red == ref and ref
+
+    # (2) planted title boost: same corpus-wide stats, hit placement
+    # differs.  Docs are 10 words; 'zzq' sits at position 1 (title) in
+    # doc 1 and position 10 (body) in doc 2.
+    filler = ["w%d" % i for i in range(9)]
+    docs = [
+        (1, " ".join(["zzq"] + filler)),
+        (2, " ".join(filler + ["zzq"])),
+        (3, " ".join("x%d" % i for i in range(10))),
+    ]
+    p = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25f_micro for r in bm25f_topk(p, ["zzq"], k=10).collect()}
+    assert set(got) == {1, 2} and got[1] > got[2] > 0
+
+    # (3) all-title corpus: dl_body = 0 everywhere; guard must release
+    # finite scores (no NaN floor -> no missing rows).
+    short = spark.createDataFrame(
+        [(1, "a b zzq"), (2, "a zzq c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = bm25f_topk(short, ["zzq"], title_len=8, k=10).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.bm25f_micro > 0 for r in rows)
