@@ -2547,6 +2547,148 @@ def j56b_maximal_dup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_dup_spans_chars(d.unionByName(twin), cgram=20, min_span=50)
 
 
+# ---------------------------------------------------------------------------
+# j60: edit-distance-verified fuzzy dedup — typo-level near duplicates
+# ---------------------------------------------------------------------------
+#
+# MinHash/Jaccard dedup (j3/j50) sees BAGS OF SHINGLES — robust to
+# reordering, blind to granularity below the shingle.  The complementary
+# production contract is EDIT DISTANCE: "these two docs differ by <= tau
+# character edits" (OCR noise, typo farms, template fills).  Exact
+# all-pairs Levenshtein is Θ(N²·L²); the scalable shape is candidate
+# BLOCKING + banded verify, which is what j60 registers.
+_J60_TAU = 3
+_J60_BLOCK = 16
+
+
+def fuzzy_dup_pairs(
+    docs: DataFrame,
+    tau: int = _J60_TAU,
+    block_len: int = _J60_BLOCK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """j60's engine: candidate pairs share a PREFIX block (first
+    ``block_len`` chars) or a SUFFIX block (last ``block_len``), with
+    length difference <= ``tau`` (an edit-distance lower bound, applied
+    INSIDE the candidate join); survivors verify with banded
+    Levenshtein (threshold form — O(tau·L) per pair, not O(L²)) and
+    release (a_id, b_id, dist) for dist <= tau, a < b.
+
+    RECALL CONTRACT (explicit, oracle-replayed): a true near-pair whose
+    edits touch BOTH the prefix and the suffix block escapes blocking —
+    the standard multi-key blocking trade (Christen, TKDE 2012); raise
+    recall by adding keys (middle block, sorted-token key), each one
+    more self-join.  Precision is exact: every released pair carries
+    its true edit distance.
+
+    Plan shape: one (doc, key-type) explode (2 rows/doc), ONE
+    equality self-join on (key_type, key) with the length filter in
+    the join condition, partial-agg pair dedup (a pair sharing both
+    keys emits once), then an id-keyed join back to texts for the
+    banded verify — candidate volume is Σ_blocks C(df, 2), never N².
+    At 100 TB block keys would be hash31_md5'd and df-capped (the
+    j52b cap contract) — word-soup prefixes here are near-unique so
+    the planted twins dominate the blocks."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
+    ).withColumn("n", F.length("text"))
+    keys = base.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(F.lit("p").alias("kt"), F.substring("text", 1, block_len).alias("k")),
+                F.struct(
+                    F.lit("s").alias("kt"),
+                    F.col("text")
+                    .substr(
+                        F.greatest(F.col("n") - F.lit(block_len - 1), F.lit(1)),
+                        F.lit(block_len),
+                    )
+                    .alias("k"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "n", F.col("o.kt").alias("kt"), F.col("o.k").alias("k"))
+    cand = (
+        keys.alias("x")
+        .join(
+            keys.alias("y"),
+            (F.col("x.kt") == F.col("y.kt"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.abs(F.col("x.n") - F.col("y.n")) <= tau),
+        )
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .drop("nk")
+    )
+    at = base.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_t"))
+    bt = base.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_t"))
+    return (
+        cand.join(at, "a_id")
+        .join(bt, "b_id")
+        .withColumn("dist", F.levenshtein("a_t", "b_t", tau))
+        .filter(F.col("dist") >= 0)
+        .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+# j60's planted corpus: twins replace two characters at positions 20-21
+# with 'qq' — edit distance <= 2 (= 2 unless the original already reads
+# 'qq' there), prefix-16 AND suffix-16 blocks both intact, so blocking
+# finds every twin and the verify releases its exact distance.
+_J60_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         substr(lower(text), 1, 19) || 'qq' || substr(lower(text), 22,
+                length(lower(text)))
+  FROM documents
+),
+b2 AS (SELECT doc_id, t, length(t) AS n FROM base),
+keys AS (
+  SELECT doc_id, n, 'p' AS kt, substr(t, 1, {_J60_BLOCK}) AS k FROM b2
+  UNION ALL
+  SELECT doc_id, n, 's',
+         substr(t, GREATEST(n - {_J60_BLOCK - 1}, 1), {_J60_BLOCK}) FROM b2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM keys x JOIN keys y
+    ON x.kt = y.kt AND x.k = y.k AND x.doc_id < y.doc_id
+   AND ABS(x.n - y.n) <= {_J60_TAU}
+)
+SELECT a_id, b_id, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM cand JOIN b2 a ON a.doc_id = a_id JOIN b2 b ON b.doc_id = b_id
+WHERE levenshtein(a.t, b.t) <= {_J60_TAU}
+"""
+
+
+@register("j60_fuzzy_dedup_edit", oracle=_J60_ORACLE)
+def j60_fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j60 (extension): edit-distance fuzzy dedup — prefix/suffix-16
+    blocked candidates, length filter inside the join, banded
+    Levenshtein verify at tau=3, over a planted corpus of 2-char-
+    substituted twins.  The candidate definition (the recall contract)
+    and the exact released distances replay in the oracle.  Delegates
+    to ``fuzzy_dup_pairs``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    twin = d.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19),
+            F.lit("qq"),
+            F.col("text").substr(F.lit(22), F.length("text")),
+        ).alias("text"),
+    )
+    return fuzzy_dup_pairs(d.unionByName(twin))
+
+
 @register(
     "j34_grouped_split",
     oracle="""

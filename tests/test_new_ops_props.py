@@ -2227,3 +2227,34 @@ def test_j54c_bm25f_single_field_reduction_and_title_boost(spark):
     rows = bm25f_topk(short, ["zzq"], title_len=8, k=10).collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert all(r.bm25f_micro > 0 for r in rows)
+
+
+def test_j60_fuzzy_dedup_blocking_and_verify(spark):
+    """j60's contract pinned on planted pairs: a middle edit (both
+    blocks intact) is found with its exact distance; a prefix-only edit
+    is found via the suffix key; an edit touching BOTH blocks is missed
+    (the documented multi-key blocking recall trade); a length gap
+    > tau is excluded by the lower-bound filter before any verify."""
+    from ma_anonymization_etl_spark.operators.llm import fuzzy_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base[:30] + "XY" + base[32:]),          # middle edit, dist 2
+        (3, "ZZ" + base[2:]),                       # prefix edit -> suffix key
+        (4, "QQ" + base[2:-2] + "WW"),              # both blocks edited
+        (5, base + " plus twenty-five more characters"),  # len gap > tau
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in fuzzy_dup_pairs(d, tau=4, block_len=16).collect()
+    }
+    assert got.get((1, 2)) == 2, "middle edit must verify at exact distance"
+    assert got.get((1, 3)) == 2, "prefix edit must be caught by the suffix key"
+    assert (2, 3) in got, "2 vs 3 share the suffix block (dist 4)"
+    assert got[(2, 3)] == 4
+    assert not any(4 in p for p in got), (
+        "both-block edits are the documented blocking miss"
+    )
+    assert not any(5 in p for p in got), "length lower bound must exclude 5"
