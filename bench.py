@@ -82,6 +82,16 @@ HEADLINE = [
     "j56_maximal_dup_spans",
     "j57_ann_multiprobe",
     "j58_ann_cost_routed",
+    # round-10b additions (BASELINE.md round-10b note): the prebuilt-
+    # index probe pair (j59 pays the one-time IVF build, j59b measures
+    # the amortized probe-only cost against the session-cached index —
+    # read them TOGETHER), char-level ExactSubstr, edit-distance fuzzy
+    # dedup, and BM25F.  Earlier subtotals stay comparable.
+    "j59_ann_prebuilt_probe",
+    "j59b_ann_prebuilt_reprobe",
+    "j56b_maximal_dup_spans_chars",
+    "j60_fuzzy_dedup_edit",
+    "j54c_bm25f_topk",
 ]
 
 

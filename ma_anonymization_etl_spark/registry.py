@@ -81,7 +81,17 @@ DRIVER_WINDOW = [
     "j54b_bm25_multi",
     "j57_ann_multiprobe",
     "p1b_pagerank_converged",
-    "p7_connected_components",
+    # round-10b rotation #6: five long-green entries out (p7 — p7b
+    # keeps CC in the gate; j3/j9b — j53/j9d keep MinHash and LSH
+    # pair-search in; j51 — sampling long-green since r7; j52 — j52b
+    # keeps containment in) for the round-10b surface: the prebuilt-
+    # index probe pair, char-level ExactSubstr, edit-distance fuzzy
+    # dedup, and BM25F.
+    "j59_ann_prebuilt_probe",
+    "j59b_ann_prebuilt_reprobe",
+    "j56b_maximal_dup_spans_chars",
+    "j60_fuzzy_dedup_edit",
+    "j54c_bm25f_topk",
     # sources / sinks (3)
     "a1_parquet_scan",
     "a5_stream_source_tumbling",
@@ -106,15 +116,11 @@ DRIVER_WINDOW = [
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
     "j50b_jaccard_routed",
     "j50c_jaccard_routed_lsh",
-    "j51_weighted_sample",
-    "j52_containment_join",
     "j52b_containment_capped",
     "j32b_substring_dedup",
     "j54_bm25_topk",
     "j44b_semdedup_fast",
     "j43b_kmeans_converged",
-    "j3_dedup_near_minhash",
-    "j9b_sim_pair_lsh",
     "j53_incremental_dedup",
     # events / streaming (3; q8 rotated out round 10 for j57 — q10
     # keeps the q family inside the gate)
