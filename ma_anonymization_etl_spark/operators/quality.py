@@ -985,3 +985,117 @@ def q10_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return seasonal_anomaly_flags(daily, period=7, n_periods=4)
+
+
+def token_js_divergence(
+    docs: DataFrame,
+    top_k: int = 50,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """q11's engine: Jensen-Shannon divergence between each group's
+    TOKEN distribution and the corpus's, over the corpus's ``top_k``
+    most frequent tokens (count desc, token asc — the j54 bounded-vocab
+    derivation) with both distributions renormalized to that vocabulary.
+    q5's PSI drifts NUMERIC columns; this is the text-side counterpart
+    a curation pipeline runs per source/shard/snapshot — JSD is
+    symmetric, bounded by ln 2, and zero iff the distributions agree on
+    the vocabulary, so per-source scores are directly comparable.
+
+        JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+
+    Cross-engine exactness: p and q are exact integer-count ratios; ln
+    is the only implementation-defined op, so each TOKEN's summand is
+    quantized to integer NANO-nats before the order-free per-group sum
+    (the j30/j54 micro-nat treatment, one decade finer because top-50
+    probabilities are O(1e-2)).  Absent tokens contribute only the
+    ½·q·ln(q/m) = ½·q·ln 2 term, via an explicit cs > 0 guard mirrored
+    in the oracle.
+
+    Plan shape: one token explode feeds two vocab-bounded partial aggs;
+    the top-k table (and the 1-row total) BROADCAST onto a groups ×
+    top_k grid (|groups|·top_k rows); one final groupBy releases
+    (source, n_topk_present, jsd_nano).  Nothing shuffles more than
+    the per-group token counts."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(F.split(text_col, " ")).alias("tok")
+    )
+    cq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cq"))
+    topk = cq.orderBy(F.col("cq").desc(), F.col("tok").asc()).limit(top_k)
+    tq = topk.agg(F.sum("cq").alias("tq"))
+    sc_ = (
+        toks.join(F.broadcast(topk.select("tok")), "tok")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    ts = sc_.groupBy("grp").agg(F.sum("cs").alias("ts"))
+    grid = ts.crossJoin(F.broadcast(topk))
+    j = (
+        grid.join(sc_, ["grp", "tok"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+        .crossJoin(F.broadcast(tq))
+    )
+    p = F.col("cs").cast("double") / F.col("ts")
+    qv = F.col("cq").cast("double") / F.col("tq")
+    m = (p + qv) / F.lit(2.0)
+    contrib = F.when(
+        F.col("cs") > 0, F.lit(0.5) * p * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * qv * F.log(qv / m)
+    c = j.select(
+        "grp",
+        F.when(F.col("cs") > 0, 1).otherwise(0).alias("present"),
+        F.round(contrib * 1e9).cast("long").alias("nano"),
+    )
+    return (
+        c.groupBy("grp")
+        .agg(
+            F.sum("present").cast("long").alias("n_topk_present"),
+            F.sum("nano").alias("jsd_nano"),
+        )
+        .select(F.col("grp").alias("source"), "n_topk_present", "jsd_nano")
+    )
+
+
+@register(
+    "q11_token_js_divergence",
+    oracle="""
+WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cq AS (SELECT tok, COUNT(*) AS cq FROM toks GROUP BY tok),
+topk AS (SELECT tok, cq FROM cq ORDER BY cq DESC, tok ASC LIMIT 50),
+tq AS (SELECT SUM(cq) AS tq FROM topk),
+sc AS (SELECT grp, tok, COUNT(*) AS cs FROM toks
+       WHERE tok IN (SELECT tok FROM topk) GROUP BY grp, tok),
+ts AS (SELECT grp, SUM(cs) AS ts FROM sc GROUP BY grp),
+grid AS (SELECT ts.grp, ts.ts, k.tok, k.cq FROM ts CROSS JOIN topk k),
+j AS (SELECT g.grp, g.ts, g.tok, g.cq, COALESCE(s.cs, 0) AS cs
+      FROM grid g LEFT JOIN sc s ON s.grp = g.grp AND s.tok = g.tok),
+c AS (SELECT grp,
+             CASE WHEN cs > 0 THEN 1 ELSE 0 END AS present,
+             CAST(ROUND((CASE WHEN cs > 0
+                   THEN 0.5 * (cs::DOUBLE / ts)
+                        * ln((cs::DOUBLE / ts)
+                             / ((cs::DOUBLE / ts
+                                 + cq::DOUBLE / (SELECT tq FROM tq)) / 2.0))
+                   ELSE 0.0 END
+                 + 0.5 * (cq::DOUBLE / (SELECT tq FROM tq))
+                   * ln((cq::DOUBLE / (SELECT tq FROM tq))
+                        / ((cs::DOUBLE / ts
+                            + cq::DOUBLE / (SELECT tq FROM tq)) / 2.0)))
+                 * 1000000000) AS BIGINT) AS nano
+      FROM j)
+SELECT grp AS source, CAST(SUM(present) AS BIGINT) AS n_topk_present,
+       CAST(SUM(nano) AS BIGINT) AS jsd_nano
+FROM c GROUP BY grp
+""",
+)
+def q11_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 (extension): per-source token-distribution drift — JSD
+    against the corpus distribution over the corpus top-50 vocabulary,
+    released in integer nano-nats.  The text-side counterpart to q5's
+    numeric PSI; the score every multi-source curation pipeline tracks
+    per shard before mixing.  Delegates to ``token_js_divergence``."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.lower(F.col("text")).alias("text")
+    )
+    return token_js_divergence(d, top_k=50)

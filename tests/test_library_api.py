@@ -41,6 +41,7 @@ DELEGATES = {
     "q8_ewma_anomaly": "ewma_anomaly_flags",
     "q9_mad_outliers": "mad_outlier_report",
     "q10_seasonal_anomaly": "seasonal_anomaly_flags",
+    "q11_token_js_divergence": "token_js_divergence",
     # LLM curation (j)
     "j13_lang_id_heuristic": "lang_id",
     "j14_text_quality_score": "text_quality_score",

@@ -2258,3 +2258,28 @@ def test_j60_fuzzy_dedup_blocking_and_verify(spark):
         "both-block edits are the documented blocking miss"
     )
     assert not any(5 in p for p in got), "length lower bound must exclude 5"
+
+
+def test_q11_jsd_zero_bound_and_ordering(spark):
+    """JSD properties: a group distributed exactly like the corpus
+    vocabulary scores ~0; every score sits in [0, ln 2]; a group
+    concentrated on one token diverges more than a mildly skewed one."""
+    from ma_anonymization_etl_spark.operators.quality import token_js_divergence
+
+    # Three groups over a 2-token vocabulary; corpus = (210 a, 90 b) =
+    # (0.7, 0.3), so 'uniform' (70/30) matches the corpus mix exactly.
+    rows = []
+    def add(src, a, b):
+        rows.append((src, " ".join(["a"] * a + ["b"] * b)))
+    add("uniform", 70, 30)
+    add("mild", 60, 40)
+    add("hard", 80, 20)
+    d = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r.jsd_nano for r in token_js_divergence(d, top_k=2).collect()}
+    ln2_nano = 693_147_181
+    assert got["uniform"] == 0, "exact corpus mix must score 0"
+    assert all(0 <= v <= ln2_nano for v in got.values())
+    assert got["hard"] > got["mild"] > 0
+    pres = {r.source: r.n_topk_present
+            for r in token_js_divergence(d, top_k=2).collect()}
+    assert pres == {"uniform": 2, "mild": 2, "hard": 2}
