@@ -235,6 +235,115 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).dropDuplicates(["a_id", "b_id"])
 
 
+def _j60_stream_oracle() -> str:
+    from ma_anonymization_etl_spark.operators.llm import _J60_ORACLE
+
+    return _J60_ORACLE
+
+
+@register("k26_stream_fuzzy_dedup", oracle=_j60_stream_oracle())
+def k26_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k26 (extension): j60's edit-distance fuzzy dedup as the INGEST
+    shape — the k10 pattern at character granularity.  Documents arrive
+    in micro-batches (originals, then the 2-char-substituted twins,
+    maxFilesPerTrigger=1); each batch's prefix/suffix-16 blocking keys
+    are checked against an accumulating parquet key store
+    (batch-internal + batch-vs-store candidates, length lower bound
+    inside the join), banded-Levenshtein-verified pairs land in a pairs
+    sink, and the batch's keys join the store.  The accumulated pair
+    set must equal single-shot batch j60 on the same corpus — the
+    oracle IS j60's (and tests/test_streaming.py asserts engine-side
+    equality too).  Per-ingest cost scales with the batch's block
+    collisions, never the corpus pair count."""
+    from ma_anonymization_etl_spark.operators.llm import _J60_BLOCK, _J60_TAU
+
+    base = scratch_dir(spark, "k26")
+    in_dir, store, pairs_dir = (os.path.join(base, d) for d in ("in", "store", "pairs"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    d = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    d.write.parquet(os.path.join(in_dir, "batch1"))
+    d.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19),
+            F.lit("qq"),
+            F.col("text").substr(F.lit(22), F.length("text")),
+        ).alias("text"),
+    ).write.parquet(os.path.join(in_dir, "batch2"))
+
+    def block_keys(batch: DataFrame) -> DataFrame:
+        b = batch.withColumn("n", F.length("text"))
+        return b.select(
+            "doc_id",
+            "n",
+            "text",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("p").alias("kt"),
+                        F.substring("text", 1, _J60_BLOCK).alias("k"),
+                    ),
+                    F.struct(
+                        F.lit("s").alias("kt"),
+                        F.col("text")
+                        .substr(
+                            F.greatest(F.col("n") - F.lit(_J60_BLOCK - 1), F.lit(1)),
+                            F.lit(_J60_BLOCK),
+                        )
+                        .alias("k"),
+                    ),
+                )
+            ).alias("o"),
+        ).select("doc_id", "n", "text", F.col("o.kt").alias("kt"), F.col("o.k").alias("k"))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        keys = block_keys(batch).persist()
+        try:
+            known = spark.read.parquet(store)
+        except Exception:
+            known = None
+        pool = keys if known is None else keys.unionByName(known)
+        a, b = keys.alias("a"), pool.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.kt") == F.col("b.kt"))
+                & (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (F.abs(F.col("a.n") - F.col("b.n")) <= _J60_TAU),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+                F.col("a.text").alias("t_a"),
+                F.col("b.text").alias("t_b"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        (
+            cand.withColumn("dist", F.levenshtein("t_a", "t_b", _J60_TAU))
+            .filter(F.col("dist") >= 0)
+            .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        keys.write.mode("append").parquet(store)
+        keys.unpersist()
+
+    src = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    run_foreach_batch(src, process)
+    return spark.read.parquet(pairs_dir).dropDuplicates(["a_id", "b_id"])
+
+
 @register(
     "k9_stream_anonymize",
     oracle="""

@@ -254,3 +254,22 @@ def test_k22_rollup_is_genuinely_incremental(spark):
     partials = spark.read.parquet(scratch_dir(spark, "k22_rollup", stage_key(SF_ORACLE)))
     assert partials.select("batch_id").distinct().count() >= 2
     assert partials.count() >= n_final
+
+
+def test_stream_fuzzy_dedup_equals_batch(spark):
+    """k26's incremental (two-micro-batch, blocking-key-store) fuzzy
+    pairs must equal single-shot batch j60 on the same planted corpus."""
+    from ma_anonymization_etl_spark.operators.llm import j60_fuzzy_dedup_edit
+    from ma_anonymization_etl_spark.operators.streaming_queries import (
+        k26_stream_fuzzy_dedup,
+    )
+
+    streamed = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in k26_stream_fuzzy_dedup(spark, SF_ORACLE).collect()
+    }
+    batch = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in j60_fuzzy_dedup_edit(spark, SF_ORACLE).collect()
+    }
+    assert streamed == batch and streamed
