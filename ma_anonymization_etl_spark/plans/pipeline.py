@@ -188,6 +188,21 @@ def _step_near_dedup_drop(df, id_col="doc_id", text_col="text", tau=0.5, shingle
     return df.join(drops, id_col, "left_anti")
 
 
+def _step_fuzzy_dedup_drop(df, id_col="doc_id", text_col="text", tau=3, block_len=16):
+    """Curation step: edit-distance fuzzy-duplicate REMOVAL — docs
+    within ``tau`` character edits of a LOWER-id doc (found via j60's
+    prefix/suffix blocking + banded Levenshtein verify, the
+    gate-attested pair semantics) drop; every other doc keeps.
+    Completes the dedup-action trio next to near_dedup_drop (shingle
+    Jaccard) and substring_dedup (span masking)."""
+    from ma_anonymization_etl_spark.operators.llm import fuzzy_dup_pairs
+
+    pairs = fuzzy_dup_pairs(df, tau=tau, block_len=block_len,
+                            id_col=id_col, text_col=text_col)
+    drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def _step_repetition_filter(df, id_col="doc_id", dup2_max=0.05, top_max=0.12):
     from ma_anonymization_etl_spark.operators.llm import repetition_signals
 
@@ -410,6 +425,7 @@ STEPS = {
     "dedup_exact": _step_dedup_exact,
     "substring_dedup": _step_substring_dedup,
     "near_dedup_drop": _step_near_dedup_drop,
+    "fuzzy_dedup_drop": _step_fuzzy_dedup_drop,
     "repetition_filter": _step_repetition_filter,
     "quality_filter": _step_quality_filter,
     "lang_filter": _step_lang_filter,

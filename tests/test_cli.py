@@ -561,3 +561,24 @@ def test_route_enrich_join_reintroduction_needs_fresh_coverage(spark):
     r2 = dict(base, steps=[join, sup, dict(join), dict(sup)])
     out = run_route(spark, r2)
     assert "p_name" not in out.columns
+
+
+def test_route_step_fuzzy_dedup_drop(spark):
+    """fuzzy_dedup_drop removes the higher-id member of an
+    edit-distance near pair (lowest-id survives, tau=3 default) and
+    keeps docs beyond tau; other working columns ride through."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (20, t, "en"),
+            (21, t[:30] + "XY" + t[32:], "en"),   # 2 edits from 20
+            (22, "a completely different sentence about nothing at all", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = anonymize_pipeline(docs, [{"op": "fuzzy_dedup_drop"}])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {20, 22}, set(rows)
+    assert rows[20].lang == "en" and rows[22].lang == "de"

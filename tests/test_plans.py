@@ -292,6 +292,7 @@ ROUTE_STEP_CASES = [
     ({"op": "quality_filter", "min_words": 5}, "docs"),
     ({"op": "substring_dedup"}, "docs"),
     ({"op": "near_dedup_drop"}, "docs"),
+    ({"op": "fuzzy_dedup_drop"}, "docs"),
     ({"op": "lang_filter", "keep_langs": ["en"]}, "docs"),
     ({"op": "repetition_filter"}, "docs"),
     ({"op": "split_assign"}, "docs"),
