@@ -1321,6 +1321,98 @@ def j23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_canonical(
+    comp: DataFrame, corpus: DataFrame, stopwords=_STOPWORDS
+) -> DataFrame:
+    """j62's engine: QUALITY-AWARE canonical selection per near-dup
+    cluster.  ``comp`` carries (component, doc_id) — j23's connected
+    components over the verified pair graph; ``corpus`` carries
+    (doc_id, text).  j23/j37's survivor rule is lowest-id — fine for
+    determinism, blind to quality; production dedup keeps the BEST
+    member of each cluster (CCNet keeps by perplexity, SemDeDup by
+    centroid distance).  Here the quality key is the stopword fraction
+    (Gopher/C4's naturalness signal, j14's stop_frac): canonical =
+    argmax stop_cnt/n_words, ties to the lower doc_id.
+
+    Cross-engine exactness: stop_cnt and n_words are exact integers;
+    the ordering key is their one-division double (identical IEEE
+    operands both engines), ties broken by doc_id — the same
+    double-ordering discipline as every cos_sim ranking.  Release:
+    (component, doc_id, n_words, stop_cnt, is_canonical).
+
+    Plan shape: quality is one row-local projection over the corpus;
+    the join to components is id-keyed; the argmax is ONE window
+    partitioned by component — no pair join, nothing global."""
+    from pyspark.sql import Window
+
+    low = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    q = corpus.select(
+        "doc_id",
+        F.size(low).cast("long").alias("n_words"),
+        F.size(F.filter(low, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("stop_cnt"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        (F.col("stop_cnt").cast("double") / F.col("n_words")).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "component",
+            "doc_id",
+            "n_words",
+            "stop_cnt",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+def _j62_oracle() -> str:
+    return f"""
+WITH comp AS (SELECT component, doc_id FROM ({_j23_oracle()}) j23),
+corpus2 AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(lower(text), instr(lower(text), ' ') + 1)
+  FROM documents),
+q62 AS (SELECT doc_id,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(t, ' '),
+                                    w -> w IN {_STOPWORDS!r})) AS BIGINT)
+                 AS stop_cnt
+        FROM corpus2)
+SELECT component, doc_id, n_words, stop_cnt,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY stop_cnt::DOUBLE / n_words DESC,
+                                   doc_id ASC) = 1 AS is_canonical
+FROM comp JOIN q62 USING (doc_id)
+"""
+
+
+@register("j62_cluster_canonical", oracle=_j62_oracle())
+def j62_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j62 (extension): quality-aware survivor selection over j23's
+    near-dup clusters — canonical = highest stopword fraction (the
+    naturalness quality key), ties to the lower id; the production
+    refinement of j23/j37's lowest-id rule (CCNet keeps by model
+    score; this is the model-free analogue).  Delegates to
+    ``cluster_canonical``."""
+    comp = j23_dedup_clusters(spark, sf_dir).select("component", "doc_id")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return cluster_canonical(comp, corpus)
+
+
 def _j37_oracle() -> str:
     return f"""
 SELECT d.doc_id, md5(d.text) AS content_hash, d.n_chars

@@ -2283,3 +2283,44 @@ def test_q11_jsd_zero_bound_and_ordering(spark):
     pres = {r.source: r.n_topk_present
             for r in token_js_divergence(d, top_k=2).collect()}
     assert pres == {"uniform": 2, "mild": 2, "hard": 2}
+
+
+def test_j62_cluster_canonical_quality_rule(spark):
+    """Canonical selection properties: exactly one canonical per
+    cluster; the canonical maximizes stop_frac (tie -> lowest id) and
+    can be a HIGHER id than the min-id survivor (the rule genuinely
+    differs from j23's); singleton members of comp release themselves."""
+    from ma_anonymization_etl_spark.operators.llm import cluster_canonical
+
+    comp = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (7, 7), (7, 8)],
+        "component long, doc_id long",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x y z w"),                 # stop_frac 0
+            (2, "the of a b"),              # stop_frac 3/4  <- canonical
+            (3, "the a b c"),               # stop_frac 2/4
+            (7, "the quick fox"),           # 1/3  <- canonical (ties none)
+            (8, "q w e r t y"),             # 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = cluster_canonical(comp, corpus).collect()
+    canon = {r.component: r.doc_id for r in rows if r.is_canonical}
+    assert canon == {1: 2, 7: 7}
+    per_comp = {}
+    for r in rows:
+        per_comp.setdefault(r.component, []).append(r)
+    assert all(sum(x.is_canonical for x in v) == 1 for v in per_comp.values())
+    # tie -> lowest id: two docs with identical stop_frac
+    comp2 = spark.createDataFrame([(4, 4), (4, 5)], "component long, doc_id long")
+    corpus2 = spark.createDataFrame(
+        [(4, "the a b c"), (5, "of a b c")], "doc_id long, text string"
+    )
+    canon2 = {
+        r.component: r.doc_id
+        for r in cluster_canonical(comp2, corpus2).collect()
+        if r.is_canonical
+    }
+    assert canon2 == {4: 4}
