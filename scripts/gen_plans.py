@@ -161,6 +161,26 @@ SHOWCASE = [
         "window — no pair join, no Theta(sum df^2) stage, no global "
         "order anywhere",
     ),
+    (
+        "j59b_ann_prebuilt_reprobe",
+        "InMemory/persisted index scan -> BroadcastHashJoin on the cell "
+        "key with the query panel broadcast -> query-partitioned "
+        "window top-k",
+        "the amortized vector-store shape: the N x C quantization ran "
+        "ONCE at build; every probe batch is panel x occupancy cosines "
+        "against the cached cell-keyed index — build once, probe "
+        "forever",
+    ),
+    (
+        "j60_fuzzy_dedup_edit",
+        "one (doc, key-type) explode -> ONE equality self-join on "
+        "(kt, key) with the length lower bound inside the join "
+        "condition -> partial-agg pair dedup -> id-keyed joins back to "
+        "texts -> banded levenshtein filter",
+        "edit-distance dedup without N^2: candidates are "
+        "sum-over-blocks C(df,2); the threshold Levenshtein costs "
+        "O(tau x L) per candidate, and block keys df-cap at 100 TB",
+    ),
 ]
 
 
