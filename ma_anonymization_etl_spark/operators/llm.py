@@ -2530,13 +2530,22 @@ def maximal_dup_spans_chars(
     tokenizer-free and anchors spans at exact byte offsets — the
     offsets a downstream cutter feeds to substr().  The price is
     ~5× more windows per doc (one per character instead of one per
-    word); the plan shape is identical — positional gram explode,
-    gram-keyed partial-agg count, gram-keyed join back, PARTITIONED
-    island window — nothing all-pairs, nothing single-partition.  At
-    100 TB the 20-char gram keys would be hash31_md5'd before the two
-    shuffles (same note as j32/j56), and the explode would move into
-    mapInPandas emitting (pos, hash) pairs so the text column is
-    scanned once per doc rather than carried through Generate."""
+    word).
+
+    Plan shape — measured, not assumed (BASELINE round 10b A/B at
+    sf1): coverage is ONE gram-partitioned count WINDOW over the
+    positional explode (occurrences shuffle by gram once; cnt >= 2
+    filters in place) instead of j56's groupBy + join-back — the join
+    was the cost center (the 42M-row string-keyed sort-merge join
+    alone cost more than the whole window form; 279 s → 103 s at sf1).
+    Hashing the gram keys (md5-replayable hash64) was ALSO measured
+    and lost (+14 % — md5 CPU exceeds local-shuffle-width savings);
+    raw keys stay.  The trade the window form accepts: no map-side
+    partial agg, so one adversarially hot gram lands in one task —
+    bounded here (word-soup grams cap in the tens of thousands per
+    replica), and a 100 TB deployment with boilerplate-grade hot grams
+    would df-cap or pre-salt exactly as j32 notes.  The island window
+    stays PARTITIONED by doc; nothing is all-pairs, nothing global."""
     from pyspark.sql import Window
 
     base = docs.select(
@@ -2557,13 +2566,11 @@ def maximal_dup_spans_chars(
             )
         ).alias("o"),
     ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
-    dup = (
-        occ.groupBy("gr")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    covered = (
+        occ.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gr")))
         .filter(F.col("cnt") >= 2)
-        .select("gr")
+        .select("doc_id", "n_chars", "pos")
     )
-    covered = occ.join(dup, "gr").select("doc_id", "n_chars", "pos")
     w_isl = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         covered.withColumn("isl", F.col("pos") - F.row_number().over(w_isl))
