@@ -2666,6 +2666,7 @@ def fuzzy_dup_pairs(
     block_len: int = _J60_BLOCK,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keys: tuple = ("p", "s"),
 ) -> DataFrame:
     """j60's engine: candidate pairs share a PREFIX block (first
     ``block_len`` chars) or a SUFFIX block (last ``block_len``), with
@@ -2675,11 +2676,17 @@ def fuzzy_dup_pairs(
     release (a_id, b_id, dist) for dist <= tau, a < b.
 
     RECALL CONTRACT (explicit, oracle-replayed): a true near-pair whose
-    edits touch BOTH the prefix and the suffix block escapes blocking —
-    the standard multi-key blocking trade (Christen, TKDE 2012); raise
-    recall by adding keys (middle block, sorted-token key), each one
-    more self-join.  Precision is exact: every released pair carries
-    its true edit distance.
+    edits touch EVERY enabled block escapes blocking — the standard
+    multi-key blocking trade (Christen, TKDE 2012).  ``keys`` is the
+    recall dial: "p" prefix, "s" suffix, and "m" the MIDDLE block
+    (``block_len`` chars anchored at (n − block_len)//2 + 1) — j60b
+    registers ("p","s","m"), which catches pairs whose edits hit both
+    ends (tau < block spacing means ≤ tau edits cannot cover three
+    disjoint blocks when 3·block_len + tau ≤ n... formally: any pair
+    within tau edits shares at least one of the three blocks whenever
+    the edits touch at most two of them).  Each key is one more row per
+    doc in the SAME single self-join, not an extra join.  Precision is
+    exact: every released pair carries its true edit distance.
 
     Plan shape: one (doc, key-type) explode (2 rows/doc), ONE
     equality self-join on (key_type, key) with the length filter in
@@ -2692,21 +2699,29 @@ def fuzzy_dup_pairs(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
     ).withColumn("n", F.length("text"))
+    key_exprs = {
+        "p": F.substring("text", 1, block_len),
+        "s": F.col("text").substr(
+            F.greatest(F.col("n") - F.lit(block_len - 1), F.lit(1)),
+            F.lit(block_len),
+        ),
+        "m": F.col("text").substr(
+            F.greatest(
+                F.floor((F.col("n") - block_len) / 2).cast("int") + 1, F.lit(1)
+            ),
+            F.lit(block_len),
+        ),
+    }
+    kts = tuple(keys)
     keys = base.select(
         "doc_id",
         "n",
         F.explode(
             F.array(
-                F.struct(F.lit("p").alias("kt"), F.substring("text", 1, block_len).alias("k")),
-                F.struct(
-                    F.lit("s").alias("kt"),
-                    F.col("text")
-                    .substr(
-                        F.greatest(F.col("n") - F.lit(block_len - 1), F.lit(1)),
-                        F.lit(block_len),
-                    )
-                    .alias("k"),
-                ),
+                *[
+                    F.struct(F.lit(kt).alias("kt"), key_exprs[kt].alias("k"))
+                    for kt in kts
+                ]
             )
         ).alias("o"),
     ).select("doc_id", "n", F.col("o.kt").alias("kt"), F.col("o.k").alias("k"))
@@ -2764,6 +2779,60 @@ SELECT a_id, b_id, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
 FROM cand JOIN b2 a ON a.doc_id = a_id JOIN b2 b ON b.doc_id = b_id
 WHERE levenshtein(a.t, b.t) <= {_J60_TAU}
 """
+
+
+# j60b: the 3-key recall variant — same corpus, plus the middle block.
+_J60B_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         substr(lower(text), 1, 19) || 'qq' || substr(lower(text), 22,
+                length(lower(text)))
+  FROM documents
+),
+b2 AS (SELECT doc_id, t, length(t) AS n FROM base),
+keys AS (
+  SELECT doc_id, n, 'p' AS kt, substr(t, 1, {_J60_BLOCK}) AS k FROM b2
+  UNION ALL
+  SELECT doc_id, n, 's',
+         substr(t, GREATEST(n - {_J60_BLOCK - 1}, 1), {_J60_BLOCK}) FROM b2
+  UNION ALL
+  SELECT doc_id, n, 'm',
+         substr(t, GREATEST((n - {_J60_BLOCK}) // 2 + 1, 1), {_J60_BLOCK}) FROM b2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM keys x JOIN keys y
+    ON x.kt = y.kt AND x.k = y.k AND x.doc_id < y.doc_id
+   AND ABS(x.n - y.n) <= {_J60_TAU}
+)
+SELECT a_id, b_id, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM cand JOIN b2 a ON a.doc_id = a_id JOIN b2 b ON b.doc_id = b_id
+WHERE levenshtein(a.t, b.t) <= {_J60_TAU}
+"""
+
+
+@register("j60b_fuzzy_dedup_3key", oracle=_J60B_ORACLE)
+def j60b_fuzzy_dedup_3key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j60b (extension): j60 with the MIDDLE block as a third key —
+    the recall dial turned one notch (NEXT r10b item d): pairs whose
+    edits hit both the prefix and the suffix now still block on the
+    middle; only edits spread across all three blocks escape.  Same
+    single self-join (3 rows/doc instead of 2), same banded verify,
+    same planted corpus.  Delegates to ``fuzzy_dup_pairs``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    twin = d.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19),
+            F.lit("qq"),
+            F.col("text").substr(F.lit(22), F.length("text")),
+        ).alias("text"),
+    )
+    return fuzzy_dup_pairs(d.unionByName(twin), keys=("p", "s", "m"))
 
 
 @register("j60_fuzzy_dedup_edit", oracle=_J60_ORACLE)

@@ -90,6 +90,7 @@ DELEGATES = {
     "j56_maximal_dup_spans": "maximal_dup_spans",
     "j56b_maximal_dup_spans_chars": "maximal_dup_spans_chars",
     "j60_fuzzy_dedup_edit": "fuzzy_dup_pairs",
+    "j60b_fuzzy_dedup_3key": "fuzzy_dup_pairs",
     "j62_cluster_canonical": "cluster_canonical",
     "j57_ann_multiprobe": "multiprobe_ann_topk",
     "j58_ann_cost_routed": "ann_topk_cost_routed",

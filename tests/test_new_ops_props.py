@@ -2324,3 +2324,37 @@ def test_j62_cluster_canonical_quality_rule(spark):
         if r.is_canonical
     }
     assert canon2 == {4: 4}
+
+
+def test_j60b_middle_key_buys_back_both_end_edits(spark):
+    """The 3-key recall dial (NEXT r10b item d): the pair whose edits
+    hit BOTH the prefix and suffix blocks — j60's documented miss — is
+    caught by the middle block; a pair with edits in all THREE blocks
+    still escapes (the contract's new boundary)."""
+    from ma_anonymization_etl_spark.operators.llm import fuzzy_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mid = len(base) // 2
+    three = "ZZ" + base[2:mid] + "XX" + base[mid + 2:-2] + "WW"  # all 3 blocks
+    docs = [
+        (1, base),
+        (4, "QQ" + base[2:-2] + "WW"),   # prefix+suffix edited, middle intact
+        (6, three),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    two_key = {
+        (r.a_id, r.b_id) for r in fuzzy_dup_pairs(d, tau=4, block_len=16).collect()
+    }
+    three_key = {
+        (r.a_id, r.b_id): r.dist
+        for r in fuzzy_dup_pairs(d, tau=6, block_len=16,
+                                 keys=("p", "s", "m")).collect()
+    }
+    assert (1, 4) not in two_key, "two-key blocking must miss prefix+suffix edits"
+    assert three_key.get((1, 4)) == 4, "middle key must catch it at exact distance"
+    # 6 vs 1 edits all three blocks -> the contract's remaining miss.
+    # (6 vs 4 IS caught — they share the 'WW' suffix block — dist 4.)
+    assert (1, 6) not in three_key, (
+        "edits across all three blocks remain the documented miss"
+    )
+    assert three_key.get((4, 6)) == 4
