@@ -967,17 +967,34 @@ def multiprobe_ann_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFr
     query vs the exact scan's 10^11 — and vs own-cell-only IVF the
     Hamming-1 ring buys back exactly the neighbours one sign flip
     away (recall property-tested)."""
-    from pyspark.sql import Window
-
     n = e.count()
     bits = multiprobe_cell_bits(n)
+    return _mp_probe(_mp_sign(e, bits), bits, k=k, lo=0, hi=n_queries)
+
+
+def _mp_sign(e: DataFrame, bits: int) -> DataFrame:
+    """The multiprobe index content: every (vec_id, v) signed into its
+    ``bits``-bit random-hyperplane cell — (vec_id, v, cell)."""
     planes = _j57_planes()[:bits]
     bit_cols = [
         F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0, 1).otherwise(0)
         for p in planes
     ]
-    sig = e.select("vec_id", "v", F.concat(*[b.cast("string") for b in bit_cols]).alias("cell"))
-    q = sig.filter(F.col("vec_id") < n_queries).select(
+    return e.select(
+        "vec_id", "v", F.concat(*[b.cast("string") for b in bit_cols]).alias("cell")
+    )
+
+
+def _mp_probe(
+    sig: DataFrame, bits: int, k: int = 3, lo: int = 0, hi: int = 10
+) -> DataFrame:
+    """Probe the panel (lo <= vec_id < hi) against a signed corpus:
+    own cell + every Hamming-1 cell, broadcast equality join,
+    exact-cosine re-rank, top-``k`` per query; n_bits rides along so
+    the gate attests the derivation."""
+    from pyspark.sql import Window
+
+    q = sig.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -1012,7 +1029,44 @@ def multiprobe_ann_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFr
     )
 
 
-def _j57_oracle() -> str:
+# --- j63: PREBUILT multiprobe index — the scaling codebook, amortized ------
+#
+# j59 registered the amortized account for the LABEL-codebook IVF
+# (C = 10 cells at every scale); j63 does the same for the codebook
+# that actually scales — j57's 2^bits ≈ √N hyperplane cells.  The
+# signed corpus persists behind the bounded session cache; disjoint
+# panels probe it (own cell + Hamming-1 ring).  Build cost is one
+# bits-plane sign pass (N·bits dot products), probe cost
+# (bits+1)·N/2^bits cosines per query — at 100 TB the build amortizes
+# over every batch exactly as a production vector store's index does.
+_J63_SIG_CACHE: dict = register_cache({})
+
+
+def multiprobe_index_build(e: DataFrame, spark: SparkSession, sf_dir: str):
+    """Build — or fetch the session-cached — persisted multiprobe index
+    over ``e`` (vec_id, v): the signed corpus plus its derived bit
+    count, keyed (applicationId, sf_dir).  Returns (sig, bits)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mp_index")
+    cached = _J63_SIG_CACHE.get(key)
+    if cached is None:
+        bits = multiprobe_cell_bits(e.count())
+        cached = cache_put(
+            _J63_SIG_CACHE, key, (_mp_sign(e, bits).persist(), bits)
+        )
+    return cached
+
+
+def multiprobe_probe(
+    sig: DataFrame, bits: int, k: int = 3, lo: int = 0, hi: int = 10
+) -> DataFrame:
+    """Probe one query panel against a prebuilt multiprobe index (the
+    ``multiprobe_index_build`` table): same release contract as j57 —
+    the true top-``k`` among Hamming<=1 candidates, exact cosines,
+    n_bits attested."""
+    return _mp_probe(sig, bits, k=k, lo=lo, hi=hi)
+
+
+def _j57_oracle(lo: int = 0, hi: int = 10) -> str:
     """The oracle re-derives bits from COUNT(*) (integer-safe pow-scan,
     j9c-style), rebuilds the seeded-plane signatures, and releases the
     exact top-3 among Hamming<=1 candidates — the multi-probe cell-join
@@ -1029,7 +1083,8 @@ nb AS (SELECT GREATEST({_J57_MIN_BITS}, LEAST({_J57_MAX_BITS},
          (SELECT MIN(k) FROM range(1, {_J57_MAX_BITS + 1}) t(k)
           WHERE POW(2.0, k) >= CEIL(SQRT((SELECT COUNT(*) FROM e)))))) AS bits),
 sig AS (SELECT vec_id, v, [{sig_terms}] AS s FROM e),
-q AS (SELECT vec_id, v, s FROM sig WHERE vec_id < 10)
+q AS (SELECT vec_id, v, s FROM sig
+      WHERE vec_id >= {lo} AND vec_id < {hi})
 SELECT query_id, neighbor_id, cos_sim, n_bits FROM (
   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
          ROUND({_sql_cos('q.v', 'x.v')}, 5) AS cos_sim,
@@ -1057,6 +1112,35 @@ def j57_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     return multiprobe_ann_topk(e, k=3, n_queries=10)
+
+
+@register("j63_mp_prebuilt_probe", oracle=_j57_oracle(0, 10))
+def j63_mp_prebuilt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j63 (extension): probe panel [0,10) against the PREBUILT,
+    session-cached multiprobe index — the amortized contract (j59's
+    pattern) for the codebook that actually SCALES (2^bits ≈ √N
+    hyperplane cells, j57's derivation).  Release contract identical
+    to j57; the cost shape is build-once-probe-forever.  Delegates to
+    ``multiprobe_index_build`` + ``multiprobe_probe``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig, bits = multiprobe_index_build(e, spark, sf_dir)
+    return multiprobe_probe(sig, bits, k=3, lo=0, hi=10)
+
+
+@register("j63b_mp_prebuilt_reprobe", oracle=_j57_oracle(10, 20))
+def j63b_mp_prebuilt_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j63b (extension): a SECOND panel ([10,20)) against the SAME
+    session-cached multiprobe index — its measured time in a
+    sequential gate/bench session is the probe-only amortized cost.
+    Cold sessions rebuild and release identically (the oracle replays
+    signatures + derivation from first principles either way)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig, bits = multiprobe_index_build(e, spark, sf_dir)
+    return multiprobe_probe(sig, bits, k=3, lo=10, hi=20)
 
 
 # --- j58: COST-MODEL routed ANN -------------------------------------------

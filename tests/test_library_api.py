@@ -97,6 +97,8 @@ DELEGATES = {
     "j58b_ann_cost_routed_ivf": "ann_topk_cost_routed",
     "j59_ann_prebuilt_probe": "ivf_probe",
     "j59b_ann_prebuilt_reprobe": "ivf_probe",
+    "j63_mp_prebuilt_probe": "multiprobe_probe",
+    "j63b_mp_prebuilt_reprobe": "multiprobe_probe",
 }
 
 _ALL = registry.load_all()

@@ -2358,3 +2358,41 @@ def test_j60b_middle_key_buys_back_both_end_edits(spark):
         "edits across all three blocks remain the documented miss"
     )
     assert three_key.get((4, 6)) == 4
+
+
+def test_j63_mp_prebuilt_index_reuse_and_equality(spark):
+    """The multiprobe amortized contract (j59's discipline on the
+    scaling codebook): second build is the cached index; probing it
+    equals the inline j57 release for the same panel; disjoint panels
+    stay disjoint; cold rebuild after clear_caches releases
+    identically."""
+    from pyspark.sql import functions as F
+
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.session_cache import clear_caches
+    from ma_anonymization_etl_spark.operators.similarity import (
+        multiprobe_ann_topk,
+        multiprobe_index_build,
+        multiprobe_probe,
+    )
+    from ma_anonymization_etl_spark.sources.io import load
+
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig1, bits1 = multiprobe_index_build(e, spark, SF_ORACLE)
+    sig2, bits2 = multiprobe_index_build(e, spark, SF_ORACLE)
+    assert sig1 is sig2 and bits1 == bits2
+
+    key = lambda r: (r.query_id, r.neighbor_id, r.cos_sim, r.n_bits)  # noqa: E731
+    warm = {key(r) for r in multiprobe_probe(sig1, bits1, 3, 0, 10).collect()}
+    ref = {key(r) for r in multiprobe_ann_topk(e, 3, 10).collect()}
+    assert warm == ref and ref
+
+    batch2 = multiprobe_probe(sig1, bits1, 3, 10, 20).collect()
+    assert batch2 and all(10 <= r.query_id < 20 for r in batch2)
+
+    clear_caches()
+    sig3, bits3 = multiprobe_index_build(e, spark, SF_ORACLE)
+    cold = {key(r) for r in multiprobe_probe(sig3, bits3, 3, 0, 10).collect()}
+    assert cold == warm
