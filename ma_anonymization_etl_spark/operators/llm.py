@@ -2713,7 +2713,7 @@ def fuzzy_dup_pairs(
         ),
     }
     kts = tuple(keys)
-    keys = base.select(
+    key_rows = base.select(
         "doc_id",
         "n",
         F.explode(
@@ -2726,9 +2726,9 @@ def fuzzy_dup_pairs(
         ).alias("o"),
     ).select("doc_id", "n", F.col("o.kt").alias("kt"), F.col("o.k").alias("k"))
     cand = (
-        keys.alias("x")
+        key_rows.alias("x")
         .join(
-            keys.alias("y"),
+            key_rows.alias("y"),
             (F.col("x.kt") == F.col("y.kt"))
             & (F.col("x.k") == F.col("y.k"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))

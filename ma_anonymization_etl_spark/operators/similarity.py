@@ -1045,7 +1045,14 @@ _J63_SIG_CACHE: dict = register_cache({})
 def multiprobe_index_build(e: DataFrame, spark: SparkSession, sf_dir: str):
     """Build — or fetch the session-cached — persisted multiprobe index
     over ``e`` (vec_id, v): the signed corpus plus its derived bit
-    count, keyed (applicationId, sf_dir).  Returns (sig, bits)."""
+    count, keyed (applicationId, sf_dir).  Returns (sig, bits).
+
+    CACHE INVARIANT (ADVICE r10): the key is (applicationId, sf_dir,
+    tag) — NOT a fingerprint of ``e``'s plan — so every caller for a
+    given sf_dir MUST pass the same canonical corpus derivation
+    (``load(..., "embeddings")`` normalized as j63 does).  A caller
+    with a differently-derived ``e`` would silently receive the
+    previously built index; add a distinct tag for a distinct corpus."""
     key = (spark.sparkContext.applicationId, sf_dir, "mp_index")
     cached = _J63_SIG_CACHE.get(key)
     if cached is None:
@@ -1296,7 +1303,12 @@ def ivf_index_build(e: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame
     ``e`` (vec_id, label, v): the ``_ivf_assign`` table (vec_id, cell,
     v), persisted so every subsequent probe batch scans memory instead
     of re-quantizing the corpus.  Keyed (applicationId, sf_dir) via the
-    bounded session-cache discipline (ADVICE r8)."""
+    bounded session-cache discipline (ADVICE r8).
+
+    CACHE INVARIANT (ADVICE r10): the key ignores ``e``'s plan — all
+    callers for a given sf_dir must pass the same canonical corpus
+    derivation, or register a distinct tag (see
+    ``multiprobe_index_build``)."""
     key = (spark.sparkContext.applicationId, sf_dir, "ivf_index")
     cached = _J59_INDEX_CACHE.get(key)
     if cached is None:

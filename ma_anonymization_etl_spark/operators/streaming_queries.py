@@ -192,10 +192,10 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch: DataFrame, batch_id: int) -> None:
         fp = fingerprints(batch).persist()
-        try:
-            known = spark.read.parquet(store)
-        except Exception:
-            known = None
+        # Cold store = the path does not exist yet (first batch).  Any
+        # OTHER read failure (corrupt store, transient IO) must raise —
+        # treating it as cold would silently drop cross-batch pairs.
+        known = spark.read.parquet(store) if os.path.isdir(store) else None
         pool = fp if known is None else fp.unionByName(known)
         a, b = fp.alias("a"), pool.alias("b")
         cand = (
@@ -303,10 +303,9 @@ def k26_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch: DataFrame, batch_id: int) -> None:
         keys = block_keys(batch).persist()
-        try:
-            known = spark.read.parquet(store)
-        except Exception:
-            known = None
+        # Cold store = path absent (first batch); genuine read errors
+        # surface instead of silently dropping cross-batch pairs.
+        known = spark.read.parquet(store) if os.path.isdir(store) else None
         pool = keys if known is None else keys.unionByName(known)
         a, b = keys.alias("a"), pool.alias("b")
         cand = (
