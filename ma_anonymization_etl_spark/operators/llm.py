@@ -2513,6 +2513,7 @@ def maximal_dup_spans_chars(
     min_span: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    skew_salt: int = 0,
 ) -> DataFrame:
     """j56b's engine: ``maximal_dup_spans`` at CHARACTER granularity —
     the form Lee et al. actually run (their ExactSubstr suffix array is
@@ -2542,10 +2543,24 @@ def maximal_dup_spans_chars(
     and lost (+14 % — md5 CPU exceeds local-shuffle-width savings);
     raw keys stay.  The trade the window form accepts: no map-side
     partial agg, so one adversarially hot gram lands in one task —
-    bounded here (word-soup grams cap in the tens of thousands per
-    replica), and a 100 TB deployment with boilerplate-grade hot grams
-    would df-cap or pre-salt exactly as j32 notes.  The island window
-    stays PARTITIONED by doc; nothing is all-pairs, nothing global."""
+    bounded on word-soup corpora (grams cap in the tens of thousands
+    per replica), NOT bounded on boilerplate-grade corpora.
+
+    ``skew_salt`` (VERDICT r10 item 1) is that hazard's IN-CODE guard,
+    a salted two-level dup detection with a BIT-IDENTICAL release:
+    occurrences pre-bucket on pmod(xxhash64(doc_id, pos), skew_salt),
+    level 1 counts per (gram, bucket) — map-side partial agg restored,
+    any reducer key holds <= 1/skew_salt of a hot gram — level 2 sums
+    the <= skew_salt partials per gram (tiny), and coverage joins back
+    on (gram, bucket) so even the join shuffle spreads a hot gram over
+    ``skew_salt`` tasks.  No single task ever sees a whole hot gram.
+    The salt only routes rows; cnt >= 2 is computed over the exact
+    global count, so the released spans are identical to the window
+    form's (property-pinned on a planted 30 %-hot gram in tests).  The
+    window form (skew_salt=0) stays the default for word-soup corpora
+    where its single shuffle wins; j56c registers the guarded form on
+    a planted boilerplate corpus.  The island window stays PARTITIONED
+    by doc; nothing is all-pairs, nothing global."""
     from pyspark.sql import Window
 
     base = docs.select(
@@ -2566,11 +2581,27 @@ def maximal_dup_spans_chars(
             )
         ).alias("o"),
     ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
-    covered = (
-        occ.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gr")))
-        .filter(F.col("cnt") >= 2)
-        .select("doc_id", "n_chars", "pos")
-    )
+    if skew_salt > 0:
+        occ_s = occ.withColumn(
+            "sb", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(skew_salt))
+        )
+        part = occ_s.groupBy("gr", "sb").agg(F.count(F.lit(1)).alias("c"))
+        dup = (
+            part.groupBy("gr")
+            .agg(F.sum("c").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("gr")
+        )
+        dup_keyed = part.select("gr", "sb").join(dup, "gr")
+        covered = occ_s.join(dup_keyed, ["gr", "sb"]).select(
+            "doc_id", "n_chars", "pos"
+        )
+    else:
+        covered = (
+            occ.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gr")))
+            .filter(F.col("cnt") >= 2)
+            .select("doc_id", "n_chars", "pos")
+        )
     w_isl = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         covered.withColumn("isl", F.col("pos") - F.row_number().over(w_isl))
@@ -2644,6 +2675,59 @@ def j56b_maximal_dup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return maximal_dup_spans_chars(d.unionByName(twin), cgram=20, min_span=50)
+
+
+# j56c's planted corpus is the ADVERSARIAL shape the window form is
+# weak against (VERDICT r10 item 1): every doc carries the same
+# 59-char boilerplate footer, so each of its 40 footer-internal
+# 20-char windows occurs in EVERY doc — a df = N hot gram per window
+# position.  Under the gram-partitioned count window all those rows
+# land in one task; under the salted two-level guard no task sees
+# more than 1/skew_salt of any gram.
+_J56C_FOOTER = " subscribe to our newsletter for weekly updates and offers"
+_J56C_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(text) || '{_J56C_FOOTER}' AS t FROM documents
+),
+w AS (SELECT doc_id, t, length(t) AS n_chars FROM corpus),
+occ AS (SELECT doc_id, n_chars, u.pos, substr(t, u.pos, 20) AS gr
+        FROM w, LATERAL unnest(range(1, greatest(n_chars - 19, 1) + 1)) u(pos)),
+dup AS (SELECT gr FROM (SELECT gr, COUNT(*) AS cnt FROM occ GROUP BY gr)
+        WHERE cnt >= 2),
+cov AS (SELECT o.doc_id, o.n_chars, o.pos,
+               o.pos - ROW_NUMBER() OVER (PARTITION BY o.doc_id
+                                          ORDER BY o.pos) AS isl
+        FROM occ o JOIN dup USING (gr)),
+sp AS (SELECT doc_id, MIN(pos) AS span_start,
+              LEAST(MAX(pos) + 19, MIN(n_chars)) AS span_end,
+              CAST(COUNT(*) AS BIGINT) AS n_grams_in_span
+       FROM cov GROUP BY doc_id, isl)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+       n_grams_in_span
+FROM sp
+WHERE span_end - span_start + 1 >= 50
+"""
+
+
+@register("j56c_maximal_dup_spans_skewguard", oracle=_J56C_ORACLE)
+def j56c_maximal_dup_spans_skewguard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j56c (extension): j56b's ExactSubstr span inventory under the
+    SALTED SKEW GUARD (``skew_salt=32``), on the corpus shape that
+    motivates it — every doc tailed with the same 59-char boilerplate
+    footer, making each footer window a df = N hot gram (the
+    real-crawl shape: shared headers, cookie banners, templates).  The
+    guard's release is bit-identical to the window form's — the oracle
+    recomputes global gram counts from first principles, so the salt
+    routing cannot change a row.  Expect one 59-char footer span per
+    doc plus whatever the corpus organically duplicates.  Delegates to
+    ``maximal_dup_spans_chars(skew_salt=32)``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lower(F.col("text")), F.lit(_J56C_FOOTER)).alias("text"),
+    )
+    return maximal_dup_spans_chars(d, cgram=20, min_span=50, skew_salt=32)
 
 
 # ---------------------------------------------------------------------------

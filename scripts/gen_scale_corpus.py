@@ -123,12 +123,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="scratch/sf1")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list (default: all) — e.g. documents,embeddings for a "
+        "text/vector-only probe corpus where lineitem would not fit",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+    # Round-10b lesson: without a memory cap + insertion-order release
+    # the --mult 100 lineitem COPY dies silently (DuckDB buffers the
+    # whole ordered result).  Harmless at small mults.
+    con.execute("SET memory_limit = '20GB'")
+    con.execute("SET preserve_insertion_order = false")
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]
+    if args.tables:
+        tables = [t.strip() for t in args.tables.split(",")]
     for t in tables:
         dst = os.path.join(args.out, f"{t}.parquet")
         con.execute(

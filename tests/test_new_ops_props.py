@@ -2177,6 +2177,43 @@ def test_j56b_char_spans_planted(spark):
     assert got[4] == [(1, 15, 1)] and got[5] == [(1, 15, 1)]
 
 
+def test_j56c_skew_guard_bit_identical_on_hot_gram(spark):
+    """The salted skew guard (VERDICT r10 item 1): on a corpus where
+    ONE boilerplate block appears in 40 of 100 docs (every 20-char
+    window inside it a df=40 hot gram — the shape that lands in a
+    single task under the count window), the guarded release must be
+    BIT-IDENTICAL to the window form's, at several salt widths
+    including salts larger than the row count of a bucket."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.llm import maximal_dup_spans_chars
+
+    rng = random.Random(47)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    rnd = lambda n: "".join(rng.choice(letters) for _ in range(n))  # noqa: E731
+    hot = "please accept all cookies to continue reading this page"  # 56 chars
+    docs = []
+    for i in range(100):
+        body = rnd(80)
+        # 40 % of docs carry the boilerplate at a varying offset.
+        text = body[: 20 + i % 13] + hot + body[20 + i % 13 :] if i % 5 < 2 else body
+        docs.append((i, text))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def release(salt):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_len, r.n_grams_in_span)
+            for r in maximal_dup_spans_chars(
+                d, cgram=20, min_span=30, skew_salt=salt
+            ).collect()
+        )
+
+    base = release(0)  # the window form
+    assert len(base) >= 40  # every hot-block carrier releases its span
+    for salt in (2, 32, 1024):
+        assert release(salt) == base, f"salt={salt} changed the release"
+
+
 def test_j54c_bm25f_single_field_reduction_and_title_boost(spark):
     """BM25F properties (NEXT r10 item d): (1) with one field, b=0 and
     unit weights, BM25F reduces EXACTLY to BM25 — wtf = tf and

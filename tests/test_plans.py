@@ -428,3 +428,23 @@ def test_j56b_char_island_window_is_partitioned(spark):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_shuffles <= 6, f"j56b shuffles too much ({n_shuffles}):\n{plan}"
+
+
+def test_j56c_skew_guard_plan_has_no_gram_window(spark):
+    """j56c's salted guard must remove the gram-partitioned count
+    WINDOW (the no-partial-agg skew hazard, VERDICT r10 item 1): the
+    only Window left is the doc-partitioned island numbering, dup
+    detection runs as partial-aggregated HashAggregates, and the
+    coverage join is keyed (gram, salt-bucket) so no hot gram owns a
+    task."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        j56c_maximal_dup_spans_skewguard,
+    )
+
+    out = j56c_maximal_dup_spans_skewguard(spark, SF_ORACLE)
+    assert not _global_windows(out), "global window in j56c"
+    plan = plan_of(spark, "j56c_maximal_dup_spans_skewguard")
+    # Formatted plans name operators like "(12) Window".
+    n_windows = plan.count(") Window")
+    assert n_windows == 1, f"expected only the island window, got {n_windows}:\n{plan}"
+    assert "partial_count" in plan, f"dup detection lost map-side partials:\n{plan}"
