@@ -2751,6 +2751,7 @@ def fuzzy_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     keys: tuple = ("p", "s"),
+    block_df_cap: int | None = None,
 ) -> DataFrame:
     """j60's engine: candidate pairs share a PREFIX block (first
     ``block_len`` chars) or a SUFFIX block (last ``block_len``), with
@@ -2777,9 +2778,18 @@ def fuzzy_dup_pairs(
     the join condition, partial-agg pair dedup (a pair sharing both
     keys emits once), then an id-keyed join back to texts for the
     banded verify — candidate volume is Σ_blocks C(df, 2), never N².
-    At 100 TB block keys would be hash31_md5'd and df-capped (the
-    j52b cap contract) — word-soup prefixes here are near-unique so
-    the planted twins dominate the blocks."""
+
+    ``block_df_cap`` (VERDICT r10 item 2) is the hot-block guard as
+    CODE: blocks held by more than ``block_df_cap`` docs are removed
+    from candidate generation by a BROADCAST anti-join against the hot
+    set (at most N/cap distinct hot keys exist, so the hot list is
+    tiny by construction and the full key table never shuffles).  The
+    contract narrows to "pairs sharing at least one SUB-CAP block" —
+    a pair whose every shared block is boilerplate-hot escapes, the
+    LSH-banding style of trade; j60c registers it with the cap
+    replayed structurally in the oracle.  Uncapped (None, the
+    default), word-soup prefixes are near-unique and the planted
+    twins dominate the blocks."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
     ).withColumn("n", F.length("text"))
@@ -2809,6 +2819,14 @@ def fuzzy_dup_pairs(
             )
         ).alias("o"),
     ).select("doc_id", "n", F.col("o.kt").alias("kt"), F.col("o.k").alias("k"))
+    if block_df_cap is not None:
+        hot = (
+            key_rows.groupBy("kt", "k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > block_df_cap)
+            .select("kt", "k")
+        )
+        key_rows = key_rows.join(F.broadcast(hot), ["kt", "k"], "left_anti")
     cand = (
         key_rows.alias("x")
         .join(
@@ -2939,6 +2957,85 @@ def j60_fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return fuzzy_dup_pairs(d.unionByName(twin))
+
+
+# j60c's planted corpus is j60's adversarial shape: every 4th doc (and
+# its twin) is prefixed with the same 20-char sponsor header, so the
+# prefix-16 block becomes one hot key holding ~25 % of the corpus —
+# C(df, 2) candidate blowup under uncapped blocking.  The df-cap drops
+# that block; the planted twins still pair through their (unchanged,
+# near-unique) suffix blocks.  Cap 64 is ~30x the organic block
+# multiplicity, the j52b calibration.
+_J60C_DF_CAP = 64
+_J60C_HEADER = "[sponsored content] "
+_J60C_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_J60C_HEADER}' || lower(text)
+              ELSE lower(text) END AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t FROM d0
+  UNION ALL
+  SELECT doc_id + 700000,
+         substr(t, 1, 19) || 'qq' || substr(t, 22, length(t))
+  FROM d0
+),
+b2 AS (SELECT doc_id, t, length(t) AS n FROM base),
+keys0 AS (
+  SELECT doc_id, n, 'p' AS kt, substr(t, 1, {_J60_BLOCK}) AS k FROM b2
+  UNION ALL
+  SELECT doc_id, n, 's',
+         substr(t, GREATEST(n - {_J60_BLOCK - 1}, 1), {_J60_BLOCK}) FROM b2
+),
+kdf AS (SELECT kt, k FROM (SELECT kt, k, COUNT(*) AS c FROM keys0
+                           GROUP BY kt, k)
+        WHERE c <= {_J60C_DF_CAP}),
+keys AS (SELECT keys0.* FROM keys0 JOIN kdf USING (kt, k)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM keys x JOIN keys y
+    ON x.kt = y.kt AND x.k = y.k AND x.doc_id < y.doc_id
+   AND ABS(x.n - y.n) <= {_J60_TAU}
+)
+SELECT a_id, b_id, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM cand JOIN b2 a ON a.doc_id = a_id JOIN b2 b ON b.doc_id = b_id
+WHERE levenshtein(a.t, b.t) <= {_J60_TAU}
+"""
+
+
+@register("j60c_fuzzy_dedup_capped", oracle=_J60C_ORACLE)
+def j60c_fuzzy_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j60c (extension): j60 under the EXPLICIT block df-cap contract
+    (VERDICT r10 item 2 — the docstring knob as registered code, the
+    j52b pattern).  The corpus plants the hazard: 25 % of docs share a
+    sponsor-header prefix block, which uncapped would generate
+    C(0.25N, 2) candidate verifies from one key.  The cap (64) removes
+    hot blocks via a broadcast anti-join — the key table never
+    shuffles a hot key — and the contract narrows to "pairs sharing a
+    sub-cap block": the planted twins survive through their suffix
+    blocks, and the oracle replays the cap structurally so the recall
+    trade itself is hash-checked.  Delegates to
+    ``fuzzy_dup_pairs(block_df_cap=_J60C_DF_CAP)``."""
+    d0 = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_J60C_HEADER), F.lower(F.col("text"))),
+        )
+        .otherwise(F.lower(F.col("text")))
+        .alias("text"),
+    )
+    twin = d0.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19),
+            F.lit("qq"),
+            F.col("text").substr(F.lit(22), F.length("text")),
+        ).alias("text"),
+    )
+    return fuzzy_dup_pairs(d0.unionByName(twin), block_df_cap=_J60C_DF_CAP)
 
 
 @register(

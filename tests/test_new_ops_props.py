@@ -2397,6 +2397,51 @@ def test_j60b_middle_key_buys_back_both_end_edits(spark):
     assert three_key.get((4, 6)) == 4
 
 
+def test_j60c_block_df_cap_drops_hot_block_keeps_subcap_pairs(spark):
+    """The block df-cap contract (VERDICT r10 item 2): on a corpus
+    where 30 of 40 docs share one boilerplate prefix block, the cap
+    (1) keeps every pair that also shares a sub-cap block (the twins
+    pair through their suffix), (2) drops the pair whose ONLY shared
+    block is the hot prefix — the narrowed contract's explicit trade,
+    present uncapped — and (3) the capped release is a subset of the
+    uncapped one."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.llm import fuzzy_dup_pairs
+
+    rng = random.Random(53)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rnd = lambda n: "".join(rng.choice(letters) for _ in range(n))  # noqa: E731
+    header = "breaking news -- "  # 17 chars: prefix-16 block is constant
+    docs = []
+    for i in range(30):  # hot block: 30 docs share the prefix
+        docs.append((i, header + rnd(50)))
+    # a planted twin pair INSIDE the hot block: shares hot prefix AND
+    # its own suffix (sub-cap) — must survive the cap via the suffix.
+    docs.append((100, header + "the rain in spain stays mainly on the plain"))
+    docs.append((101, header + "the rain qq spain stays mainly on the plain"))
+    # a pair whose ONLY shared block is the hot prefix: identical heads,
+    # completely different (same-length) tails longer than tau edits —
+    # uncapped they candidate on the prefix and FAIL the verify, so use
+    # tails within tau edits but with both suffix-16 blocks differing:
+    # tail edits placed inside the last 16 chars at different spots.
+    t = rnd(40)
+    docs.append((200, header + t[:30] + "abcde" + t[35:]))
+    docs.append((201, header + t[:30] + "vwxyz" + t[35:]))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r.a_id, r.b_id) for r in fuzzy_dup_pairs(d, tau=5, block_len=16).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in fuzzy_dup_pairs(d, tau=5, block_len=16, block_df_cap=8).collect()
+    }
+    assert (100, 101) in capped, "sub-cap suffix block must keep the twin pair"
+    assert (200, 201) in uncapped, "hot-prefix-only pair is a true pair uncapped"
+    assert (200, 201) not in capped, "hot-prefix-only pair is the cap's trade"
+    assert capped <= uncapped, "cap must only remove pairs, never add"
+
+
 def test_j63_mp_prebuilt_index_reuse_and_equality(spark):
     """The multiprobe amortized contract (j59's discipline on the
     scaling codebook): second build is the cached index; probing it
