@@ -134,7 +134,14 @@ def _load_input(spark: SparkSession, src: Mapping[str, Any]) -> DataFrame:
 # requires the aux to declare columns, and the projected columns join
 # the main config for the DI-coverage gate (ADVICE r8: aux_inputs must
 # not become a side door around the DI refusal).
-AUX_OBSERVE_ONLY_OPS = {"decontaminate_filter", "constraint_report", "bm25_filter"}
+AUX_OBSERVE_ONLY_OPS = {
+    "decontaminate_filter",
+    "constraint_report",
+    "bm25_filter",
+    # semantic_dedup_drop reads aux vectors only to decide row
+    # membership (anti-join) — no aux column ever lands in the schema.
+    "semantic_dedup_drop",
+}
 
 
 def _merged_columns_cfg(
@@ -163,6 +170,22 @@ def _merged_columns_cfg(
                 f"aux input {name!r}, which has no columns declaration — "
                 "refusing to bypass the DI-coverage gate"
             )
+        if step.get("op") == "knn_label":
+            # knn_label projects a DERIVED column (majority vote of the
+            # aux's label column).  A vote over a direct identifier is
+            # still identifying (k=1 copies it verbatim), so the output
+            # column inherits the SOURCE label column's declared role
+            # and rides the same order-aware coverage gate.
+            src = step.get("label_col", "label")
+            if src not in declared:
+                raise SystemExit(
+                    f"route error: aux input {name!r} does not declare a role "
+                    f"for knn_label's label column {src!r}"
+                )
+            out_col = step.get("out", "knn_label")
+            cfg[out_col] = declared[src]
+            introduced_at[out_col] = idx
+            continue
         projected = step.get("cols", [])
         undeclared = [c for c in projected if c not in declared]
         if undeclared:

@@ -974,14 +974,15 @@ def multiprobe_ann_topk(e: DataFrame, k: int = 3, n_queries: int = 10) -> DataFr
 
 def _mp_sign(e: DataFrame, bits: int) -> DataFrame:
     """The multiprobe index content: every (vec_id, v) signed into its
-    ``bits``-bit random-hyperplane cell — (vec_id, v, cell)."""
+    ``bits``-bit random-hyperplane cell — the input columns plus
+    ``cell`` (extra columns like a label ride through untouched)."""
     planes = _j57_planes()[:bits]
     bit_cols = [
         F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0, 1).otherwise(0)
         for p in planes
     ]
     return e.select(
-        "vec_id", "v", F.concat(*[b.cast("string") for b in bit_cols]).alias("cell")
+        *e.columns, F.concat(*[b.cast("string") for b in bit_cols]).alias("cell")
     )
 
 
@@ -2063,13 +2064,12 @@ def j44_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_release(assign)
 
 
-def semdedup_release(assign: DataFrame) -> DataFrame:
-    """SemDeDup's cell-bounded pair scan + accounting over a cluster
-    ASSIGNMENT table (vec_id, cl, v) — the release half shared by j44
-    (declarative Lloyd) and j44b (Arrow-matmul Lloyd), so the twins
-    cannot drift.  See j44's docstring for the BLAS-candidates /
-    exact-verify two-step."""
-    assign = assign.localCheckpoint(eager=False)  # pair scan reads it twice
+def semdedup_dropped(assign: DataFrame) -> DataFrame:
+    """SemDeDup's DROP LIST over a cluster assignment (vec_id, cl, v):
+    (cl, vec_id) for every member with a LOWER-id cell-mate at
+    cos >= tau (the greedy min-id survivor rule) — the cell-bounded
+    BLAS-candidates / exact-verify two-step shared by j44/j44b's
+    accounting release and the ``semantic_dedup_drop`` route step."""
 
     def cell_pairs(pdf):
         import numpy as np
@@ -2103,7 +2103,17 @@ def semdedup_release(assign: DataFrame) -> DataFrame:
             }
         )
 
-    dropped = assign.groupBy("cl").applyInPandas(cell_pairs, "cl BIGINT, vec_id BIGINT")
+    return assign.groupBy("cl").applyInPandas(cell_pairs, "cl BIGINT, vec_id BIGINT")
+
+
+def semdedup_release(assign: DataFrame) -> DataFrame:
+    """SemDeDup's cell-bounded pair scan + accounting over a cluster
+    ASSIGNMENT table (vec_id, cl, v) — the release half shared by j44
+    (declarative Lloyd) and j44b (Arrow-matmul Lloyd), so the twins
+    cannot drift.  See j44's docstring for the BLAS-candidates /
+    exact-verify two-step (now in ``semdedup_dropped``)."""
+    assign = assign.localCheckpoint(eager=False)  # pair scan reads it twice
+    dropped = semdedup_dropped(assign)
     members = assign.groupBy("cl").agg(F.count("*").alias("n_members"))
     drops = dropped.groupBy("cl").agg(F.count("*").alias("n_dropped0"))
     return (
@@ -2115,6 +2125,137 @@ def semdedup_release(assign: DataFrame) -> DataFrame:
             (F.col("n_members") - F.coalesce(F.col("n_dropped0"), F.lit(0))).alias("n_kept"),
         )
     )
+
+
+def semantic_drop_ids(corpus: DataFrame) -> DataFrame:
+    """The SemDeDup ACTION for routes: given a (vec_id, v) corpus,
+    return the DataFrame of vec_ids a semantic dedup would DROP —
+    members with a lower-id near-identical (cos >= 0.9) mate in their
+    k-means cell.  Derived k (cells target ~10k vectors, the j44
+    discipline), Arrow/BLAS Lloyd assignment (j44b's engine), exact
+    verify.  Lowest-id survivor; everything else identical to the
+    gate-attested j44/j44b pair semantics."""
+    n = corpus.count()
+    k = max(_KM_K, (n + _J44_CELL_TARGET - 1) // _J44_CELL_TARGET)
+    assign, _ = _km_fit_arrow(corpus, k=k)
+    return semdedup_dropped(assign).select("vec_id")
+
+
+def knn_label_multiprobe(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN k-NN majority-label classification — j10's release contract
+    (top-``k`` by exact cosine, majority vote, ties to the smaller
+    label, self-excluded) computed over the MULTIPROBE candidate set
+    (j57's derivation: 2^bits ≈ √N hyperplane cells, own cell +
+    Hamming-1 ring) instead of the exhaustive N×Q scan.
+
+    ``queries`` is (query_id, v); ``corpus`` is (vec_id, label, v).
+    Unlike ``_mp_probe`` (small fixed panels, broadcast probes), the
+    query side here can be a whole working table, so the candidate
+    join is a plain equality join on the probe cell — both sides
+    shuffle once by cell, cells are ~√N-balanced by construction, and
+    nothing is broadcast or all-pairs.  The recall contract is j57's:
+    a true neighbour further than Hamming-1 from the query's cell is
+    not a candidate."""
+    from pyspark.sql import Window
+
+    bits = multiprobe_cell_bits(corpus.count())
+    sig = _mp_sign(corpus, bits)  # vec_id, label, v, cell
+    qsig = _mp_sign(
+        queries.select(F.col("query_id").alias("vec_id"), "v"), bits
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    flips = [F.col("qcell")] + [
+        F.concat(
+            F.substring("qcell", 1, i),
+            F.when(F.substring("qcell", i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("qcell", i + 2, bits - i - 1),
+        )
+        for i in range(bits)
+    ]
+    probes = qsig.select(
+        "query_id", "qv", F.explode(F.array(*flips)).alias("pcell")
+    )
+    cand = sig.join(
+        probes,
+        (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    votes = (
+        cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= k)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w_win))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("label_pred"), "n_votes")
+    )
+
+
+def _j64_oracle(lo: int = 0, hi: int = 20) -> str:
+    """j64's referee: j57's plane/bit replay + j10's vote semantics —
+    5-NN among Hamming<=1 candidates, majority label, ties to the
+    smaller label, exhaustively recomputed."""
+    planes = _j57_planes()
+    sig_terms = ", ".join(
+        f"CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, {_SQL_E} AS v FROM embeddings),
+nb AS (SELECT GREATEST({_J57_MIN_BITS}, LEAST({_J57_MAX_BITS},
+         (SELECT MIN(k) FROM range(1, {_J57_MAX_BITS + 1}) t(k)
+          WHERE POW(2.0, k) >= CEIL(SQRT((SELECT COUNT(*) FROM e)))))) AS bits),
+sig AS (SELECT vec_id, label, v, [{sig_terms}] AS s FROM e),
+q AS (SELECT vec_id, v, s FROM sig
+      WHERE vec_id >= {lo} AND vec_id < {hi}),
+nn AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, x.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cos('q.v', 'x.v')} DESC, x.vec_id) AS rn
+    FROM q CROSS JOIN nb CROSS JOIN sig x
+    WHERE x.vec_id <> q.vec_id
+      AND len(list_filter(range(1, nb.bits + 1), i -> q.s[i] <> x.s[i])) <= 1
+  ) WHERE rn <= 5
+),
+votes AS (SELECT query_id, label, COUNT(*) AS n_votes
+          FROM nn GROUP BY query_id, label)
+SELECT query_id, label AS label_pred, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+"""
+
+
+@register("j64_knn_label_ann", oracle=_j64_oracle())
+def j64_knn_label_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j64 (extension): the ``knn_label`` route step's engine as a
+    gate-attested query — 5-NN majority-label classification for the
+    [0,20) panel over the multiprobe candidate set (j57 cells,
+    Hamming<=1 probing, exact-cosine re-rank, j10 vote semantics).
+    The oracle replays planes, bit derivation, candidate filter and
+    vote exhaustively.  Delegates to ``knn_label_multiprobe``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return knn_label_multiprobe(q, e, k=5)
 
 
 def _exact_cos_py(x, y) -> float:

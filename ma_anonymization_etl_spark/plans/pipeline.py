@@ -203,6 +203,69 @@ def _step_fuzzy_dedup_drop(df, id_col="doc_id", text_col="text", tau=3, block_le
     return df.join(drops, id_col, "left_anti")
 
 
+def _step_semantic_dedup_drop(
+    df, aux, id_col="doc_id", vec_id_col="vec_id", vec_col="embedding"
+):
+    """Curation step: SemDeDup REMOVAL over an embeddings aux table —
+    working rows whose vector (looked up in ``aux`` by id) is
+    semantically near-identical (cos >= 0.9 within its k-means cell)
+    to a LOWER-id row's vector drop; everything else keeps.  Only
+    vectors of rows still in the working table participate (semi-join
+    first), so the step composes after text-side filters: dedup runs
+    on the CURRENT corpus, not the original.  Rows with no embedding
+    keep (no vector, no semantic evidence).  Delegates to
+    ``semantic_drop_ids`` (j44b's gate-attested derived-k Arrow Lloyd
+    + exact-verify engine); completes the dedup-action family's
+    embedding modality next to near/fuzzy/substring dedup."""
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.similarity import semantic_drop_ids
+
+    corpus = aux.select(
+        F.col(vec_id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).join(
+        df.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    )
+    drops = semantic_drop_ids(corpus).select(F.col("vec_id").alias(id_col))
+    return df.join(drops, id_col, "left_anti")
+
+
+def _step_knn_label(
+    df, aux, id_col="doc_id", vec_id_col="vec_id", vec_col="embedding",
+    label_col="label", k=5, out="knn_label",
+):
+    """Enrichment step: attach the majority label of each working
+    row's ``k`` nearest labelled neighbours (exact cosine over the
+    multiprobe candidate set — j64's gate-attested engine) as ``out``.
+    The row's own vector comes from ``aux`` by id; the labelled corpus
+    is every aux row with a non-null ``label_col``; the row's own
+    vector is self-excluded from its neighbours (j10 semantics).
+    Rows without an embedding or without candidates get NULL (left
+    join — enrichment must not drop working rows).  DI safety: the
+    route runner records ``out`` under ``label_col``'s declared role
+    (cli._merged_columns_cfg) — a vote over a direct identifier is
+    still identifying, so such routes must cover ``out`` downstream."""
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.similarity import knn_label_multiprobe
+
+    if out in df.columns:
+        raise ValueError(
+            f"knn_label: output column {out!r} already exists in the working "
+            "table — rename via 'out' or drop it before labelling"
+        )
+    corpus = aux.select(
+        F.col(vec_id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).filter(F.col("label").isNotNull())
+    queries = aux.select(
+        F.col(vec_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
+    ).join(df.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
+    pred = knn_label_multiprobe(queries, corpus, k=k).select(
+        F.col("query_id").alias(id_col), F.col("label_pred").alias(out)
+    )
+    return df.join(pred, id_col, "left")
+
+
 def _step_repetition_filter(df, id_col="doc_id", dup2_max=0.05, top_max=0.12):
     from ma_anonymization_etl_spark.operators.llm import repetition_signals
 
@@ -426,6 +489,8 @@ STEPS = {
     "substring_dedup": _step_substring_dedup,
     "near_dedup_drop": _step_near_dedup_drop,
     "fuzzy_dedup_drop": _step_fuzzy_dedup_drop,
+    "semantic_dedup_drop": _step_semantic_dedup_drop,
+    "knn_label": _step_knn_label,
     "repetition_filter": _step_repetition_filter,
     "quality_filter": _step_quality_filter,
     "lang_filter": _step_lang_filter,

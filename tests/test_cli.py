@@ -582,3 +582,133 @@ def test_route_step_fuzzy_dedup_drop(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert set(rows) == {20, 22}, set(rows)
     assert rows[20].lang == "en" and rows[22].lang == "de"
+
+
+def test_route_step_semantic_dedup_drop(spark):
+    """semantic_dedup_drop removes the higher-id member of a planted
+    near-identical vector pair (lowest-id survives), keeps distant
+    vectors, keeps rows with NO embedding, and only dedups rows still
+    in the working table (the pre-filtered doc never anchors a drop)."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    base = [1.0, 0.5, -0.25, 2.0]
+    far = [-2.0, 1.0, 0.5, -0.125]
+    vecs = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base]),
+            (3, [float(x * 2) for x in base]),  # cos == 1 with vec 0
+            (4, [float(x) for x in far]),
+            # doc 5 has no embedding; doc 1/2 absent from aux entirely
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = anonymize_pipeline(
+        docs,
+        [{"op": "semantic_dedup_drop", "aux": "vectors"}],
+        tables={"vectors": vecs},
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {0, 1, 2, 4, 5}, kept  # 3 drops (near-dup of lower-id 0)
+
+    # membership-awareness: filter doc 0 out FIRST -> 3 has no lower-id
+    # mate left in the corpus, so it keeps.
+    out2 = anonymize_pipeline(
+        docs,
+        [
+            {"op": "suppress_rows_if", "pred": "doc_id = 0"},
+            {"op": "semantic_dedup_drop", "aux": "vectors"},
+        ],
+        tables={"vectors": vecs},
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_route_step_knn_label(spark):
+    """knn_label enriches the working table with the multiprobe 5-NN
+    majority label (j64's gate-attested engine): no rows drop, the new
+    column's non-null values come from the aux label domain, and a
+    spot-checked query matches the engine's direct answer."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        knn_label_multiprobe,
+    )
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+    from ma_anonymization_etl_spark.sources.io import load
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+
+    docs = load(spark, SF_ORACLE, "documents").filter("doc_id < 40")
+    vecs = load(spark, SF_ORACLE, "embeddings")
+    out = anonymize_pipeline(
+        docs,
+        [{"op": "knn_label", "aux": "vectors", "out": "topic_label"}],
+        tables={"vectors": vecs},
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count(), "enrichment must not drop rows"
+    labels = {r["label"] for r in vecs.select("label").distinct().collect()}
+    got = {r["topic_label"] for r in rows if r["topic_label"] is not None}
+    assert got and got <= labels
+    e = vecs.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    q = e.filter("vec_id = 7").select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    direct = knn_label_multiprobe(q, e, k=5).collect()[0].label_pred
+    assert {r.topic_label for r in rows if r.doc_id == 7} == {direct}
+
+
+def test_route_knn_label_di_gate(spark):
+    """knn_label's DI wiring: (a) an aux without a columns block
+    refuses; (b) a label column declared 'di' makes the OUTPUT column
+    a DI — uncovered routes refuse, suppressing it downstream passes
+    (order-aware, the enrich_join discipline)."""
+    base = {
+        "input": {"table": "documents", "sf_dir": SF_ORACLE,
+                  "where": "doc_id < 30"},
+        "columns": {"doc_id": "keep", "text": "sa"},
+    }
+    step = {"op": "knn_label", "aux": "vectors", "out": "who"}
+
+    r1 = dict(base, aux_inputs={"vectors": {"table": "embeddings"}},
+              steps=[step])
+    with pytest.raises(SystemExit, match="columns declaration"):
+        run_route(spark, r1)
+
+    di_aux = {"vectors": {"table": "embeddings",
+                          "columns": {"vec_id": "keep",
+                                      "embedding": "keep",
+                                      "label": "di"}}}
+    r2 = dict(base, aux_inputs=di_aux, steps=[step])
+    with pytest.raises(SystemExit, match="direct identifiers"):
+        run_route(spark, r2)
+
+    r3 = dict(base, aux_inputs=di_aux,
+              steps=[step, {"op": "suppress_columns", "cols": ["who"]}])
+    out = run_route(spark, r3)
+    assert "who" not in out.columns
+
+    # coverage BEFORE the introducing step is a no-op (order-aware)
+    r4 = dict(base, aux_inputs=di_aux,
+              steps=[{"op": "suppress_columns", "cols": ["who"]}, step])
+    with pytest.raises(SystemExit, match="direct identifiers"):
+        run_route(spark, r4)
+
+
+def test_route_embedding_curation_end_to_end(spark, tmp_path):
+    """examples/route_embedding_curation.json: quality floor →
+    semantic dedup over the embeddings aux → multiprobe kNN topic
+    labelling → projection, through cli.main — the embedding-side
+    machinery config-driven end to end."""
+    rf = tmp_path / "route.json"
+    route = json.load(open("/root/repo/examples/route_embedding_curation.json"))
+    route["output"]["path"] = str(tmp_path / "out")
+    rf.write_text(json.dumps(route))
+    assert main(["--route", str(rf), "--sf-dir", SF_ORACLE], spark=spark) == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n = out.count()
+    assert 0 < n <= 500
+    assert set(out.columns) == {"doc_id", "lang", "source",
+                                "topic_label", "text"}
+    assert out.filter("topic_label IS NOT NULL").count() > 0

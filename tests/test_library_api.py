@@ -99,6 +99,10 @@ DELEGATES = {
     "j59b_ann_prebuilt_reprobe": "ivf_probe",
     "j63_mp_prebuilt_probe": "multiprobe_probe",
     "j63b_mp_prebuilt_reprobe": "multiprobe_probe",
+    # round-11 additions
+    "j56c_maximal_dup_spans_skewguard": "maximal_dup_spans_chars",
+    "j60c_fuzzy_dedup_capped": "fuzzy_dup_pairs",
+    "j64_knn_label_ann": "knn_label_multiprobe",
 }
 
 _ALL = registry.load_all()

@@ -293,6 +293,8 @@ ROUTE_STEP_CASES = [
     ({"op": "substring_dedup"}, "docs"),
     ({"op": "near_dedup_drop"}, "docs"),
     ({"op": "fuzzy_dedup_drop"}, "docs"),
+    ({"op": "semantic_dedup_drop", "aux": "vectors"}, "docs"),
+    ({"op": "knn_label", "aux": "vectors", "out": "topic_label"}, "docs"),
     ({"op": "lang_filter", "keep_langs": ["en"]}, "docs"),
     ({"op": "repetition_filter"}, "docs"),
     ({"op": "split_assign"}, "docs"),
@@ -326,7 +328,12 @@ def test_route_steps_have_no_global_window(spark, step, src):
     from ma_anonymization_etl_spark.sources.io import load
 
     df = load(spark, SF_ORACLE, "documents" if src == "docs" else "customer")
-    out = anonymize_pipeline(df, [step])
+    tables = (
+        {step["aux"]: load(spark, SF_ORACLE, "embeddings")}
+        if "aux" in step
+        else None
+    )
+    out = anonymize_pipeline(df, [step], tables=tables)
     bad = _global_windows(out)
     assert not bad, f"global window in route step {step['op']}:\n" + "\n".join(bad)
 
