@@ -92,6 +92,13 @@ HEADLINE = [
     "j56b_maximal_dup_spans_chars",
     "j60_fuzzy_dedup_edit",
     "j54c_bm25f_topk",
+    # round-11 additions (BASELINE.md round-11 note): the in-code skew
+    # guards — j56c (salted gram count on the hot-footer corpus) and
+    # j60c (block df-cap on the hot-prefix corpus) — plus multiprobe
+    # kNN labelling.  Earlier subtotals stay comparable.
+    "j56c_maximal_dup_spans_skewguard",
+    "j60c_fuzzy_dedup_capped",
+    "j64_knn_label_ann",
 ]
 
 

@@ -67,28 +67,31 @@ DRIVER_WINDOW = [
     "c7_join_asof",
     "f6_skyline_pareto",
     "g4_except",
-    # extension flagships (round-10 rotation #5 swapped four long-green
-    # entries — j9c, j31, j29, j50 — for the round-10 surface
-    # j55/j55b/j56/j54b: the routed-ANN twins, the ExactSubstr span
-    # inventory, and multi-query BM25 (registered post-capture in r9,
-    # VERDICT r9 item 7) belong inside the gate; p7b/p8/j9d/p1b stay)
+    # extension flagships.  Round-11 rotation #7: eleven long-green
+    # entries out — j55/j55b/j57 (ANN routing: the amortized j59+j63
+    # pair keeps the family attested), j56 (word-gram sibling; j56b +
+    # the new j56c keep ExactSubstr in), j54/j54b (BM25: j54c's
+    # single-field reduction is property-pinned to BM25), j50c (j50b
+    # keeps both router branches), p8/p1b (graph long-green since r7;
+    # p7b keeps CC in), q10 (q11 keeps the q family in), j59b (j63b
+    # carries the reprobe contract) — for the round-11 surface
+    # (j56c/j60c skew+cap guards, j64 ANN labelling) plus the
+    # post-r10-capture ops VERDICT r10 item 6 queued for a turn
+    # (j60b, j62, j63/j63b, i44, i45, q11, k26).
     "p7b_cc_altstar",
-    "p8_kcore",
     "j9d_sim_pair_lsh_fast",
-    "j55_ann_routed",
-    "j55b_ann_routed_ivf",
-    "j56_maximal_dup_spans",
-    "j54b_bm25_multi",
-    "j57_ann_multiprobe",
-    "p1b_pagerank_converged",
-    # round-10b rotation #6: five long-green entries out (p7 — p7b
-    # keeps CC in the gate; j3/j9b — j53/j9d keep MinHash and LSH
-    # pair-search in; j51 — sampling long-green since r7; j52 — j52b
-    # keeps containment in) for the round-10b surface: the prebuilt-
-    # index probe pair, char-level ExactSubstr, edit-distance fuzzy
-    # dedup, and BM25F.
+    "j56c_maximal_dup_spans_skewguard",
+    "j60b_fuzzy_dedup_3key",
+    "j60c_fuzzy_dedup_capped",
+    "j62_cluster_canonical",
+    "j63_mp_prebuilt_probe",
+    "j63b_mp_prebuilt_reprobe",
+    "j64_knn_label_ann",
+    "i44_delta_presence",
+    "i45_recursive_cl_diversity",
+    "q11_token_js_divergence",
+    "k26_stream_fuzzy_dedup",
     "j59_ann_prebuilt_probe",
-    "j59b_ann_prebuilt_reprobe",
     "j56b_maximal_dup_spans_chars",
     "j60_fuzzy_dedup_edit",
     "j54c_bm25f_topk",
@@ -115,16 +118,13 @@ DRIVER_WINDOW = [
     # the round-7 operators f6/d19/i43/j50-j53/p7/q8/q9: the newest
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
     "j50b_jaccard_routed",
-    "j50c_jaccard_routed_lsh",
     "j52b_containment_capped",
     "j32b_substring_dedup",
-    "j54_bm25_topk",
     "j44b_semdedup_fast",
     "j43b_kmeans_converged",
     "j53_incremental_dedup",
-    # events / streaming (3; q8 rotated out round 10 for j57 — q10
-    # keeps the q family inside the gate)
-    "q10_seasonal_anomaly",
+    # events / streaming (q10 rotated out round 11 — q11 keeps the q
+    # family inside the gate, listed with the round-11 block above)
     "k3_win_session_batch",
     "k9_stream_anonymize",
     # python surfaces, multimodal, ETL, SQL (4)
