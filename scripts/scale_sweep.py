@@ -69,6 +69,16 @@ def main() -> None:
     ap.add_argument("--md", action="store_true", help="also print a markdown table")
     args = ap.parse_args()
 
+    # Round-11 sf100 lesson: the session default (shuffle = cpus) makes
+    # N/cpus-row sort partitions at big scale factors — j9d's sf100 OOM
+    # was exactly this, cured by widening the shuffle.  Sweeps default
+    # to 4x cpus; callers can still override via SPARK_GRAFT_SHUFFLE.
+    import os
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_SHUFFLE",
+        str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "8"))),
+    )
     spark = get_spark(app_name="mael-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     all_q = registry.load_all()
