@@ -2679,7 +2679,7 @@ def j56b_maximal_dup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # j56c's planted corpus is the ADVERSARIAL shape the window form is
 # weak against (VERDICT r10 item 1): every doc carries the same
-# 59-char boilerplate footer, so each of its 40 footer-internal
+# 58-char boilerplate footer, so each of its 39 footer-internal
 # 20-char windows occurs in EVERY doc — a df = N hot gram per window
 # position.  Under the gram-partitioned count window all those rows
 # land in one task; under the salted two-level guard no task sees
@@ -2715,12 +2715,12 @@ WHERE span_end - span_start + 1 >= 50
 def j56c_maximal_dup_spans_skewguard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j56c (extension): j56b's ExactSubstr span inventory under the
     SALTED SKEW GUARD (``skew_salt=32``), on the corpus shape that
-    motivates it — every doc tailed with the same 59-char boilerplate
+    motivates it — every doc tailed with the same 58-char boilerplate
     footer, making each footer window a df = N hot gram (the
     real-crawl shape: shared headers, cookie banners, templates).  The
     guard's release is bit-identical to the window form's — the oracle
     recomputes global gram counts from first principles, so the salt
-    routing cannot change a row.  Expect one 59-char footer span per
+    routing cannot change a row.  Expect one 58-char footer span per
     doc plus whatever the corpus organically duplicates.  Delegates to
     ``maximal_dup_spans_chars(skew_salt=32)``."""
     d = load(spark, sf_dir, "documents").select(

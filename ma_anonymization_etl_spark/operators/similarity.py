@@ -1923,8 +1923,17 @@ def _km_fit(corpus: DataFrame, k: int = _KM_K):
     recomputes would otherwise each re-derive its full lineage (for
     j44 that is load + cast + sin-perturbation + union, ~5 times)."""
     corpus = corpus.localCheckpoint(eager=True)
-    cents = corpus.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cl"), F.col("v").alias("cent")
+    # Seeds = the k LOWEST SURVIVING vec_ids (TakeOrderedAndProject —
+    # per-partition top-k, driver merge of k rows).  On the registered
+    # corpora (contiguous ids from 0) this is exactly `vec_id < k`,
+    # which the oracles replay; on a route-step corpus whose working
+    # set may have dropped every low id, a literal `vec_id < k` filter
+    # yields an EMPTY seed set and the assignment crashes (ADVICE r11).
+    cents = (
+        corpus.select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cl"), F.col("v").alias("cent"))
     )
     for _ in range(_KM_ROUNDS):
         cents = _km_recompute(_km_assign(corpus, cents))
@@ -2134,8 +2143,12 @@ def semantic_drop_ids(corpus: DataFrame) -> DataFrame:
     k-means cell.  Derived k (cells target ~10k vectors, the j44
     discipline), Arrow/BLAS Lloyd assignment (j44b's engine), exact
     verify.  Lowest-id survivor; everything else identical to the
-    gate-attested j44/j44b pair semantics."""
+    gate-attested j44/j44b pair semantics.  An EMPTY corpus (every
+    working row filtered out upstream, or none with an embedding) is a
+    no-op — no vectors, no drops — rather than a seed-set crash."""
     n = corpus.count()
+    if n == 0:
+        return corpus.sparkSession.createDataFrame([], "vec_id BIGINT")
     k = max(_KM_K, (n + _J44_CELL_TARGET - 1) // _J44_CELL_TARGET)
     assign, _ = _km_fit_arrow(corpus, k=k)
     return semdedup_dropped(assign).select("vec_id")
@@ -2340,8 +2353,14 @@ def _km_fit_arrow(corpus: DataFrame, k: int = _KM_K):
     (k×64 doubles — the classic distributed-Lloyd layout; at k ~ 1e6
     this becomes a broadcast variable, same shape)."""
     corpus = corpus.localCheckpoint(eager=True)
-    cents = corpus.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cl"), F.col("v").alias("cent")
+    # k lowest SURVIVING vec_ids, same seeding rule (and rationale) as
+    # _km_fit — identical to `vec_id < k` on the contiguous registered
+    # corpora, non-empty on any non-empty route-step corpus.
+    cents = (
+        corpus.select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cl"), F.col("v").alias("cent"))
     )
     for _ in range(_KM_ROUNDS):
         assign = _km_assign_arrow(corpus, cents.collect())

@@ -27,6 +27,20 @@ _SQL_SUM_VALUE = (
 )
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Cold-store probe for the k10/k26 incremental fingerprint stores:
+    True iff ``path`` exists per the Hadoop FileSystem that OWNS its
+    scheme.  ``os.path.isdir`` is only right for bare local paths — for
+    an hdfs:// / s3a:// / file:// store URI it is always False, so
+    every batch would read as cold and cross-batch pairs would silently
+    drop, the exact failure the cold-store narrowing is meant to
+    prevent (ADVICE r11).  Genuine read errors (permissions, transient
+    IO) still surface from the parquet read itself."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 @register(
     "a5_stream_source_tumbling",
     oracle=f"""
@@ -195,7 +209,7 @@ def k10_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Cold store = the path does not exist yet (first batch).  Any
         # OTHER read failure (corrupt store, transient IO) must raise —
         # treating it as cold would silently drop cross-batch pairs.
-        known = spark.read.parquet(store) if os.path.isdir(store) else None
+        known = spark.read.parquet(store) if _store_exists(spark, store) else None
         pool = fp if known is None else fp.unionByName(known)
         a, b = fp.alias("a"), pool.alias("b")
         cand = (
@@ -305,7 +319,7 @@ def k26_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = block_keys(batch).persist()
         # Cold store = path absent (first batch); genuine read errors
         # surface instead of silently dropping cross-batch pairs.
-        known = spark.read.parquet(store) if os.path.isdir(store) else None
+        known = spark.read.parquet(store) if _store_exists(spark, store) else None
         pool = keys if known is None else keys.unionByName(known)
         a, b = keys.alias("a"), pool.alias("b")
         cand = (

@@ -213,14 +213,17 @@ def _step_semantic_dedup_drop(
     vectors of rows still in the working table participate (semi-join
     first), so the step composes after text-side filters: dedup runs
     on the CURRENT corpus, not the original.  Rows with no embedding
-    keep (no vector, no semantic evidence).  Delegates to
+    keep (no vector, no semantic evidence) — that covers BOTH ids
+    absent from ``aux`` and aux rows whose vector value is NULL (the
+    null filter below; a None entry would crash the Arrow np.stack —
+    ADVICE r11).  Delegates to
     ``semantic_drop_ids`` (j44b's gate-attested derived-k Arrow Lloyd
     + exact-verify engine); completes the dedup-action family's
     embedding modality next to near/fuzzy/substring dedup."""
     from ma_anonymization_etl_spark.functions.vectors import as_double
     from ma_anonymization_etl_spark.operators.similarity import semantic_drop_ids
 
-    corpus = aux.select(
+    corpus = aux.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).join(
         df.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
@@ -252,12 +255,15 @@ def _step_knn_label(
             f"knn_label: output column {out!r} already exists in the working "
             "table — rename via 'out' or drop it before labelling"
         )
-    corpus = aux.select(
+    # NULL-vector aux rows are no evidence on either side: not a
+    # labelled neighbour, not a query (the row gets NULL via the left
+    # join) — same rationale as _step_semantic_dedup_drop's filter.
+    corpus = aux.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         as_double(F.col(vec_col)).alias("v"),
     ).filter(F.col("label").isNotNull())
-    queries = aux.select(
+    queries = aux.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
     ).join(df.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
     pred = knn_label_multiprobe(queries, corpus, k=k).select(

@@ -627,6 +627,50 @@ def test_route_step_semantic_dedup_drop(spark):
     assert {r.doc_id for r in out2.collect()} == {1, 2, 3, 4, 5}
 
 
+def test_route_step_semantic_dedup_drop_no_low_ids(spark):
+    """ADVICE r11 regressions: (a) a working set whose surviving ids
+    are all >= k must still seed the Lloyd loop (k lowest SURVIVING
+    ids, not a literal vec_id < k filter — previously an empty seed
+    set crashed the Arrow assignment); (b) an aux row with a NULL
+    embedding value is 'no embedding' (keeps, never np.stack'd);
+    (c) an all-null / empty corpus is a no-op, not a crash."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text", "en") for i in range(100, 106)],
+        "doc_id long, text string, lang string",
+    )
+    base = [1.0, 0.5, -0.25, 2.0]
+    vecs = spark.createDataFrame(
+        [
+            (100, [float(x) for x in base]),
+            (103, [float(x * 2) for x in base]),  # cos == 1 with 100
+            (104, [-2.0, 1.0, 0.5, -0.125]),
+            (105, None),  # NULL vector value (present in aux)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = anonymize_pipeline(
+        docs,
+        [{"op": "semantic_dedup_drop", "aux": "vectors"}],
+        tables={"vectors": vecs},
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {100, 101, 102, 104, 105}, kept
+
+    # empty corpus: every row with a (non-null) vector filtered out
+    # upstream -> the step is a no-op on the survivors.
+    out2 = anonymize_pipeline(
+        docs,
+        [
+            {"op": "suppress_rows_if", "pred": "doc_id <= 104"},
+            {"op": "semantic_dedup_drop", "aux": "vectors"},
+        ],
+        tables={"vectors": vecs},
+    )
+    assert {r.doc_id for r in out2.collect()} == {105}
+
+
 def test_route_step_knn_label(spark):
     """knn_label enriches the working table with the multiprobe 5-NN
     majority label (j64's gate-attested engine): no rows drop, the new
@@ -657,6 +701,36 @@ def test_route_step_knn_label(spark):
     )
     direct = knn_label_multiprobe(q, e, k=5).collect()[0].label_pred
     assert {r.topic_label for r in rows if r.doc_id == 7} == {direct}
+
+
+def test_route_step_knn_label_null_vector(spark):
+    """ADVICE r11 regression: an aux row with a NULL embedding value
+    is no evidence — it neither labels (corpus side) nor queries; its
+    working row rides through with a NULL output column instead of
+    crashing the Arrow signing path."""
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(4)], "doc_id long, text string"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], "a"),
+            (1, [0.9, 0.1, 0.0, 0.0], "a"),
+            (2, [0.8, 0.2, 0.0, 0.0], None),  # unlabelled, still queries
+            (3, None, "b"),                   # NULL vector (ADVICE r11)
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = anonymize_pipeline(
+        docs,
+        [{"op": "knn_label", "aux": "vectors", "out": "nn"}],
+        tables={"vectors": vecs},
+    )
+    rows = {r.doc_id: r.nn for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}, "enrichment must not drop rows"
+    assert rows[3] is None  # no vector -> no label
+    assert rows[0] == "a" and rows[1] == "a" and rows[2] == "a"
 
 
 def test_route_knn_label_di_gate(spark):
