@@ -2514,6 +2514,7 @@ def maximal_dup_spans_chars(
     id_col: str = "doc_id",
     text_col: str = "text",
     skew_salt: int = 0,
+    hashed_keys: bool = True,
 ) -> DataFrame:
     """j56b's engine: ``maximal_dup_spans`` at CHARACTER granularity —
     the form Lee et al. actually run (their ExactSubstr suffix array is
@@ -2539,9 +2540,33 @@ def maximal_dup_spans_chars(
     filters in place) instead of j56's groupBy + join-back — the join
     was the cost center (the 42M-row string-keyed sort-merge join
     alone cost more than the whole window form; 279 s → 103 s at sf1).
-    Hashing the gram keys (md5-replayable hash64) was ALSO measured
-    and lost (+14 % — md5 CPU exceeds local-shuffle-width savings);
-    raw keys stay.  The trade the window form accepts: no map-side
+
+    ``hashed_keys`` (default True — VERDICT r11 item 1): the gram key
+    exists only INSIDE the coverage computation (released rows carry
+    character offsets, never grams), so the shuffle can key on any
+    injective-enough encoding.  The default replaces the ``cgram``-char
+    string key with the COMPOSITE (xxhash64(gr), crc32(gr)) — 12
+    fixed-width bytes vs ~32 for a 20-char string in the UnsafeRow
+    format (8-byte slot + data rounded to 8) — cutting the dominant
+    occurrence shuffle's key bytes ~2.5× and replacing string compares
+    with fixed-width compares in the shuffle sort.  Collision bound,
+    written down: two distinct grams merge only if they collide in
+    BOTH hashes; with xxhash64 (64-bit) and crc32 (32-bit) independent
+    that is 2^-96 per pair, so D distinct grams expect D²/2^97
+    colliding pairs — ≈ 6e-12 at the sf100 regime's D ≈ 1e9 and still
+    ≈ 6e-6 at a 100 TB corpus's D ≈ 1e12.  (A NAKED 64-bit key is not
+    shippable: D ≈ 1e9 gives ~3 % birthday risk.)  A collision's
+    effect is one-sided and bounded: it merges two grams' counts,
+    which can only mark a unique gram as covered (a spurious or
+    extended span) — it can never erase a true duplicated span.
+    History: round 10b measured an md5-based hash64 key and rejected
+    it (+14 % at sf1 — md5 CPU exceeded the local shuffle-width
+    saving); round 11 measured JVM xxhash64 at sf10 and it WON (−11 %,
+    645.0 → 572.4 s) because the second decade is shuffle-byte-bound;
+    the round-12 composite A/B is in BASELINE.md.  ``hashed_keys=
+    False`` keeps the raw-string key for referee runs.
+
+    The trade the window form accepts: no map-side
     partial agg, so one adversarially hot gram lands in one task —
     bounded on word-soup corpora (grams cap in the tens of thousands
     per replica), NOT bounded on boilerplate-grade corpora.
@@ -2581,24 +2606,41 @@ def maximal_dup_spans_chars(
             )
         ).alias("o"),
     ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
+    if hashed_keys:
+        # Composite 96-bit key replaces the cgram-char string BEFORE
+        # the gram shuffle — collision bound in the docstring.
+        occ = occ.select(
+            "doc_id",
+            "n_chars",
+            "pos",
+            F.xxhash64("gr").alias("g1"),
+            # crc32 yields unsigned 32-bit as BIGINT; shift into the
+            # signed int range (bijective) so the key slot is 4 bytes.
+            (F.crc32("gr") - F.lit(2**31)).cast("int").alias("g2"),
+        )
+        gkey = ["g1", "g2"]
+    else:
+        gkey = ["gr"]
     if skew_salt > 0:
         occ_s = occ.withColumn(
             "sb", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(skew_salt))
         )
-        part = occ_s.groupBy("gr", "sb").agg(F.count(F.lit(1)).alias("c"))
+        part = occ_s.groupBy(*gkey, "sb").agg(F.count(F.lit(1)).alias("c"))
         dup = (
-            part.groupBy("gr")
+            part.groupBy(*gkey)
             .agg(F.sum("c").alias("cnt"))
             .filter(F.col("cnt") >= 2)
-            .select("gr")
+            .select(*gkey)
         )
-        dup_keyed = part.select("gr", "sb").join(dup, "gr")
-        covered = occ_s.join(dup_keyed, ["gr", "sb"]).select(
+        dup_keyed = part.select(*gkey, "sb").join(dup, gkey)
+        covered = occ_s.join(dup_keyed, gkey + ["sb"]).select(
             "doc_id", "n_chars", "pos"
         )
     else:
         covered = (
-            occ.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gr")))
+            occ.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy(*gkey))
+            )
             .filter(F.col("cnt") >= 2)
             .select("doc_id", "n_chars", "pos")
         )

@@ -365,6 +365,96 @@ def _j9b_corpus_cand(
     return corpus, cand, n_corpus
 
 
+def pair_verify_f32_screen(
+    cand: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    broadcast_lookups: bool,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Candidate-pair cosine verify with a FLOAT32-SHUFFLED screen and
+    exact float64 re-adjudication of the (provably narrow) boundary —
+    j9d's verify engine, factored for direct property testing.
+
+    ``cand`` is (a_id, b_id); ``corpus`` is (vec_id, v ARRAY<DOUBLE>).
+    Released: the pairs whose float64 numpy cosine is >= ``tau``.
+
+    Why: at the shuffle regime (corpus too big to broadcast) the
+    verify join's bytes are the VECTORS, not the pair ids — 8 bytes a
+    dim, twice per candidate.  Shipping the lookups as ARRAY<FLOAT>
+    halves that shuffle (the round-11 sf100 j9d wall was exactly this
+    spill, BASELINE.md round 11).  The screen stays decision-exact by
+    the near-tie discipline (_km_assign_arrow's precedent):
+
+    Error bound, written down: float32 quantization perturbs each
+    component by <= 2^-24 relative, so for 64-dim vectors the cosine
+    computed (in float64) FROM the quantized pair differs from the
+    true float64 cosine by <= ~2·sqrt(64)·2^-24·(1+|cos|) ≈ 4e-6; the
+    SIMD float64 summation itself adds <= 64·2^-53 ≈ 7e-15.  With
+    ``eps`` = 1e-4 (25× slack) a pair whose screen cosine clears
+    tau ± eps CANNOT flip under float64; only |cos32 − tau| <= eps
+    pairs re-join the float64 vectors — on organic corpora that set is
+    ~empty (this family's gap: planted >= 0.99, organic < 0.61), so
+    the second lookup join prices at the released-set size, not the
+    candidate-set size."""
+    import numpy as np
+
+    def maybe_bcast(df):
+        return F.broadcast(df) if broadcast_lookups else df
+
+    f32 = F.col("v").cast("array<float>")
+    va = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), f32.alias("va")))
+    vb = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), f32.alias("vb")))
+    joined = cand.join(va, "a_id").join(vb, "b_id")
+
+    def screen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            sure = cos >= tau + eps
+            boundary = np.abs(cos - tau) <= eps
+            keep = sure | boundary
+            out = pdf.loc[keep, ["a_id", "b_id"]].copy()
+            out["sure"] = sure[keep]
+            yield out
+
+    screened = joined.mapInPandas(
+        screen, "a_id BIGINT, b_id BIGINT, sure BOOLEAN"
+    ).localCheckpoint(eager=False)  # read twice: sure branch + boundary branch
+
+    def verify64(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pdf.loc[cos >= tau, ["a_id", "b_id"]]
+
+    va64 = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
+    vb64 = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
+    boundary_kept = (
+        screened.filter(~F.col("sure"))
+        .select("a_id", "b_id")
+        .join(va64, "a_id")
+        .join(vb64, "b_id")
+        .mapInPandas(verify64, "a_id BIGINT, b_id BIGINT")
+    )
+    return (
+        screened.filter(F.col("sure")).select("a_id", "b_id")
+        .unionByName(boundary_kept)
+    )
+
+
 @register(
     "j9d_sim_pair_lsh_fast",
     # Pair IDs only — no float column — so the oracle is the exhaustive
@@ -404,33 +494,16 @@ def j9d_sim_pair_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the constant — j8 vs j21 / j10 vs j10b, applied to the
     pair-search verify.  Measured side by side in BASELINE.md round 8.
 
-    Scale shape: identical to j9b until the verify; the verify is a
-    mapInPandas over the joined (a_id, b_id, va, vb) batches — no
-    extra shuffle, batch-local memory."""
-    import numpy as np
-
+    Scale shape: identical to j9b until the verify; the verify is
+    ``pair_verify_f32_screen`` — float32-shuffled lookups (HALF the
+    vector bytes through the sf100-regime shuffle, VERDICT r11 item 1)
+    with float64 re-adjudication of any pair within 1e-4 of τ, so the
+    released set equals the float64 verify's exactly (error bound in
+    the engine's docstring; boundary pinned by property test)."""
     corpus, cand, n_corpus = _j9b_corpus_cand(spark, sf_dir)
-
-    def maybe_bcast(df):
-        return F.broadcast(df) if n_corpus <= _J9B_BCAST_MAX else df
-
-    va = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
-    vb = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
-    joined = cand.join(va, "a_id").join(vb, "b_id")
-
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", a, b) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            )
-            keep = cos >= _J9B_TAU
-            yield pdf.loc[keep, ["a_id", "b_id"]]
-
-    return joined.mapInPandas(verify, "a_id BIGINT, b_id BIGINT")
+    return pair_verify_f32_screen(
+        cand, corpus, _J9B_TAU, broadcast_lookups=n_corpus <= _J9B_BCAST_MAX
+    )
 
 
 @register(
@@ -2346,12 +2419,77 @@ def _km_assign_arrow(corpus: DataFrame, cent_rows: list) -> DataFrame:
     )
 
 
+def _km_recompute_arrow(assign: DataFrame) -> DataFrame:
+    """``_km_recompute`` with Arrow-batched int64 PARTIALS — the j44b
+    constant cut (VERDICT r11 item 3).  The declarative recompute
+    posexplodes every vector: a 64·N-row (cl, pos, x) shuffle PER
+    ROUND is the dominant recompute cost, not the arithmetic.  Here
+    each Arrow batch pre-aggregates (cl, dim) → (int64 sum of the
+    1e-6-quantized components, count) in numpy, so the shuffle carries
+    k×64 rows PER BATCH instead of 64 rows per corpus vector — at
+    sf10's 400k vectors that is ~26M shuffled rows → ~tens of
+    thousands.
+
+    BIT-IDENTICAL by integer associativity, not by a near-tie
+    argument: the quantization replicates Spark ROUND (half away from
+    zero — np.floor(s+0.5)/np.ceil(s−0.5) plus an exact-compare
+    correction for the one-ulp case where the ±0.5 add itself crosses
+    an integer, e.g. s = 0.5−2⁻⁵⁴ where fl(s+0.5) = 1.0), partial
+    int64 sums add associatively to the same total, and the final
+    (double)sum / count / 1e6 divides the same two operands.  Pinned
+    against ``_km_recompute`` bit-for-bit in tests."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cl = pdf["cl"].to_numpy()
+            s = m * 1e6
+            r = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+            r = np.where(r - s > 0.5, r - 1, r)  # add crossed the boundary up
+            r = np.where(s - r > 0.5, r + 1, r)  # (negative-side mirror)
+            q = r.astype(np.int64)
+            uniq, inv = np.unique(cl, return_inverse=True)
+            sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, q)
+            counts = np.bincount(inv).astype(np.int64)
+            k_, d_ = sums.shape
+            yield pd.DataFrame(
+                {
+                    "cl": np.repeat(uniq, d_),
+                    "pos0": np.tile(np.arange(d_, dtype=np.int64), k_),
+                    "s": sums.reshape(-1),
+                    "c": np.repeat(counts, d_),
+                }
+            )
+
+    per_dim = (
+        assign.mapInPandas(partials, "cl BIGINT, pos0 BIGINT, s BIGINT, c BIGINT")
+        .groupBy("cl", "pos0")
+        .agg(
+            (
+                F.sum("s").cast("double") / F.sum("c") / F.lit(1e6)
+            ).alias("av")
+        )
+    )
+    return per_dim.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "av"))), lambda s: s.av
+        ).alias("cent")
+    )
+
+
 def _km_fit_arrow(corpus: DataFrame, k: int = _KM_K):
-    """``_km_fit`` with the Arrow assignment: identical rounds,
-    identical int64-quantized centroid recompute (``_km_recompute`` is
-    shared verbatim), centroids collected to the driver between rounds
-    (k×64 doubles — the classic distributed-Lloyd layout; at k ~ 1e6
-    this becomes a broadcast variable, same shape)."""
+    """``_km_fit`` with the Arrow assignment AND the Arrow partial-sum
+    recompute (``_km_recompute_arrow`` — bit-identical integer totals,
+    see its docstring; the declarative ``_km_recompute`` remains the
+    referee twin on j44's path), centroids collected to the driver
+    between rounds (k×64 doubles — the classic distributed-Lloyd
+    layout; at k ~ 1e6 this becomes a broadcast variable, same
+    shape)."""
     corpus = corpus.localCheckpoint(eager=True)
     # k lowest SURVIVING vec_ids, same seeding rule (and rationale) as
     # _km_fit — identical to `vec_id < k` on the contiguous registered
@@ -2364,7 +2502,7 @@ def _km_fit_arrow(corpus: DataFrame, k: int = _KM_K):
     )
     for _ in range(_KM_ROUNDS):
         assign = _km_assign_arrow(corpus, cents.collect())
-        cents = _km_recompute(assign)
+        cents = _km_recompute_arrow(assign)
     return _km_assign_arrow(corpus, cents.collect()), cents
 
 

@@ -2214,6 +2214,149 @@ def test_j56c_skew_guard_bit_identical_on_hot_gram(spark):
         assert release(salt) == base, f"salt={salt} changed the release"
 
 
+def test_j56b_hashed_keys_bit_identical(spark):
+    """The composite (xxhash64, crc32) gram key (VERDICT r11 item 1)
+    is a pure shuffle-byte encoding: the release must be BIT-IDENTICAL
+    to the raw-string-key form on a corpus with planted cross-doc,
+    within-doc, and boilerplate-hot duplication — in the window form
+    AND composed with the salted skew guard."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.llm import maximal_dup_spans_chars
+
+    rng = random.Random(53)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    rnd = lambda n: "".join(rng.choice(letters) for _ in range(n))  # noqa: E731
+    blk = rnd(60)
+    hot = "click here to unsubscribe from these email notifications"
+    docs = []
+    for i in range(60):
+        body = rnd(70)
+        if i % 3 == 0:
+            body = body[:25] + blk + body[25:]
+        if i % 4 == 0:
+            body = body + hot
+        docs.append((i, body))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def release(**kw):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_len, r.n_grams_in_span)
+            for r in maximal_dup_spans_chars(
+                d, cgram=20, min_span=30, **kw
+            ).collect()
+        )
+
+    base = release(hashed_keys=False)
+    assert len(base) >= 20  # the planted block carriers release
+    assert release(hashed_keys=True) == base
+    assert release(hashed_keys=True, skew_salt=32) == base
+    assert release(hashed_keys=False, skew_salt=32) == base
+
+
+def test_km_recompute_arrow_bit_identical(spark):
+    """The Arrow partial-sum centroid recompute (j44b constant cut,
+    VERDICT r11 item 3) must produce BIT-IDENTICAL centroids to the
+    declarative posexplode recompute — including on adversarial
+    quantization values (exact .5 ties both signs, near-tie one-ulp
+    cases, negatives) where a wrong rounding replica would flip an
+    int64 partial."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _km_recompute,
+        _km_recompute_arrow,
+    )
+
+    rng = random.Random(61)
+    adversarial = [
+        5e-7,        # s = 0.5 exact tie -> 1 (half away from zero)
+        -5e-7,       # s = -0.5 -> -1
+        1.5e-6,      # s = 1.5 -> 2
+        -2.5e-6,     # s = -2.5 -> -3
+        4.9999999999999994e-7,   # s just under 0.5: fl(s+0.5) == 1.0 trap
+        -4.9999999999999994e-7,
+    ]
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-2, 2) for _ in range(8)]
+        if i < len(adversarial) * 8:
+            v[i % 8] = adversarial[i % len(adversarial)]
+        rows.append((i, i % 5, v))
+    assign = spark.createDataFrame(
+        rows, "vec_id long, cl long, v array<double>"
+    ).repartition(7)  # several Arrow batches -> partials actually merge
+
+    ref = {r.cl: list(r.cent) for r in _km_recompute(assign).collect()}
+    got = {r.cl: list(r.cent) for r in _km_recompute_arrow(assign).collect()}
+    assert got == ref  # exact float equality: same bits
+
+
+def test_j9d_f32_screen_boundary_adjudication(spark):
+    """j9d's float32-shuffled verify (VERDICT r11 item 1): pairs whose
+    screen cosine sits INSIDE the ±1e-4 boundary band around τ must be
+    re-adjudicated against the float64 vectors — planted pairs at
+    cos ≈ τ−5e-5 (boundary-drop), ≈ τ+5e-5 (boundary-keep), and ≈ τ
+    exactly, plus a sure-keep (cos 1) and sure-drop (cos 0), must all
+    match the direct float64 numpy decision, in BOTH the broadcast and
+    shuffle lookup regimes."""
+    import math
+
+    import numpy as np
+
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J9B_TAU,
+        pair_verify_f32_screen,
+    )
+
+    dim, tau = 64, _J9B_TAU
+
+    def vec_at_cos(c):
+        v = [0.0] * dim
+        v[0], v[1] = c, math.sqrt(max(0.0, 1.0 - c * c))
+        return v
+
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    vecs = {
+        0: e1,
+        1: e1,                       # pair (0,1): cos 1 — sure keep
+        2: e2,                       # pair (0,2): cos 0 — sure drop
+        3: vec_at_cos(tau),          # pair (0,3): cos ≈ τ — boundary
+        4: vec_at_cos(tau - 5e-5),   # boundary, float64 says drop
+        5: vec_at_cos(tau + 5e-5),   # boundary, float64 says keep
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, v array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(0, b) for b in range(1, 6)], "a_id long, b_id long"
+    )
+
+    def f64_keeps():
+        out = set()
+        for b in range(1, 6):
+            x, y = np.array(vecs[0]), np.array(vecs[b])
+            cos = np.einsum("i,i->", x, y) / (
+                np.linalg.norm(x) * np.linalg.norm(y)
+            )
+            if cos >= tau:
+                out.add((0, b))
+        return out
+
+    expect = f64_keeps()
+    assert (0, 1) in expect and (0, 2) not in expect
+    assert (0, 4) not in expect and (0, 5) in expect  # the planted band
+    for bcast in (True, False):
+        got = {
+            (r.a_id, r.b_id)
+            for r in pair_verify_f32_screen(
+                cand, corpus, tau, broadcast_lookups=bcast
+            ).collect()
+        }
+        assert got == expect, f"bcast={bcast}: {got} != {expect}"
+
+
 def test_j54c_bm25f_single_field_reduction_and_title_boost(spark):
     """BM25F properties (NEXT r10 item d): (1) with one field, b=0 and
     unit weights, BM25F reduces EXACTLY to BM25 — wtf = tf and
