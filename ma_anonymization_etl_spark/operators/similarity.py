@@ -557,6 +557,119 @@ def j9c_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# j9e plants pairs INSIDE the float32 screen's ±1e-4 band around τ, so
+# every planted pair takes the float64 re-adjudication branch — the
+# branch no organic gate corpus exercises (their gap: ≥0.99 / <0.61).
+# Margins of ±5e-5 keep the DECISION stable across numpy-SIMD vs
+# sequential-fold summation (difference ~1e-15), while an exact-τ
+# plant would be the documented last-ulp hazard — deliberately absent.
+_J9E_EPS = 5e-5
+_J9E_OFF = 100_000
+
+
+def _j9e_consts() -> list[tuple[float, float, int]]:
+    """(cos_target, sin_target, id_tag) for the two planted partners,
+    computed ONCE in Python and embedded as literals in BOTH engines
+    so the constructed vectors are bit-identical."""
+    import math
+
+    out = []
+    for tag, c in ((1, _J9B_TAU - _J9E_EPS), (2, _J9B_TAU + _J9E_EPS)):
+        out.append((c, math.sqrt(1.0 - c * c), tag))
+    return out
+
+
+def _j9e_oracle() -> str:
+    (cm, sm, _), (cp, sp, _) = _j9e_consts()
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_E} AS v FROM embeddings),
+a AS (SELECT vec_id AS i, v AS va FROM e WHERE vec_id < 100),
+y AS (SELECT vec_id - 100 AS i, v AS vy FROM e
+      WHERE vec_id >= 100 AND vec_id < 200),
+j0 AS (SELECT a.i, va, vy FROM a JOIN y USING (i)),
+j1 AS (SELECT i, va, vy,
+              sqrt(list_dot_product(va, va)) AS na FROM j0),
+j2 AS (SELECT i, vy, list_transform(va, x -> x / na) AS ua FROM j1),
+j3 AS (SELECT i, ua, vy, list_dot_product(vy, ua) AS proj FROM j2),
+j4 AS (SELECT i, ua,
+              list_transform(range(1, length(vy) + 1),
+                             k -> vy[k] - proj * ua[k]) AS w FROM j3),
+j5 AS (SELECT i, ua, w, sqrt(list_dot_product(w, w)) AS nw FROM j4),
+j6 AS (SELECT i, ua, list_transform(w, x -> x / nw) AS uw
+       FROM j5 WHERE nw > 1e-9),
+b AS (
+  SELECT i, 1 AS tag, ua,
+         list_transform(range(1, length(ua) + 1),
+                        k -> {cm!r} * ua[k] + {sm!r} * uw[k]) AS bv
+  FROM j6
+  UNION ALL
+  SELECT i, 2 AS tag, ua,
+         list_transform(range(1, length(ua) + 1),
+                        k -> {cp!r} * ua[k] + {sp!r} * uw[k]) AS bv
+  FROM j6
+)
+SELECT CAST(i AS BIGINT) AS a_id,
+       CAST(i + tag * {_J9E_OFF} AS BIGINT) AS b_id
+FROM b
+WHERE list_dot_product(ua, bv) /
+      (sqrt(list_dot_product(ua, ua)) * sqrt(list_dot_product(bv, bv)))
+      >= {_J9B_TAU}
+"""
+
+
+@register("j9e_pair_verify_boundary", oracle=_j9e_oracle())
+def j9e_pair_verify_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9e (extension): the float32-screen verify's BOUNDARY
+    RE-ADJUDICATION branch as a gate-attested contract (round 12 —
+    the branch j9d's organic corpus never takes).  For each of 100
+    anchor vectors, two partners are CONSTRUCTED at cosine exactly
+    τ ± 5e-5 (Gram-Schmidt: unit anchor ua, unit residual uw of a
+    second organic vector, partner = c·ua + s·uw with c, s Python
+    literals shared with the oracle) — both land inside the screen's
+    ±1e-4 band, so both re-join the float64 vectors, and only the
+    τ+5e-5 partner may release.  The oracle replays the construction
+    and the float64 decision from first principles.  Delegates to
+    ``pair_verify_f32_screen``."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("i"), F.col("v").alias("va")
+    )
+    y = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)).select(
+        (F.col("vec_id") - 100).alias("i"), F.col("v").alias("vy")
+    )
+    j = (
+        a.join(y, "i")
+        .withColumn("na", norm(F.col("va")))
+        .withColumn("ua", F.transform("va", lambda x: x / F.col("na")))
+        .withColumn("proj", dot(F.col("vy"), F.col("ua")))
+        .withColumn(
+            "w", F.zip_with("vy", "ua", lambda yy, u: yy - F.col("proj") * u)
+        )
+        .withColumn("nw", norm(F.col("w")))
+        .filter(F.col("nw") > 1e-9)
+        .withColumn("uw", F.transform("w", lambda x: x / F.col("nw")))
+    )
+    corpus = j.select(F.col("i").alias("vec_id"), F.col("ua").alias("v"))
+    cand = None
+    for c, s, tag in _j9e_consts():
+        part = j.select(
+            (F.col("i") + tag * _J9E_OFF).alias("vec_id"),
+            F.zip_with(
+                "ua", "uw", lambda u, wv: F.lit(c) * u + F.lit(s) * wv
+            ).alias("v"),
+        )
+        corpus = corpus.unionByName(part)
+        pairs = j.select(
+            F.col("i").alias("a_id"), (F.col("i") + tag * _J9E_OFF).alias("b_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return pair_verify_f32_screen(
+        cand, corpus, _J9B_TAU, broadcast_lookups=True
+    )
+
+
 @register(
     "j10_knn_classify",
     oracle=f"""

@@ -78,8 +78,16 @@ DRIVER_WINDOW = [
     # (j56c/j60c skew+cap guards, j64 ANN labelling) plus the
     # post-r10-capture ops VERDICT r10 item 6 queued for a turn
     # (j60b, j62, j63/j63b, i44, i45, q11, k26).
+    # Round-12 rotation #8: j9e (the float32-screen boundary
+    # adjudication contract — new this round) in; j59 out (long-green
+    # since r10b; j63/j63b keep the prebuilt-index family attested).
+    # The round-12 re-shaped engines all already sit inside the
+    # window under their existing names: j56b/j56c (hashed composite
+    # gram keys), j9d (float32-screen verify), j44b (Arrow partial-sum
+    # recompute).
     "p7b_cc_altstar",
     "j9d_sim_pair_lsh_fast",
+    "j9e_pair_verify_boundary",
     "j56c_maximal_dup_spans_skewguard",
     "j60b_fuzzy_dedup_3key",
     "j60c_fuzzy_dedup_capped",
@@ -91,7 +99,6 @@ DRIVER_WINDOW = [
     "i45_recursive_cl_diversity",
     "q11_token_js_divergence",
     "k26_stream_fuzzy_dedup",
-    "j59_ann_prebuilt_probe",
     "j56b_maximal_dup_spans_chars",
     "j60_fuzzy_dedup_edit",
     "j54c_bm25f_topk",

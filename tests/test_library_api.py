@@ -103,6 +103,9 @@ DELEGATES = {
     "j56c_maximal_dup_spans_skewguard": "maximal_dup_spans_chars",
     "j60c_fuzzy_dedup_capped": "fuzzy_dup_pairs",
     "j64_knn_label_ann": "knn_label_multiprobe",
+    # round-12 additions
+    "j9d_sim_pair_lsh_fast": "pair_verify_f32_screen",
+    "j9e_pair_verify_boundary": "pair_verify_f32_screen",
 }
 
 _ALL = registry.load_all()
