@@ -145,6 +145,16 @@ _J9B_MAX_BANDS = 64
 # lookup tables are broadcast (≤ ~50 MB of doubles); above it the hint
 # is dropped and AQE picks the shuffle hash join on id.
 _J9B_BCAST_MAX = 100_000
+# The FLOAT32 screen's cutover is byte-rational, not row-copied from
+# the float64 one: the f32 lookup table is N × 64 × 4 B ≈ 1.07 GB at
+# 4M vectors — inside the ~2 GB practical broadcast ceiling (torrent
+# broadcast, one copy per executor), and broadcasting it removes the
+# ENTIRE candidate×vector shuffle whose cumulative spill (map output +
+# reduce sort) is what overran the 77 GB local disk at sf100 even
+# after the f32 halving (round-12 probe: died at ~60 GB written,
+# 419.8 s).  Beyond this the f32 shuffle join returns — at that scale
+# per-executor disks on a cluster absorb what one local disk cannot.
+_J9B_BCAST_MAX_F32 = 4_200_000
 
 
 def lsh_band_plan(
@@ -396,7 +406,13 @@ def pair_verify_f32_screen(
     pairs re-join the float64 vectors — on organic corpora that set is
     ~empty (this family's gap: planted >= 0.99, organic < 0.61), so
     the second lookup join prices at the released-set size, not the
-    candidate-set size."""
+    candidate-set size.
+
+    ``broadcast_lookups`` governs the F32 tables only (cutover
+    rationale at _J9B_BCAST_MAX_F32: ~1 GB of floats at 4M vectors is
+    broadcastable, and broadcasting removes the whole candidate×vector
+    shuffle — the measured sf100 disk wall); the float64 boundary
+    lookups are never hinted, AQE broadcasts the ~empty pair side."""
     import numpy as np
 
     def maybe_bcast(df):
@@ -440,8 +456,12 @@ def pair_verify_f32_screen(
             )
             yield pdf.loc[cos >= tau, ["a_id", "b_id"]]
 
-    va64 = maybe_bcast(corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
-    vb64 = maybe_bcast(corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
+    # The float64 lookups carry NO broadcast hint: the boundary pair
+    # set is ~empty by construction, so AQE broadcasts THAT side —
+    # hinting the corpus here would ship 2× the f32 table's bytes for
+    # a join whose other side is a handful of rows.
+    va64 = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb64 = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     boundary_kept = (
         screened.filter(~F.col("sure"))
         .select("a_id", "b_id")
@@ -502,7 +522,7 @@ def j9d_sim_pair_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's docstring; boundary pinned by property test)."""
     corpus, cand, n_corpus = _j9b_corpus_cand(spark, sf_dir)
     return pair_verify_f32_screen(
-        cand, corpus, _J9B_TAU, broadcast_lookups=n_corpus <= _J9B_BCAST_MAX
+        cand, corpus, _J9B_TAU, broadcast_lookups=n_corpus <= _J9B_BCAST_MAX_F32
     )
 
 
