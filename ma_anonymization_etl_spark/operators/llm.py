@@ -2507,6 +2507,60 @@ def j56_maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_dup_spans(d.unionByName(twin), ngram=8, min_span=12)
 
 
+def _char_occ(
+    docs: DataFrame, cgram: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional character-window occurrences (doc_id, n_chars, pos,
+    gr) — the shared front of the single-pass and multipass ExactSubstr
+    engines, so the two forms cannot drift on window generation."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("n_chars") - (cgram - 1), F.lit(1))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col("text").substr(i, F.lit(cgram)).alias("gr"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
+
+
+def _spans_from_covered(
+    covered: DataFrame, cgram: int, min_span: int
+) -> DataFrame:
+    """Gaps-and-islands merge of covered window starts into maximal
+    spans — the shared tail of both ExactSubstr engines.  ``covered``
+    is (doc_id, n_chars, pos)."""
+    from pyspark.sql import Window
+
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        covered.withColumn("isl", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + (cgram - 1), F.min("n_chars")).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams_in_span"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .filter(F.col("span_len") >= min_span)
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        "n_grams_in_span",
+    )
+
+
 def maximal_dup_spans_chars(
     docs: DataFrame,
     cgram: int = 20,
@@ -2588,24 +2642,7 @@ def maximal_dup_spans_chars(
     by doc; nothing is all-pairs, nothing global."""
     from pyspark.sql import Window
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
-    ).withColumn("n_chars", F.length("text"))
-    occ = base.select(
-        "doc_id",
-        "n_chars",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.col("n_chars") - (cgram - 1), F.lit(1))
-                ),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.col("text").substr(i, F.lit(cgram)).alias("gr"),
-                ),
-            )
-        ).alias("o"),
-    ).select("doc_id", "n_chars", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
+    occ = _char_occ(docs, cgram, id_col, text_col)
     if hashed_keys:
         # Composite 96-bit key replaces the cgram-char string BEFORE
         # the gram shuffle — collision bound in the docstring.
@@ -2644,24 +2681,87 @@ def maximal_dup_spans_chars(
             .filter(F.col("cnt") >= 2)
             .select("doc_id", "n_chars", "pos")
         )
-    w_isl = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        covered.withColumn("isl", F.col("pos") - F.row_number().over(w_isl))
-        .groupBy("doc_id", "isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.least(F.max("pos") + (cgram - 1), F.min("n_chars")).alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_grams_in_span"),
+    return _spans_from_covered(covered, cgram, min_span)
+
+
+def maximal_dup_spans_chars_multipass(
+    docs: DataFrame,
+    cgram: int = 20,
+    min_span: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passes: int = 4,
+    scratch: str | None = None,
+) -> DataFrame:
+    """The ExactSubstr span inventory with BOUNDED PEAK SHUFFLE
+    FOOTPRINT — the external-memory form of ``maximal_dup_spans_chars``
+    for corpora whose single occurrence shuffle exceeds local disk
+    (the measured j56b sf100 wall: ~2.8 B occurrence rows ≈ 134 GB of
+    map output + sort spill vs 77 GB free — BASELINE round 12).
+
+    The gram KEY SPACE is hash-partitioned into ``passes`` ranges
+    (pmod(xxhash64(gr), passes)); each pass re-scans the corpus,
+    explodes windows, keeps only its range, and runs the gram-count
+    coverage window on that range alone.  BIT-IDENTICAL to the
+    single-pass release by construction: the ranges PARTITION grams,
+    so every gram's global count is computed wholly inside exactly one
+    pass, the union of per-pass covered positions equals the
+    single-pass covered set, and the shared island merge
+    (``_spans_from_covered``) then sees identical input
+    (property-pinned at several pass counts).
+
+    Peak footprint: each pass is its OWN JOB — its covered positions
+    (a sparse subset: only duplicated windows) land in session-scoped
+    parquet, and a ContextCleaner nudge releases the pass's shuffle
+    files before the next pass starts — so peak disk ≈ one range's
+    shuffle (~1/passes of the total) plus the accumulated covered
+    parquet.  The price is ``passes`` corpus scans + window explodes:
+    the classic external-memory trade (scan passes for footprint).
+    Composite hashed keys are mandatory here (the range hash IS the
+    shuffle key's first half); collision bound as in the single-pass
+    docstring."""
+    import os
+    import shutil
+
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    if passes < 2:
+        return maximal_dup_spans_chars(
+            docs, cgram=cgram, min_span=min_span,
+            id_col=id_col, text_col=text_col,
         )
-        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
-        .filter(F.col("span_len") >= min_span)
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    out = scratch or os.path.join(
+        scratch_dir(spark, "j56_multipass"), "covered"
     )
-    return spans.select(
-        "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_len").cast("long").alias("span_len"),
-        "n_grams_in_span",
-    )
+    shutil.rmtree(out, ignore_errors=True)
+    for p in range(passes):
+        occ_p = (
+            _char_occ(docs, cgram, id_col, text_col)
+            .select(
+                "doc_id",
+                "n_chars",
+                "pos",
+                F.xxhash64("gr").alias("g1"),
+                (F.crc32("gr") - F.lit(2**31)).cast("int").alias("g2"),
+            )
+            .filter(F.pmod(F.col("g1"), F.lit(passes)) == p)
+        )
+        covered_p = (
+            occ_p.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("g1", "g2"))
+            )
+            .filter(F.col("cnt") >= 2)
+            .select("doc_id", "n_chars", "pos")
+        )
+        covered_p.write.mode("append").parquet(out)
+        # Release this pass's shuffle files before the next pass maps:
+        # the ContextCleaner drops shuffles whose dependencies are
+        # unreachable, and the JVM only notices promptly under a GC.
+        spark._jvm.System.gc()
+    return _spans_from_covered(spark.read.parquet(out), cgram, min_span)
 
 
 # j56b's planted corpus: char-level twins sharing the doc's first 100
@@ -2770,6 +2870,35 @@ def j56c_maximal_dup_spans_skewguard(spark: SparkSession, sf_dir: str) -> DataFr
         F.concat(F.lower(F.col("text")), F.lit(_J56C_FOOTER)).alias("text"),
     )
     return maximal_dup_spans_chars(d, cgram=20, min_span=50, skew_salt=32)
+
+
+# j56d shares j56b's oracle VERBATIM (identical twin corpus, identical
+# release definition — the j44/j44b precedent): the forms differ only
+# in shuffle STAGING, and the gram ranges partition the key space, so
+# a drift between them turns this row red at every gate SF.
+@register("j56d_dup_spans_multipass", oracle=_J56B_ORACLE)
+def j56d_dup_spans_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j56d (extension, round 12): j56b's ExactSubstr span inventory
+    via the PEAK-FOOTPRINT-BOUNDED multipass engine (4 gram-range
+    passes, each its own job; ~1/4 of the occurrence shuffle on disk
+    at any moment) — the external-memory form that fits the sf100
+    corpus under a 77 GB local disk where the single-pass shuffle
+    cannot (BASELINE round 12 arithmetic).  Release bit-identical to
+    j56b by gram-range partitioning; the shared oracle re-attests that
+    every gate run.  Delegates to
+    ``maximal_dup_spans_chars_multipass``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    twin = d.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100), F.lit(" "), F.reverse(F.col("text"))
+        ).alias("text"),
+    )
+    return maximal_dup_spans_chars_multipass(
+        d.unionByName(twin), cgram=20, min_span=50, passes=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -79,8 +79,12 @@ DRIVER_WINDOW = [
     # post-r10-capture ops VERDICT r10 item 6 queued for a turn
     # (j60b, j62, j63/j63b, i44, i45, q11, k26).
     # Round-12 rotation #8: j9e (the float32-screen boundary
-    # adjudication contract — new this round) in; j59 out (long-green
-    # since r10b; j63/j63b keep the prebuilt-index family attested).
+    # adjudication contract — new this round) and j56d (the
+    # peak-footprint-bounded multipass ExactSubstr form) in; j59 out
+    # (long-green since r10b; j63/j63b keep the prebuilt-index family
+    # attested) and j50b out (long-green since r7 rotation; j52b keeps
+    # the capped set-similarity contract inside, and the router
+    # branches stay attested by the full-registry sim).
     # The round-12 re-shaped engines all already sit inside the
     # window under their existing names: j56b/j56c (hashed composite
     # gram keys), j9d (float32-screen verify), j44b (Arrow partial-sum
@@ -89,6 +93,7 @@ DRIVER_WINDOW = [
     "j9d_sim_pair_lsh_fast",
     "j9e_pair_verify_boundary",
     "j56c_maximal_dup_spans_skewguard",
+    "j56d_dup_spans_multipass",
     "j60b_fuzzy_dedup_3key",
     "j60c_fuzzy_dedup_capped",
     "j62_cluster_canonical",
@@ -124,7 +129,6 @@ DRIVER_WINDOW = [
     # long-green basics — c1, d11, e1, e5, h2, i2, j2, j8, j24, k1 — for
     # the round-7 operators f6/d19/i43/j50-j53/p7/q8/q9: the newest
     # surface belongs inside the gate; j43b stays per VERDICT r6 item 8)
-    "j50b_jaccard_routed",
     "j52b_containment_capped",
     "j32b_substring_dedup",
     "j44b_semdedup_fast",

@@ -106,6 +106,7 @@ DELEGATES = {
     # round-12 additions
     "j9d_sim_pair_lsh_fast": "pair_verify_f32_screen",
     "j9e_pair_verify_boundary": "pair_verify_f32_screen",
+    "j56d_dup_spans_multipass": "maximal_dup_spans_chars_multipass",
 }
 
 _ALL = registry.load_all()

@@ -2254,6 +2254,51 @@ def test_j56b_hashed_keys_bit_identical(spark):
     assert release(hashed_keys=False, skew_salt=32) == base
 
 
+def test_j56d_multipass_bit_identical(spark):
+    """The peak-footprint-bounded multipass ExactSubstr engine (round
+    12): gram ranges PARTITION the key space, so the release must be
+    BIT-IDENTICAL to the single-pass form at several pass counts —
+    including passes larger than the duplicated-gram count — on a
+    corpus with cross-doc, within-doc, and boilerplate duplication."""
+    import random
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        maximal_dup_spans_chars,
+        maximal_dup_spans_chars_multipass,
+    )
+
+    rng = random.Random(67)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    rnd = lambda n: "".join(rng.choice(letters) for _ in range(n))  # noqa: E731
+    blk = rnd(55)
+    hot = "all rights reserved worldwide by the original publisher"
+    docs = []
+    for i in range(50):
+        body = rnd(65)
+        if i % 3 == 0:
+            body = body[:20] + blk + body[20:]
+        if i % 4 == 0:
+            body = body + hot
+        docs.append((i, body))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def release(df):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_len, r.n_grams_in_span)
+            for r in df.collect()
+        )
+
+    base = release(maximal_dup_spans_chars(d, cgram=20, min_span=30))
+    assert len(base) >= 15
+    for passes in (2, 5):
+        got = release(
+            maximal_dup_spans_chars_multipass(
+                d, cgram=20, min_span=30, passes=passes
+            )
+        )
+        assert got == base, f"passes={passes} changed the release"
+
+
 def test_km_recompute_arrow_bit_identical(spark):
     """The Arrow partial-sum centroid recompute (j44b constant cut,
     VERDICT r11 item 3) must produce BIT-IDENTICAL centroids to the
