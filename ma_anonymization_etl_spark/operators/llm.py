@@ -2711,12 +2711,16 @@ def maximal_dup_spans_chars_multipass(
     (property-pinned at several pass counts).
 
     Peak footprint: each pass is its OWN JOB — its covered positions
-    (a sparse subset: only duplicated windows) land in session-scoped
-    parquet, and a ContextCleaner nudge releases the pass's shuffle
-    files before the next pass starts — so peak disk ≈ one range's
-    shuffle (~1/passes of the total) plus the accumulated covered
-    parquet.  The price is ``passes`` corpus scans + window explodes:
-    the classic external-memory trade (scan passes for footprint).
+    land in session-scoped parquet, and a ContextCleaner nudge
+    releases the pass's shuffle files before the next pass starts —
+    so peak disk ≈ one range's shuffle (~1/passes of the total) plus
+    the accumulated covered parquet.  The ISLAND MERGE is bounded the
+    same way by DOC range (covered can approach the full occurrence
+    volume on boilerplate-heavy corpora — measured at sf100, BASELINE
+    round 12 — and docs partition independently, so per-range spans
+    union identically).  The price is ``passes`` corpus scans +
+    window explodes: the classic external-memory trade (scan passes
+    for footprint).
     Composite hashed keys are mandatory here (the range hash IS the
     shuffle key's first half); collision bound as in the single-pass
     docstring."""
@@ -2761,7 +2765,24 @@ def maximal_dup_spans_chars_multipass(
         # the ContextCleaner drops shuffles whose dependencies are
         # unreachable, and the JVM only notices promptly under a GC.
         spark._jvm.System.gc()
-    return _spans_from_covered(spark.read.parquet(out), cgram, min_span)
+    # The island merge is footprint-bounded the same way, by DOC
+    # range: on a boilerplate-heavy corpus covered ≈ most positions
+    # (the sf100 probe measured 36 GB of covered parquet — the
+    # doc-keyed island shuffle was the second disk wall, BASELINE
+    # round 12), and docs partition independently across ranges, so
+    # the per-range span union is trivially identical.
+    covered = spark.read.parquet(out)
+    spans_out = os.path.join(os.path.dirname(out), "spans")
+    shutil.rmtree(spans_out, ignore_errors=True)
+    for p in range(passes):
+        sp = _spans_from_covered(
+            covered.filter(F.pmod(F.col("doc_id"), F.lit(passes)) == p),
+            cgram,
+            min_span,
+        )
+        sp.write.mode("append").parquet(spans_out)
+        spark._jvm.System.gc()
+    return spark.read.parquet(spans_out)
 
 
 # j56b's planted corpus: char-level twins sharing the doc's first 100
