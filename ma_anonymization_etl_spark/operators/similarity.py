@@ -2360,25 +2360,16 @@ def semantic_drop_ids(corpus: DataFrame) -> DataFrame:
     return semdedup_dropped(assign).select("vec_id")
 
 
-def knn_label_multiprobe(
-    queries: DataFrame, corpus: DataFrame, k: int = 5
-) -> DataFrame:
-    """ANN k-NN majority-label classification — j10's release contract
-    (top-``k`` by exact cosine, majority vote, ties to the smaller
-    label, self-excluded) computed over the MULTIPROBE candidate set
-    (j57's derivation: 2^bits ≈ √N hyperplane cells, own cell +
-    Hamming-1 ring) instead of the exhaustive N×Q scan.
-
-    ``queries`` is (query_id, v); ``corpus`` is (vec_id, label, v).
-    Unlike ``_mp_probe`` (small fixed panels, broadcast probes), the
-    query side here can be a whole working table, so the candidate
-    join is a plain equality join on the probe cell — both sides
-    shuffle once by cell, cells are ~√N-balanced by construction, and
-    nothing is broadcast or all-pairs.  The recall contract is j57's:
-    a true neighbour further than Hamming-1 from the query's cell is
-    not a candidate."""
-    from pyspark.sql import Window
-
+def _knn_label_candidates(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Shared front half of the knn_label twins (the j9b/j9d shared-
+    corpus discipline: one candidate derivation, so the exact and
+    Arrow forms cannot drift).  Signs both sides into the size-derived
+    multiprobe cells (2^bits ≈ √N) and joins each query's own cell +
+    Hamming-1 ring against the corpus cells — a plain equality join on
+    the probe cell (both sides shuffle once by cell, nothing broadcast
+    or all-pairs; a corpus vector has exactly ONE cell and the bits+1
+    probe cells are distinct, so no candidate duplicates).  Returns
+    (vec_id, label, v, cell, query_id, qv, pcell)."""
     bits = multiprobe_cell_bits(corpus.count())
     sig = _mp_sign(corpus, bits)  # vec_id, label, v, cell
     qsig = _mp_sign(
@@ -2399,10 +2390,32 @@ def knn_label_multiprobe(
     probes = qsig.select(
         "query_id", "qv", F.explode(F.array(*flips)).alias("pcell")
     )
-    cand = sig.join(
+    return sig.join(
         probes,
         (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
     )
+
+
+def knn_label_multiprobe(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN k-NN majority-label classification — j10's release contract
+    (top-``k`` by exact cosine, majority vote, ties to the smaller
+    label, self-excluded) computed over the MULTIPROBE candidate set
+    (j57's derivation: 2^bits ≈ √N hyperplane cells, own cell +
+    Hamming-1 ring) instead of the exhaustive N×Q scan.
+
+    ``queries`` is (query_id, v); ``corpus`` is (vec_id, label, v).
+    Unlike ``_mp_probe`` (small fixed panels, broadcast probes), the
+    query side here can be a whole working table, so the candidate
+    join is a plain equality join on the probe cell — both sides
+    shuffle once by cell, cells are ~√N-balanced by construction, and
+    nothing is broadcast or all-pairs.  The recall contract is j57's:
+    a true neighbour further than Hamming-1 from the query's cell is
+    not a candidate."""
+    from pyspark.sql import Window
+
+    cand = _knn_label_candidates(queries, corpus)
     w_nn = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id")
     )
@@ -2494,6 +2507,167 @@ def _exact_cos_py(x, y) -> float:
     for t in range(len(y)):
         dy += y[t] * y[t]
     return d / (math.sqrt(dx) * math.sqrt(dy))
+
+
+_KNN_LABEL_EPS = 1e-9
+
+
+def knn_label_multiprobe_fast(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, eps: float = _KNN_LABEL_EPS
+) -> DataFrame:
+    """``knn_label_multiprobe``'s Arrow-reranked PERFORMANCE twin —
+    identical candidate derivation (shared ``_knn_label_candidates``,
+    so the twins cannot drift), but the per-candidate exact-cosine
+    fold + full per-query window sort is replaced by a numpy cosine
+    per Arrow batch with LOCAL top-k banding, and only the (provably
+    narrow) rank-k boundary is re-adjudicated with the bit-exact
+    sequential fold.  At the measured 20k-working-table decade the
+    interpreted fold over ~78-234M candidates is the wall (BASELINE.md
+    round 12); BLAS per batch is the same FLOPs at a fraction of the
+    constant, and the JVM-side windows see only (batches × ~k) rows
+    per query instead of every candidate.
+
+    Decision-identity argument, written down (the release is top-k SET
+    membership — j10's vote ignores order within the k):  let δ bound
+    |numpy SIMD cosine − sequential-fold cosine| per candidate (64-dim
+    float64: δ ≤ ~1e-13; ``eps`` = 1e-9 is 10⁴× wider).  Per batch we
+    keep every row with cos_np ≥ (batch k-th cos_np) − eps.  A row of
+    the GLOBAL fold top-k dropped locally would need k strictly-better
+    rows in its own batch (each > it by more than eps > 2δ, so better
+    under the fold too) — contradiction, so the global top-k and every
+    row within eps of the global k-th survive banding.  Globally, a
+    row with cos_np > kth_np + eps is IN under the fold (at most k−1
+    rows exceed kth_np at all); a row with cos_np < kth_np − eps is
+    OUT (the k rows at ≥ kth_np all beat it under the fold); only the
+    |cos_np − kth_np| ≤ eps band is undecided, and those rows re-join
+    the float64 vectors and are ranked by ``_exact_cos_py`` (the
+    bit-exact fold replica, the j44 cell_pairs precedent) with the
+    contract's vec_id tiebreak.  On organic embeddings the band is
+    ~empty (exact cosine ties require planted/duplicated vectors), so
+    the re-join prices at ~zero rows — no broadcast hint, AQE
+    broadcasts the band side.  Equality with the exact twin is pinned
+    in tests on an adversarial planted-tie corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    cand = _knn_label_candidates(queries, corpus)
+    label_t = cand.schema["label"].dataType.simpleString()
+
+    def band_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", q, m) / (
+                np.linalg.norm(q, axis=1) * np.linalg.norm(m, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cos": cos,
+                }
+            ).sort_values(
+                ["query_id", "cos", "vec_id"], ascending=[True, False, True]
+            )
+            grp = out.groupby("query_id", sort=False)
+            size = grp["cos"].transform("size").to_numpy()
+            rank = grp.cumcount().to_numpy()
+            kth_rows = out[rank == np.minimum(k - 1, size - 1)]
+            kth = out["query_id"].map(
+                kth_rows.set_index("query_id")["cos"]
+            ).to_numpy()
+            yield out[out["cos"].to_numpy() >= kth - eps]
+
+    local = cand.select("query_id", "vec_id", "label", "qv", "v").mapInPandas(
+        band_topk, f"query_id BIGINT, vec_id BIGINT, label {label_t}, cos DOUBLE"
+    )
+
+    wq = Window.partitionBy("query_id")
+    w_nn = wq.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    ranked = (
+        local.withColumn("rn", F.row_number().over(w_nn))
+        .withColumn("cnt", F.count(F.lit(1)).over(wq))
+        .withColumn(
+            "kth_cos",
+            F.max(
+                F.when(
+                    F.col("rn") == F.least(F.lit(k), F.col("cnt")), F.col("cos")
+                )
+            ).over(wq),
+        )
+        .localCheckpoint(eager=False)  # read twice: sure branch + boundary branch
+    )
+    sure = ranked.filter(F.col("cos") > F.col("kth_cos") + eps)
+    n_sure = sure.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_sure"))
+    boundary = ranked.filter(
+        (F.col("cos") >= F.col("kth_cos") - eps)
+        & (F.col("cos") <= F.col("kth_cos") + eps)
+    ).select("query_id", "vec_id", "label")
+
+    def fold64(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[["query_id", "vec_id", "label"]].copy()
+            out["cos_ex"] = [
+                _exact_cos_py(q, c) for q, c in zip(pdf["qv"], pdf["cv"])
+            ]
+            yield out
+
+    # The float64 boundary lookups carry NO broadcast hint: the band
+    # side is ~empty by construction, AQE broadcasts THAT (the
+    # pair_verify_f32_screen precedent).
+    adj = (
+        boundary.join(queries.select("query_id", F.col("v").alias("qv")), "query_id")
+        .join(corpus.select("vec_id", F.col("v").alias("cv")), "vec_id")
+        .mapInPandas(
+            fold64,
+            f"query_id BIGINT, vec_id BIGINT, label {label_t}, cos_ex DOUBLE",
+        )
+    )
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ex").desc(), F.col("vec_id")
+    )
+    band_kept = (
+        adj.join(n_sure, "query_id", "left")
+        .withColumn("rb", F.row_number().over(w_b))
+        .filter(F.col("rb") <= F.lit(k) - F.coalesce(F.col("n_sure"), F.lit(0)))
+        .select("query_id", "label")
+    )
+    topk = sure.select("query_id", "label").unionByName(band_kept)
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        topk.groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("r", F.row_number().over(w_win))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("label_pred"), "n_votes")
+    )
+
+
+@register("j64b_knn_label_ann_fast", oracle=_j64_oracle())
+def j64b_knn_label_ann_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j64b (extension): j64's Arrow-reranked twin as a gate-attested
+    query — the SAME [0,20) panel, candidate set and vote semantics,
+    computed by ``knn_label_multiprobe_fast`` (numpy batch cosine,
+    rank-k boundary re-adjudicated with the bit-exact fold), so it
+    carries j64's exhaustive oracle verbatim: the release is
+    decision-identical by the engine's written eps argument, and the
+    gate attests the fast path end-to-end (the j10b/j9d precedent)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return knn_label_multiprobe_fast(q, e, k=5)
 
 
 def _km_assign_arrow(corpus: DataFrame, cent_rows: list) -> DataFrame:

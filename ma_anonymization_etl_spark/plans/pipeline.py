@@ -234,7 +234,7 @@ def _step_semantic_dedup_drop(
 
 def _step_knn_label(
     df, aux, id_col="doc_id", vec_id_col="vec_id", vec_col="embedding",
-    label_col="label", k=5, out="knn_label",
+    label_col="label", k=5, out="knn_label", engine="exact",
 ):
     """Enrichment step: attach the majority label of each working
     row's ``k`` nearest labelled neighbours (exact cosine over the
@@ -246,9 +246,22 @@ def _step_knn_label(
     join — enrichment must not drop working rows).  DI safety: the
     route runner records ``out`` under ``label_col``'s declared role
     (cli._merged_columns_cfg) — a vote over a direct identifier is
-    still identifying, so such routes must cover ``out`` downstream."""
+    still identifying, so such routes must cover ``out`` downstream.
+    ``engine``: "exact" (default — the declarative fold) or "arrow"
+    (``knn_label_multiprobe_fast``, decision-identical by its written
+    eps argument; the knob for whole-multi-million-row working
+    tables, where the interpreted fold is the measured wall)."""
     from ma_anonymization_etl_spark.functions.vectors import as_double
-    from ma_anonymization_etl_spark.operators.similarity import knn_label_multiprobe
+    from ma_anonymization_etl_spark.operators.similarity import (
+        knn_label_multiprobe,
+        knn_label_multiprobe_fast,
+    )
+
+    if engine not in ("exact", "arrow"):
+        raise ValueError(f"knn_label: unknown engine {engine!r}")
+    label_engine = (
+        knn_label_multiprobe if engine == "exact" else knn_label_multiprobe_fast
+    )
 
     if out in df.columns:
         raise ValueError(
@@ -266,7 +279,7 @@ def _step_knn_label(
     queries = aux.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
     ).join(df.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
-    pred = knn_label_multiprobe(queries, corpus, k=k).select(
+    pred = label_engine(queries, corpus, k=k).select(
         F.col("query_id").alias(id_col), F.col("label_pred").alias(out)
     )
     return df.join(pred, id_col, "left")

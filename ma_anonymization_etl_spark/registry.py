@@ -89,6 +89,11 @@ DRIVER_WINDOW = [
     # window under their existing names: j56b/j56c (hashed composite
     # gram keys), j9d (float32-screen verify), j44b (Arrow partial-sum
     # recompute).
+    # Round-12 continuation: j64b (the Arrow-reranked knn_label twin,
+    # new this session) in; j64 out — attested green in r11, its vote
+    # semantics now ride the gate THROUGH the twin (same oracle,
+    # equality property-pinned) and the full-registry sim keeps the
+    # exact form checked.
     "p7b_cc_altstar",
     "j9d_sim_pair_lsh_fast",
     "j9e_pair_verify_boundary",
@@ -99,7 +104,7 @@ DRIVER_WINDOW = [
     "j62_cluster_canonical",
     "j63_mp_prebuilt_probe",
     "j63b_mp_prebuilt_reprobe",
-    "j64_knn_label_ann",
+    "j64b_knn_label_ann_fast",
     "i44_delta_presence",
     "i45_recursive_cl_diversity",
     "q11_token_js_divergence",

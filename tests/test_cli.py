@@ -703,6 +703,39 @@ def test_route_step_knn_label(spark):
     assert {r.topic_label for r in rows if r.doc_id == 7} == {direct}
 
 
+def test_route_step_knn_label_arrow_engine(spark):
+    """engine: "arrow" routes through knn_label_multiprobe_fast and
+    must produce the exact engine's enrichment verbatim (decision
+    identity); an unknown engine refuses loudly."""
+    import pytest
+
+    from ma_anonymization_etl_spark.plans.pipeline import anonymize_pipeline
+    from ma_anonymization_etl_spark.sources.io import load
+
+    docs = load(spark, SF_ORACLE, "documents").filter("doc_id < 40")
+    vecs = load(spark, SF_ORACLE, "embeddings")
+    exact = anonymize_pipeline(
+        docs,
+        [{"op": "knn_label", "aux": "vectors", "out": "topic_label"}],
+        tables={"vectors": vecs},
+    )
+    arrow = anonymize_pipeline(
+        docs,
+        [{"op": "knn_label", "aux": "vectors", "out": "topic_label",
+          "engine": "arrow"}],
+        tables={"vectors": vecs},
+    )
+    ea = sorted((r.doc_id, r.topic_label) for r in exact.collect())
+    aa = sorted((r.doc_id, r.topic_label) for r in arrow.collect())
+    assert ea == aa and len(ea) == docs.count()
+    with pytest.raises(ValueError, match="unknown engine"):
+        anonymize_pipeline(
+            docs,
+            [{"op": "knn_label", "aux": "vectors", "engine": "blas9000"}],
+            tables={"vectors": vecs},
+        ).collect()
+
+
 def test_route_step_knn_label_null_vector(spark):
     """ADVICE r11 regression: an aux row with a NULL embedding value
     is no evidence — it neither labels (corpus side) nor queries; its

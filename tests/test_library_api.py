@@ -107,6 +107,7 @@ DELEGATES = {
     "j9d_sim_pair_lsh_fast": "pair_verify_f32_screen",
     "j9e_pair_verify_boundary": "pair_verify_f32_screen",
     "j56d_dup_spans_multipass": "maximal_dup_spans_chars_multipass",
+    "j64b_knn_label_ann_fast": "knn_label_multiprobe_fast",
 }
 
 _ALL = registry.load_all()

@@ -57,6 +57,48 @@ def test_vectorized_knn_equals_fold_knn(spark):
     assert a == b and len(a) == 20
 
 
+def test_knn_label_fast_equals_exact_registered(spark):
+    """j64b (Arrow band + fold re-adjudication) must reproduce j64
+    (declarative fold) exactly on the registered [0,20) panel — same
+    predicted label and vote count per query."""
+    from ma_anonymization_etl_spark.registry import load_all
+
+    qs = load_all()
+    a = sorted(tuple(r) for r in qs["j64b_knn_label_ann_fast"].fn(spark, SF_ORACLE).collect())
+    b = sorted(tuple(r) for r in qs["j64_knn_label_ann"].fn(spark, SF_ORACLE).collect())
+    assert a == b and len(a) == 20
+
+
+def test_knn_label_fast_boundary_ties(spark):
+    """The fast twin's rank-k boundary discipline on an ADVERSARIAL
+    planted corpus: seven identical copies of the query direction
+    (exact cosine ties — membership at rank 5 decided purely by the
+    vec_id tiebreak) plus two scaled copies (colinear, so cosine
+    differs from 1.0 only in the last ulps — the SIMD-vs-fold near-tie
+    the eps band exists for).  All nine share the query's cell (equal
+    hyperplane signs), so all are candidates; the boundary branch
+    carries the whole band and must reproduce the exact engine's
+    release verbatim."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        knn_label_multiprobe,
+        knn_label_multiprobe_fast,
+    )
+
+    d = [((i * 37 + 11) % 19) / 7.0 - 1.3 for i in range(64)]
+    rows = [(i, 0 if i <= 2 else (1 if i <= 5 else 2), list(d)) for i in range(1, 8)]
+    rows.append((8, 2, [x * 2.0 for x in d]))
+    rows.append((9, 0, [x * 0.5 for x in d]))
+    corpus = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    queries = spark.createDataFrame([(1000, list(d))], "query_id long, v array<double>")
+    a = sorted(tuple(r) for r in knn_label_multiprobe_fast(queries, corpus, k=5).collect())
+    b = sorted(tuple(r) for r in knn_label_multiprobe(queries, corpus, k=5).collect())
+    # which of the nine makes rank 5 turns on last-ulp fold values (the
+    # scaled copies may round above or below cos(d,d)) — exactly the
+    # regime where only fold-replica adjudication keeps the twins
+    # identical, so the assertion IS the contract: verbatim equality.
+    assert a == b and len(a) == 1 and a[0][0] == 1000
+
+
 def test_j9b_lsh_prunes_and_recovers_all_pairs(spark):
     """j9b must (a) emit exactly the pairs the exhaustive join finds on
     the same derived corpus (recall 1.0 — its oracle also pins this vs
