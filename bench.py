@@ -99,6 +99,11 @@ HEADLINE = [
     "j56c_maximal_dup_spans_skewguard",
     "j60c_fuzzy_dedup_capped",
     "j64_knn_label_ann",
+    # round-12 addition (BASELINE.md round-12 continuation note): the
+    # Arrow-reranked knn_label twin next to its exact sibling — the
+    # j21/j10b precedent (the production path belongs in the headline;
+    # read the pair together).  Earlier subtotals stay comparable.
+    "j64b_knn_label_ann_fast",
 ]
 
 

@@ -295,6 +295,8 @@ ROUTE_STEP_CASES = [
     ({"op": "fuzzy_dedup_drop"}, "docs"),
     ({"op": "semantic_dedup_drop", "aux": "vectors"}, "docs"),
     ({"op": "knn_label", "aux": "vectors", "out": "topic_label"}, "docs"),
+    ({"op": "knn_label", "aux": "vectors", "out": "topic_label",
+      "engine": "arrow"}, "docs"),
     ({"op": "lang_filter", "keep_langs": ["en"]}, "docs"),
     ({"op": "repetition_filter"}, "docs"),
     ({"op": "split_assign"}, "docs"),
