@@ -2684,14 +2684,83 @@ def maximal_dup_spans_chars(
     return _spans_from_covered(covered, cgram, min_span)
 
 
+# Byte-rational pass derivation (the _J9B_BCAST_MAX_F32 discipline
+# applied to the multipass ExactSubstr footprint) — both constants are
+# MEASURED on-disk figures from the completed sf100 run (BASELINE
+# round 12: 2.8e9 occurrence rows; live gram shuffle ~17-20 GB per
+# P=4 pass -> ~26-28 compressed bytes/row; 36 GB of covered parquet
+# over a covered~=everything corpus -> ~14 bytes/row worst case):
+_J56D_OCC_SHUF_B = 28  # on-disk bytes per occurrence row in one pass's
+#                        lz4-compressed gram shuffle (map output + sort
+#                        spill, measured live per-pass volume)
+_J56D_COV_PARQ_B = 14  # bytes per covered row in the accumulated
+#                        parquet, at the covered==occ worst case — this
+#                        floor is IRREDUCIBLE by P (all covered rows
+#                        must exist before the island stage)
+_J56D_MAX_PASSES = 64  # past this, scan-pass cost dominates any
+#                        footprint win; a budget that derives more is
+#                        effectively too small for the corpus
+
+
+def derive_dup_span_passes(
+    docs: DataFrame,
+    disk_budget_bytes: int,
+    cgram: int = 20,
+    text_col: str = "text",
+) -> int:
+    """Derive the multipass ExactSubstr pass count from the corpus and
+    a local-disk budget, using the MEASURED sf100 byte constants.
+
+    Model: peak disk ~= (one gram range's shuffle) + (accumulated
+    covered parquet, worst case covered == every window) =
+    occ_rows * _J56D_OCC_SHUF_B / P  +  occ_rows * _J56D_COV_PARQ_B,
+    where occ_rows = sum(greatest(n_chars - cgram + 1, 1)) — the exact
+    window count ``_char_occ`` explodes.  Solving for the smallest P
+    that fits the budget:  P = ceil(occ_shuf / (budget - cov_floor)).
+
+    The covered-parquet floor is irreducible by P, so a budget below
+    it raises ``ValueError`` naming the floor — no pass count can make
+    the job fit, and a silent attempt would die mid-island exactly the
+    way the first sf100 attempt did (BASELINE round 12).  The one
+    corpus-stats aggregate collects a single scalar (driver-side
+    bounded, the repo-wide discipline)."""
+    import math
+
+    occ_rows = (
+        docs.agg(
+            F.sum(
+                F.greatest(
+                    F.length(F.lower(F.col(text_col))) - (cgram - 1),
+                    F.lit(1),
+                )
+            ).alias("occ")
+        ).collect()[0][0]
+        or 0
+    )
+    if occ_rows == 0:
+        return 1
+    cov_floor = occ_rows * _J56D_COV_PARQ_B
+    headroom = disk_budget_bytes - cov_floor
+    if headroom <= 0:
+        raise ValueError(
+            f"disk budget {disk_budget_bytes} B is below the "
+            f"irreducible covered-parquet floor ~{cov_floor} B for "
+            f"{occ_rows} windows; no pass count fits — raise the "
+            "budget or shrink the corpus"
+        )
+    p = math.ceil(occ_rows * _J56D_OCC_SHUF_B / headroom)
+    return max(1, min(p, _J56D_MAX_PASSES))
+
+
 def maximal_dup_spans_chars_multipass(
     docs: DataFrame,
     cgram: int = 20,
     min_span: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
-    passes: int = 4,
+    passes: int | str = 4,
     scratch: str | None = None,
+    disk_budget_bytes: int | None = None,
 ) -> DataFrame:
     """The ExactSubstr span inventory with BOUNDED PEAK SHUFFLE
     FOOTPRINT — the external-memory form of ``maximal_dup_spans_chars``
@@ -2723,12 +2792,33 @@ def maximal_dup_spans_chars_multipass(
     for footprint).
     Composite hashed keys are mandatory here (the range hash IS the
     shuffle key's first half); collision bound as in the single-pass
-    docstring."""
+    docstring.
+
+    ``passes="auto"`` derives the pass count byte-rationally from the
+    corpus and a disk budget (``disk_budget_bytes`` argument, else the
+    ``SPARK_GRAFT_DISK_BUDGET`` environment variable, in bytes) via
+    ``derive_dup_span_passes`` — the measured-constant model from the
+    completed sf100 run.  No silent default budget: guessing the disk
+    wrong defeats the entire point of the bounded form, so "auto"
+    without a budget raises ``ValueError``."""
     import os
     import shutil
 
     from ma_anonymization_etl_spark.sources.io import scratch_dir
 
+    if passes == "auto":
+        budget = disk_budget_bytes
+        if budget is None:
+            env = os.environ.get("SPARK_GRAFT_DISK_BUDGET")
+            budget = int(env) if env else None
+        if budget is None:
+            raise ValueError(
+                'passes="auto" needs disk_budget_bytes or the '
+                "SPARK_GRAFT_DISK_BUDGET environment variable (bytes)"
+            )
+        passes = derive_dup_span_passes(
+            docs, budget, cgram=cgram, text_col=text_col
+        )
     if passes < 2:
         return maximal_dup_spans_chars(
             docs, cgram=cgram, min_span=min_span,

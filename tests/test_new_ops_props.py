@@ -2299,6 +2299,94 @@ def test_j56d_multipass_bit_identical(spark):
         assert got == base, f"passes={passes} changed the release"
 
 
+def test_j56d_auto_passes_derivation(spark, monkeypatch):
+    """The byte-rational passes="auto" path (round-12 continuation):
+    the pass count must follow the written peak-disk model with the
+    MEASURED sf100 constants exactly, a budget below the irreducible
+    covered-parquet floor must raise (not die mid-island), and the
+    auto dispatch must release bit-identically to the explicit-int
+    path it derives."""
+    import math
+
+    import pytest as _pytest
+
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J56D_COV_PARQ_B,
+        _J56D_MAX_PASSES,
+        _J56D_OCC_SHUF_B,
+        derive_dup_span_passes,
+        maximal_dup_spans_chars,
+        maximal_dup_spans_chars_multipass,
+    )
+
+    lens = [100, 60, 19, 5, 300]  # per-doc greatest(n-19, 1) window counts
+    docs = [(i, "a" * n) for i, n in enumerate(lens)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    occ = sum(max(n - 19, 1) for n in lens)
+
+    # Exact model replay at a mid-sized budget.
+    budget = occ * _J56D_COV_PARQ_B + occ * _J56D_OCC_SHUF_B // 3
+    want = min(
+        max(
+            1,
+            math.ceil(
+                occ * _J56D_OCC_SHUF_B / (budget - occ * _J56D_COV_PARQ_B)
+            ),
+        ),
+        _J56D_MAX_PASSES,
+    )
+    assert derive_dup_span_passes(d, budget) == want
+    # A huge budget needs one pass; a budget 1 B over the floor caps.
+    assert derive_dup_span_passes(d, 10**15) == 1
+    assert (
+        derive_dup_span_passes(d, occ * _J56D_COV_PARQ_B + 1)
+        == _J56D_MAX_PASSES
+    )
+    # Below (or at) the irreducible floor: a clear error, not a job
+    # that dies mid-island.
+    with _pytest.raises(ValueError, match="floor"):
+        derive_dup_span_passes(d, occ * _J56D_COV_PARQ_B)
+
+    # Dispatch: "auto" without any budget is an explicit error ...
+    monkeypatch.delenv("SPARK_GRAFT_DISK_BUDGET", raising=False)
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_DISK_BUDGET"):
+        maximal_dup_spans_chars_multipass(d, passes="auto")
+
+    # ... and with a budget (here via the environment) the released
+    # spans are bit-identical to the single-pass referee, whichever P
+    # the model derives.
+    dup = spark.createDataFrame(
+        [(0, "x" * 30 + "q" * 40), (1, "x" * 30 + "z" * 45)],
+        "doc_id long, text string",
+    )
+
+    def release(df):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_len, r.n_grams_in_span)
+            for r in df.collect()
+        )
+
+    base = release(maximal_dup_spans_chars(dup, cgram=20, min_span=25))
+    # Four spans: the shared 30-char head per doc, plus each doc's
+    # single-character run (self-repeating windows count, >= 2 total).
+    assert len(base) == 4
+    monkeypatch.setenv("SPARK_GRAFT_DISK_BUDGET", str(10**15))
+    got_one = release(
+        maximal_dup_spans_chars_multipass(dup, cgram=20, min_span=25, passes="auto")
+    )
+    assert got_one == base  # derived P=1 -> single-pass delegate
+    tight = sum(max(n - 19, 1) for n in (70, 75)) * (
+        _J56D_COV_PARQ_B + _J56D_OCC_SHUF_B // 2
+    )
+    got_multi = release(
+        maximal_dup_spans_chars_multipass(
+            dup, cgram=20, min_span=25, passes="auto",
+            disk_budget_bytes=tight,
+        )
+    )
+    assert got_multi == base  # derived P>=2 -> bounded path, same release
+
+
 def test_km_recompute_arrow_bit_identical(spark):
     """The Arrow partial-sum centroid recompute (j44b constant cut,
     VERDICT r11 item 3) must produce BIT-IDENTICAL centroids to the
