@@ -181,6 +181,22 @@ SHOWCASE = [
         "sum-over-blocks C(df,2); the threshold Levenshtein costs "
         "O(tau x L) per candidate, and block keys df-cap at 100 TB",
     ),
+    (
+        "j64b_knn_label_ann_fast",
+        "cell-keyed EQUALITY candidate join (query probes x corpus "
+        "cells; a plain join both sides can shuffle on at scale — at "
+        "this tiny SF AQE chooses broadcast for the dim-sized sides, "
+        "which is exactly the adaptive behavior wanted) -> "
+        "MapInPandas/Arrow numpy scoring with local top-k banding -> "
+        "WindowGroupLimit per-query windows only over banded "
+        "survivors -> rank-k boundary re-join as a LeftOuter the "
+        "planner sizes",
+        "ANN labelling where the query side may be a whole working "
+        "table: candidates stay sqrt(N)-bucketed, the Arrow stage "
+        "sees batches (never a collected corpus), and the rank-k "
+        "boundary re-adjudication joins ~zero rows on organic "
+        "embeddings",
+    ),
 ]
 
 
