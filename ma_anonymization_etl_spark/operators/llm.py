@@ -2630,9 +2630,14 @@ def maximal_dup_spans_chars(
     occurrences pre-bucket on pmod(xxhash64(doc_id, pos), skew_salt),
     level 1 counts per (gram, bucket) — map-side partial agg restored,
     any reducer key holds <= 1/skew_salt of a hot gram — level 2 sums
-    the <= skew_salt partials per gram (tiny), and coverage joins back
-    on (gram, bucket) so even the join shuffle spreads a hot gram over
-    ``skew_salt`` tasks.  No single task ever sees a whole hot gram.
+    the <= skew_salt partials per gram as a gram-partitioned window
+    OVER THE PARTIAL TABLE (bounded: a partition holds <= skew_salt
+    one-row-per-bucket partials, never occurrences — round 12 folded
+    the former sum-then-join-back pair into this one window so the
+    occurrence explode runs twice, not three times), and coverage
+    joins back on (gram, bucket) so even the join shuffle spreads a
+    hot gram over ``skew_salt`` tasks.  No single task ever sees a
+    whole hot gram.
     The salt only routes rows; cnt >= 2 is computed over the exact
     global count, so the released spans are identical to the window
     form's (property-pinned on a planted 30 %-hot gram in tests).  The
@@ -2663,13 +2668,26 @@ def maximal_dup_spans_chars(
             "sb", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(skew_salt))
         )
         part = occ_s.groupBy(*gkey, "sb").agg(F.count(F.lit(1)).alias("c"))
-        dup = (
-            part.groupBy(*gkey)
-            .agg(F.sum("c").alias("cnt"))
+        # Level 2 as a WINDOW over the partial table (<= skew_salt rows
+        # per gram by construction — the salt bounds the partition, so
+        # this is NOT the occurrence-window hazard the guard removes).
+        # The round-11 form consumed `part` twice (a global-sum branch
+        # plus a join back), and Catalyst prunes each consumer
+        # differently, so ReuseExchange never fires and the occurrence
+        # explode ran THREE times — one whole explode + aggregation
+        # pipeline of the measured 1.4-3.5x guard price (VERDICT r11
+        # item 5 / NEXT h).  Folding level 2 into one window over the
+        # already-aggregated partials keeps the task bound and drops
+        # that pipeline: the explode now runs twice (once feeding the
+        # partial counts, once feeding the coverage join), the
+        # structural minimum without materializing occurrences.
+        dup_keyed = (
+            part.withColumn(
+                "cnt", F.sum("c").over(Window.partitionBy(*gkey))
+            )
             .filter(F.col("cnt") >= 2)
-            .select(*gkey)
+            .select(*gkey, "sb")
         )
-        dup_keyed = part.select(*gkey, "sb").join(dup, gkey)
         covered = occ_s.join(dup_keyed, gkey + ["sb"]).select(
             "doc_id", "n_chars", "pos"
         )
@@ -3108,6 +3126,15 @@ def fuzzy_dup_pairs(
             .filter(F.col("df") > block_df_cap)
             .select("kt", "k")
         )
+        # Materialize the hot set ONCE (round 12): the capped key table
+        # feeds BOTH sides of the candidate self-join, and without this
+        # each side re-derives the hot set from its own full key scan +
+        # groupBy (runtime plan: 4 Generate nodes, 2 of them this
+        # branch).  The hot set is tiny by construction (<= N/cap
+        # distinct keys), so the local checkpoint is a bounded driver-
+        # side job per call — recomputed every invocation, never cached
+        # across runs.
+        hot = hot.localCheckpoint(eager=True)
         key_rows = key_rows.join(F.broadcast(hot), ["kt", "k"], "left_anti")
     cand = (
         key_rows.alias("x")

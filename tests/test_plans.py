@@ -453,7 +453,18 @@ def test_j56c_skew_guard_plan_has_no_gram_window(spark):
     out = j56c_maximal_dup_spans_skewguard(spark, SF_ORACLE)
     assert not _global_windows(out), "global window in j56c"
     plan = plan_of(spark, "j56c_maximal_dup_spans_skewguard")
-    # Formatted plans name operators like "(12) Window".
+    # Formatted plans name operators like "(12) Window".  Two windows
+    # are expected: the doc-partitioned island numbering and the
+    # gram-partitioned level-2 sum over the PARTIAL table (round 12) —
+    # the latter is salt-bounded (<= skew_salt one-row-per-bucket
+    # partials per partition), not the occurrence-window hazard.
     n_windows = plan.count(") Window")
-    assert n_windows == 1, f"expected only the island window, got {n_windows}:\n{plan}"
+    assert n_windows == 2, (
+        f"expected island + partial-sum windows, got {n_windows}:\n{plan}"
+    )
     assert "partial_count" in plan, f"dup detection lost map-side partials:\n{plan}"
+    # The guard's cost contract (round 12): the occurrence explode runs
+    # exactly twice — partial counts + coverage join — never three
+    # times (the round-11 dual-consumer regression this test pins).
+    n_explodes = plan.count(") Generate")
+    assert n_explodes == 2, f"expected 2 occurrence explodes, got {n_explodes}:\n{plan}"
