@@ -670,6 +670,13 @@ def j9e_pair_verify_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nw", norm(F.col("w")))
         .filter(F.col("nw") > 1e-9)
         .withColumn("uw", F.transform("w", lambda x: x / F.col("nw")))
+        # Materialize the ~100-row Gram-Schmidt base ONCE (round 12):
+        # it feeds the corpus 3 times and the candidate set twice, and
+        # pair_verify_f32_screen then joins the corpus on 4 sides, so
+        # without this cut the planner re-analyzes (and the executor
+        # recomputes) the construction pipeline ~12x — measured 4.6 s
+        # of the query's ~9 s warm wall was that planning alone.
+        .localCheckpoint(eager=True)
     )
     corpus = j.select(F.col("i").alias("vec_id"), F.col("ua").alias("v"))
     cand = None
@@ -1184,7 +1191,7 @@ def _mp_sign(e: DataFrame, bits: int) -> DataFrame:
     ``cell`` (extra columns like a label ride through untouched)."""
     planes = _j57_planes()[:bits]
     bit_cols = [
-        F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0, 1).otherwise(0)
+        F.when(dot(F.col("v"), F.expr(sql_lit_f64_array(p))) > 0, 1).otherwise(0)
         for p in planes
     ]
     return e.select(
@@ -1739,7 +1746,7 @@ def j17_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     v = as_double(F.col("embedding"))
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0, "1").otherwise("0")
+        F.when(dot(v, F.expr(sql_lit_f64_array(p))) > 0, "1").otherwise("0")
         for p in planes
     ]
     return e.select("vec_id", F.concat(*bits).alias("bucket"))
@@ -2852,22 +2859,35 @@ _KMB_MAX_ROUNDS = 60  # observed need: 5-6 rounds at sf0.001/0.01, 35 at sf0.1
                       # (movement hits exactly 0 — an assignment fixpoint)
 
 
-def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
-    """Map-side argmax-cosine assignment against DRIVER-HELD centroids
-    (k x 64 doubles folded into the plan as literals) — no crossJoin, no
-    window, no shuffle: the shape a distributed Lloyd actually runs,
-    where centroids live on the driver between rounds and ship with the
-    task closure.  Ties go to the lower cluster id.
+def _sql_f64_lit(x: float) -> str:
+    """One double as exact SQL literal text: ``repr`` emits the shortest
+    round-trip decimal and the JVM's correctly-rounded parse recovers
+    the identical bits, so the parsed Literal equals ``F.lit(x)``."""
+    return repr(float(x)) + "D"
 
-    The argmax is LINEAR-SIZE in k: one struct(cosine_i, -cl_i) per
-    centroid, reduced by ``F.array_max`` (struct max = lexicographic:
-    highest cosine first, then highest -cl = LOWEST cluster id on an
-    exact tie — scan-order independent).  The round-6 version folded
-    ``F.when(cand.c > best.c, cand).otherwise(best)``, which references
-    the accumulated ``best`` twice per step, doubling the Catalyst
-    expression tree per centroid: size ~ 2^k x |candidate| killed the
-    driver JVM on 500 rows (VERDICT r6 item 1).  This shape is
-    O(k x |candidate|)."""
+
+def sql_lit_f64_array(xs) -> str:
+    """ARRAY<DOUBLE> literal as SQL text — ``F.expr`` of this is
+    bit-identical to ``F.array(*[F.lit(float(x)) for x in xs])`` (same
+    folded Literal, same non-nullable element type) at ~1/60 the
+    construction cost: ONE Py4J call instead of one per element.  The
+    per-element form was the measured driver-side wall of every
+    literal-centroid / literal-hyperplane builder (j43b: 0.65 s of a
+    0.95 s round was expression CONSTRUCTION — OPTIMIZATION_r12.md §10)."""
+    return "array(" + ",".join(_sql_f64_lit(x) for x in xs) + ")"
+
+
+def _sql_dot_text(a: str, b: str) -> str:
+    # functions.vectors.dot lowered to SQL text verbatim: same
+    # zip_with product, same 0.0D init, same sequential left fold.
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _km_assign_literal_cols(corpus: DataFrame, cents_py: list) -> DataFrame:
+    """The Column-API form of ``_km_assign_literal`` — kept as the
+    referee for the SQL-text twin's bit-parity pin (the j9b/j9d
+    pattern): the test asserts both forms assign every row identically
+    on real and adversarial centroids."""
     cands = [
         F.struct(
             cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in cent])).alias("c"),
@@ -2876,6 +2896,46 @@ def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
         for cl, cent in sorted(cents_py)
     ]
     return corpus.withColumn("cl", -F.array_max(F.array(*cands))["ncl"])
+
+
+def _km_assign_literal(corpus: DataFrame, cents_py: list) -> DataFrame:
+    """Map-side argmax-cosine assignment against DRIVER-HELD centroids
+    (k x 64 doubles folded into the plan as literals) — no crossJoin, no
+    window, no shuffle: the shape a distributed Lloyd actually runs,
+    where centroids live on the driver between rounds and ship with the
+    task closure.  Ties go to the lower cluster id.
+
+    The argmax is LINEAR-SIZE in k: one struct(cosine_i, -cl_i) per
+    centroid, reduced by ``array_max`` (struct max = lexicographic:
+    highest cosine first, then highest -cl = LOWEST cluster id on an
+    exact tie — scan-order independent).  The round-6 version folded
+    ``F.when(cand.c > best.c, cand).otherwise(best)``, which references
+    the accumulated ``best`` twice per step, doubling the Catalyst
+    expression tree per centroid: size ~ 2^k x |candidate| killed the
+    driver JVM on 500 rows (VERDICT r6 item 1).  This shape is
+    O(k x |candidate|).
+
+    The expression is built as ONE SQL string handed to ``F.expr``
+    (round 12): the per-element ``F.lit`` construction paid ~512 Py4J
+    round-trips per Lloyd round — 0.65 s of driver time per round on a
+    0.95 s round, the measured wall of the whole convergence loop at
+    gate SFs.  The string lowers to the identical expression tree
+    (cosine = the same zip_with/aggregate folds, struct max unchanged);
+    ``_km_assign_literal_cols`` stays as the referee and the bit-parity
+    is property-pinned on real and adversarial centroid values."""
+    cands = []
+    for cl, cent in sorted(cents_py):
+        c = sql_lit_f64_array(cent)
+        cos = (
+            f"({_sql_dot_text('v', c)} / "
+            f"(sqrt({_sql_dot_text('v', 'v')}) * sqrt({_sql_dot_text(c, c)})))"
+        )
+        cands.append(
+            f"named_struct('c', {cos}, 'ncl', CAST({-int(cl)} AS BIGINT))"
+        )
+    return corpus.withColumn(
+        "cl", F.expr(f"-(array_max(array({','.join(cands)})).ncl)")
+    )
 
 
 def kmeans_fit_converged(

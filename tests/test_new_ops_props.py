@@ -2754,3 +2754,59 @@ def test_j63_mp_prebuilt_index_reuse_and_equality(spark):
     sig3, bits3 = multiprobe_index_build(e, spark, SF_ORACLE)
     cold = {key(r) for r in multiprobe_probe(sig3, bits3, 3, 0, 10).collect()}
     assert cold == warm
+
+
+def test_km_assign_literal_sql_text_matches_column_api(spark):
+    """Round 12: _km_assign_literal builds its argmax expression as ONE
+    SQL string (the per-element F.lit construction was the measured
+    driver-side wall of the j43b convergence loop).  The string must
+    lower to the SAME decision as the Column-API referee — pinned here
+    row-for-row on (a) the real smoke corpus with its real first-k
+    seeds and (b) adversarial centroid values that stress the literal
+    round-trip: shortest-repr edge cases (denormal min, max double,
+    negative zero, 1e+16, a 17-digit non-terminating decimal) and an
+    exact-tie pair of identical centroids (ties must still break to
+    the LOWER cluster id through the SQL text's struct max)."""
+    from ma_anonymization_etl_spark.functions.vectors import as_double
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _km_assign_literal,
+        _km_assign_literal_cols,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    dims = len(e.first()["v"])
+    seeds = sorted(
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    )
+
+    def assert_same(cents):
+        got = {
+            r["vec_id"]: r["cl"] for r in _km_assign_literal(e, cents).collect()
+        }
+        ref = {
+            r["vec_id"]: r["cl"]
+            for r in _km_assign_literal_cols(e, cents).collect()
+        }
+        assert got == ref and len(got) == e.count()
+
+    assert_same(seeds)
+
+    base = [0.3] * dims  # repr('0.3') round-trips the classic 0.1-family double
+    adversarial = [
+        (0, [5e-324] + base[1:]),            # smallest denormal
+        (1, [1.7976931348623157e308] + [0.0] * (dims - 1)),  # max double
+        (2, [-0.0] + base[1:]),              # negative zero literal
+        (3, [1e16, -1e-16] + base[2:]),      # exponent forms both signs
+        (4, [0.1234567890123456789] + base[1:]),  # 17-digit repr
+        (5, base),                            # exact tie with cl=6 below:
+        (6, base),                            # must resolve to cl=5 everywhere
+        (7, [-x for x in base]),
+    ]
+    assert_same(adversarial)
+    # the planted exact tie really exercised the tie-break: no row may
+    # land on the duplicate's higher id
+    tied = _km_assign_literal(e, adversarial).filter(F.col("cl") == 6).count()
+    assert tied == 0
