@@ -120,6 +120,30 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _copurchase_pairs_sup2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min-support (>=2 distinct orders) co-purchase pair list,
+    checkpointed once per (applicationId, sf_dir) and shared by the
+    whole min-support family (p2/p4/p5/p7/p7b/p8) — the same
+    one-graph-build-per-snapshot discipline as ``_copurchase_edges``.
+    Measured motivation (round 12, sf0.1): the build — lineitem
+    self-join + countDistinct groupBy — costs ~4.4 s per invocation
+    while p7's propagation rounds cost ~0.5 s each, so every family
+    member was paying the family's dominant cost again.  Unlike the
+    unfiltered list this table is support-filtered and tiny (~3.9k
+    rows at sf0.1), so the default deserialized storage is fine."""
+    key = (spark.sparkContext.applicationId, sf_dir, "copurchase_pairs_sup2")
+    cached = _GRAPH_EDGES_CACHE.get(key)
+    if cached is None:
+        cached = cache_put(
+            _GRAPH_EDGES_CACHE,
+            key,
+            _copurchase_pairs(spark, sf_dir, min_support=2).localCheckpoint(
+                eager=True
+            ),
+        )
+    return cached
+
+
 def _p1_oracle() -> str:
     iters = []
     prev = "pr0"
@@ -252,9 +276,7 @@ def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the ordered-edge join (each triangle counted exactly once as
     u < v < w).  Wedge count comes from degrees (integer), clustering
     = 3·triangles / wedges."""
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).localCheckpoint(
-        eager=True
-    )
+    pairs = _copurchase_pairs_sup2(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("x"))
         .unionByName(pairs.select(F.col("v").alias("x")))
@@ -378,7 +400,7 @@ def p4_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the component loop is O(diameter) rounds of edge-join +
     groupBy-min over the (small) support edge set; the histogram is two
     tiny aggregates on top."""
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+    pairs = _copurchase_pairs_sup2(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     from ma_anonymization_etl_spark.operators.llm import connected_components
@@ -446,7 +468,10 @@ def p1b_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = ranks
         for _ in range(block):
             ranks = _pagerank_round(edges, deg, ranks, teleport)
-        ranks = ranks.localCheckpoint(eager=True)
+        # Lazy: the residual aggregate below joins every rank partition,
+        # so ONE job materializes the block's checkpoint and computes
+        # the residual (the connected_components round-merge).
+        ranks = ranks.localCheckpoint(eager=False)
         resid = (
             prev.select("u", F.col("r").alias("r0"))
             .join(ranks.select("u", "r"), "u")
@@ -512,7 +537,7 @@ def p5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     BECAUSE it replays)."""
     from pyspark.sql import Window
 
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2)
+    pairs = _copurchase_pairs_sup2(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
@@ -670,7 +695,7 @@ def p7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint on a real cluster."""
     from ma_anonymization_etl_spark.operators.llm import connected_components
 
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+    pairs = _copurchase_pairs_sup2(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     comp = connected_components(pairs)
@@ -716,7 +741,7 @@ def p7b_cc_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two engines on adversarial graphs, long chains included)."""
     from ma_anonymization_etl_spark.operators.llm import connected_components_altstar
 
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+    pairs = _copurchase_pairs_sup2(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     comp = connected_components_altstar(pairs)
@@ -768,7 +793,10 @@ def kcore(
             cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            # Lazy: the count() below materializes every partition in
+            # the same job (the connected_components round-merge) —
+            # one scheduler round-trip per peel instead of two.
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         n_nxt = nxt.count()
@@ -857,7 +885,7 @@ def p8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint).
 
     Delegates to ``kcore``."""
-    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).select(
+    pairs = _copurchase_pairs_sup2(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     stats: dict = {}

@@ -1134,8 +1134,14 @@ def connected_components(
                 (F.col("nc") < F.col("component")).alias("__chg"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__chg")).limit(1).count()
+        # Lazy checkpoint + FULL count: one job both materializes the
+        # round's label table (every partition — count() has no
+        # limit-style short-circuit, so nothing is left for
+        # doCheckpoint's supplemental job) and answers the convergence
+        # probe, where the eager-checkpoint + limit(1).count() pair
+        # paid a second scheduler round-trip per propagation round.
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         rounds += 1
         if changed == 0:
@@ -1200,6 +1206,7 @@ def connected_components_altstar(
     # it (they only ever hook a node to something strictly smaller
     # than one of its current neighbors or itself).
     cur = e.select(F.col("v").alias("hi"), F.col("u").alias("lo"))
+    n_cur = cur.count()  # carried across rounds (the kcore convention)
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -1229,19 +1236,25 @@ def connected_components_altstar(
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(nm.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # Lazy: the count() below materializes every partition in
+            # the same job (see connected_components — one scheduler
+            # round-trip per pass instead of two).
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         # Fixpoint ⇔ the (distinct, canonically oriented) edge set is
         # unchanged: equal cardinality + empty one-sided difference.
+        # The previous round's cardinality is CARRIED (n_cur), not
+        # recounted — it is deterministic and already paid for.
+        n_small = small.count()
         if (
-            small.count() == cur.count()
+            n_small == n_cur
             and small.subtract(cur).limit(1).count() == 0
         ):
             converged = True
             cur = small
             break
-        cur = small
+        cur, n_cur = small, n_small
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

@@ -2810,3 +2810,26 @@ def test_km_assign_literal_sql_text_matches_column_api(spark):
     # land on the duplicate's higher id
     tied = _km_assign_literal(e, adversarial).filter(F.col("cl") == 6).count()
     assert tied == 0
+
+
+def test_copurchase_sup2_cache_shared_and_exact(spark):
+    """Round 12: the min-support co-purchase pair list is built ONCE per
+    (applicationId, sf_dir) and shared by p2/p4/p5/p7/p7b/p8 — a second
+    call must return the SAME checkpointed DataFrame (no rebuild of the
+    lineitem self-join), and the cached rows must equal the uncached
+    computation exactly (the cache may never change values)."""
+    from ma_anonymization_etl_spark.operators.graph import (
+        _copurchase_pairs,
+        _copurchase_pairs_sup2,
+    )
+
+    first = _copurchase_pairs_sup2(spark, SF_SMOKE)
+    second = _copurchase_pairs_sup2(spark, SF_SMOKE)
+    assert first is second, "sup2 pair list rebuilt on the second call"
+
+    cached = {(r.u, r.v) for r in first.collect()}
+    fresh = {
+        (r.u, r.v)
+        for r in _copurchase_pairs(spark, SF_SMOKE, min_support=2).collect()
+    }
+    assert cached == fresh and len(cached) > 0
