@@ -468,3 +468,20 @@ def test_j56c_skew_guard_plan_has_no_gram_window(spark):
     # times (the round-11 dual-consumer regression this test pins).
     n_explodes = plan.count(") Generate")
     assert n_explodes == 2, f"expected 2 occurrence explodes, got {n_explodes}:\n{plan}"
+
+
+def test_j53_batch_side_reads_checkpoint_not_rescans(spark):
+    """Round 12: j53's batch shingle table is materialized once
+    (repartition + eager localCheckpoint) and its three consumers (band
+    index build, exact-verify join, released-id projection) read the
+    checkpointed RDD — without the cut each consumer re-ran the
+    documents scan + text munging + shingling.  Guard: the released
+    plan carries at most 3 parquet scans (the session-cached corpus
+    lineage), not the 15 of the rescan form."""
+    tree = plan_of(spark, "j53_incremental_dedup")
+    n_scans = tree.count("Scan parquet")
+    assert n_scans <= 3, (
+        f"j53 plan re-grew to {n_scans} parquet scans — the batch-side "
+        "checkpoint stopped covering its consumers"
+    )
+    assert "ExistingRDD" in tree or "Scan ExistingRDD" in tree
