@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ma_anonymization_etl_spark.operators.session_cache import cache_put, register_cache
 from ma_anonymization_etl_spark.registry import register
-from ma_anonymization_etl_spark.sources.io import load
+from ma_anonymization_etl_spark.sources.io import load, spread_small_scan
 
 # ---------------------------------------------------------------------------
 # Shared text expressions
@@ -2369,7 +2369,7 @@ def j32b_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.reverse(ws)),
         ).alias("text"),
     )
-    return substring_dedup_release(d.unionByName(twin), ngram=8)
+    return substring_dedup_release(spread_small_scan(d.unionByName(twin)), ngram=8)
 
 
 def maximal_dup_spans(
@@ -2517,7 +2517,12 @@ def j56_maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.reverse(ws)),
         ).alias("text"),
     )
-    return maximal_dup_spans(d.unionByName(twin), ngram=8, min_span=12)
+    # Single-file corpus => 1-2 scan splits; the gram explode is the
+    # CPU wall (guide §2.5 input skew) — spread before it (no-op on
+    # multi-split inputs).
+    return maximal_dup_spans(
+        spread_small_scan(d.unionByName(twin)), ngram=8, min_span=12
+    )
 
 
 def _char_occ(
@@ -2958,7 +2963,11 @@ def j56b_maximal_dup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 100), F.lit(" "), F.reverse(F.col("text"))
         ).alias("text"),
     )
-    return maximal_dup_spans_chars(d.unionByName(twin), cgram=20, min_span=50)
+    # Spread the 1-2-split planted corpus before the char-window
+    # explode (guide §2.5; measured −52 % at sf0.1, no-op at scale).
+    return maximal_dup_spans_chars(
+        spread_small_scan(d.unionByName(twin)), cgram=20, min_span=50
+    )
 
 
 # j56c's planted corpus is the ADVERSARIAL shape the window form is
@@ -3011,7 +3020,9 @@ def j56c_maximal_dup_spans_skewguard(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id",
         F.concat(F.lower(F.col("text")), F.lit(_J56C_FOOTER)).alias("text"),
     )
-    return maximal_dup_spans_chars(d, cgram=20, min_span=50, skew_salt=32)
+    return maximal_dup_spans_chars(
+        spread_small_scan(d), cgram=20, min_span=50, skew_salt=32
+    )
 
 
 # j56d shares j56b's oracle VERBATIM (identical twin corpus, identical
@@ -3039,7 +3050,7 @@ def j56d_dup_spans_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return maximal_dup_spans_chars_multipass(
-        d.unionByName(twin), cgram=20, min_span=50, passes=4
+        spread_small_scan(d.unionByName(twin)), cgram=20, min_span=50, passes=4
     )
 
 

@@ -2134,7 +2134,12 @@ def _km_fit(corpus: DataFrame, k: int = _KM_K):
     """Run the deterministic Lloyd loop; returns (final_assign, cents).
     The corpus is checkpointed on entry: three assignments and two
     recomputes would otherwise each re-derive its full lineage (for
-    j44 that is load + cast + sin-perturbation + union, ~5 times)."""
+    j44 that is load + cast + sin-perturbation + union, ~5 times).
+    NOT spread (io.spread_small_scan was measured a LOSS here, round
+    12): the Lloyd loop runs many small rounds, so widening a tiny
+    checkpointed corpus to session parallelism multiplies per-round
+    task launches — j43b regressed ~23 to ~35 s at sf0.1.  The spread
+    guard is for one-shot CPU-heavy map stages, not iterative loops."""
     corpus = corpus.localCheckpoint(eager=True)
     # Seeds = the k LOWEST SURVIVING vec_ids (TakeOrderedAndProject —
     # per-partition top-k, driver merge of k rows).  On the registered
@@ -2803,7 +2808,9 @@ def _km_fit_arrow(corpus: DataFrame, k: int = _KM_K):
     referee twin on j44's path), centroids collected to the driver
     between rounds (k×64 doubles — the classic distributed-Lloyd
     layout; at k ~ 1e6 this becomes a broadcast variable, same
-    shape)."""
+    shape).  NOT spread — same measured reason as ``_km_fit``
+    (iterative rounds over a tiny checkpointed corpus are
+    task-launch-bound, not CPU-bound)."""
     corpus = corpus.localCheckpoint(eager=True)
     # k lowest SURVIVING vec_ids, same seeding rule (and rationale) as
     # _km_fit — identical to `vec_id < k` on the contiguous registered

@@ -134,6 +134,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Input-parallelism guard (optimization guide §2.5, "input skew"):
+    the shipped test tables are single-file, single-row-group parquet,
+    so a corpus scan plans as ONE split and every CPU-heavy per-row map
+    stage that follows (gram explode + hash, shingle minhash, Arrow
+    matmul) serializes on one core regardless of session width — the
+    unsplittable-input shape the guide says to repartition immediately
+    after the read.  When the planned scan parallelism is below the
+    session default, spread rows round-robin (deterministic under task
+    retry: sort-before-repartition is on by default) BEFORE the heavy
+    stage; on multi-split production inputs the guard returns the frame
+    unchanged — no exchange is added at scale.  Apply only where a
+    measurement shows the map stage is the wall: the repartition moves
+    the raw rows once, which is noise for a corpus this size but would
+    be a full-corpus shuffle if a production scan ever hit the branch
+    (it cannot, by the guard).  Values never depend on placement — the
+    engines are partition-agnostic by construction (oracle-replayable,
+    no spark_partition_id / monotonically_increasing_id anywhere)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType | str,
              header: bool = True, **options) -> DataFrame:
     """a2: CSV ingestion with an explicit schema (never inferSchema on
