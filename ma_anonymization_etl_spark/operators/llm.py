@@ -6355,14 +6355,16 @@ def j53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2.0 s of the 5.3 s invocation at sf0.1).  Repartition first: a
     # per-ingest batch is file-bound to 1-2 scan partitions here while
     # the downstream banding (md5 per shingle x perms) is the CPU-heavy
-    # stage, so spread it across the session's parallelism — the value is
-    # the core count, never a local constant.  Eager, not lazy: the band
+    # stage, so spread it across the session's parallelism via the
+    # guarded spread_small_scan — a no-op when the batch already plans
+    # wider than the session (a production-scale batch must not be
+    # shuffled DOWN to defaultParallelism).  Eager, not lazy: the band
     # and verify branches run in ONE job, and a lazy checkpoint lets both
     # branches race to compute the partitions before either caches them
     # (measured: eager 3.6 s, lazy 4.1 s, none 5.3 s).  Recomputed every
     # invocation — this is a within-query cut, not a cross-run cache.
     batch_sh = (
-        batch.repartition(spark.sparkContext.defaultParallelism)
+        spread_small_scan(batch)
         .select("doc_id", word_shingles("text", 3).alias("shingles"))
         .localCheckpoint(eager=True)
     )

@@ -151,7 +151,14 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     be a full-corpus shuffle if a production scan ever hit the branch
     (it cannot, by the guard).  Values never depend on placement — the
     engines are partition-agnostic by construction (oracle-replayable,
-    no spark_partition_id / monotonically_increasing_id anywhere)."""
+    no spark_partition_id / monotonically_increasing_id anywhere).
+
+    Known, accepted cost (ADVICE r12): ``df.rdd.getNumPartitions()``
+    analyzes and physically plans the frame a second time to read the
+    split count — a driver-side planning cost per guarded call, paid
+    deliberately because the guarded frames here are narrow scan+union
+    pipelines whose planning is milliseconds; do not wrap frames with
+    expensive analysis (wide unions, deep plans) in this guard."""
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)

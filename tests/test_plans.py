@@ -475,13 +475,22 @@ def test_j53_batch_side_reads_checkpoint_not_rescans(spark):
     (repartition + eager localCheckpoint) and its three consumers (band
     index build, exact-verify join, released-id projection) read the
     checkpointed RDD — without the cut each consumer re-ran the
-    documents scan + text munging + shingling.  Guard: the released
-    plan carries at most 3 parquet scans (the session-cached corpus
-    lineage), not the 15 of the rescan form."""
+    documents scan + text munging + shingling.
+
+    Round 13 (VERDICT r12 item 1): the original ``<= 3`` parquet-scan
+    bound was session-cache-state dependent — the persisted corpus band
+    index prints one extra ``Scan parquet`` in its InMemoryRelation
+    lineage when the session cache is cold (the driver's runner saw 4,
+    a warm capture 3).  The guard is now the structural property (the
+    batch subtree is a checkpointed RDD, so ``Scan ExistingRDD``
+    appears) plus a cache-state-independent bound: the rescan form
+    carried 15 scans; cold-or-warm the checkpointed form carries <= 4."""
     tree = plan_of(spark, "j53_incremental_dedup")
     n_scans = tree.count("Scan parquet")
-    assert n_scans <= 3, (
+    assert n_scans <= 4, (
         f"j53 plan re-grew to {n_scans} parquet scans — the batch-side "
         "checkpoint stopped covering its consumers"
     )
-    assert "ExistingRDD" in tree or "Scan ExistingRDD" in tree
+    assert "Scan ExistingRDD" in tree, (
+        "j53 batch side no longer reads the checkpointed RDD"
+    )
