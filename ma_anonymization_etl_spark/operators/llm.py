@@ -4760,6 +4760,7 @@ def _ordered_tokens(
     id_col: str,
     tok_col: str,
     assume_distinct: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Normalize+distinct the (doc_id, tok) table and build the per-doc
     GLOBAL-ORDER token array: every doc's tokens sorted by (document
@@ -4776,7 +4777,17 @@ def _ordered_tokens(
     j43b lesson's cousin), and Catalyst already reuses the distinct's
     Exchange across branches.  On a real cluster, checkpoint the
     token table BEFORE calling when upstream tokenization is
-    expensive."""
+    expensive.
+
+    ``materialize=True`` (round 13) eagerly localCheckpoints per_doc:
+    the exact-join engines consume it from THREE branches (prefix
+    explode + both verify lookups), and the round-13 stage profile
+    measured the un-cut form paying the df-join + per-doc groupBy once
+    per branch with heavy block-read contention at 32 concurrent
+    tasks (runTime 24 s vs 2-3 s CPU per branch).  Within-query cut,
+    recomputed per invocation — never a cross-run cache.  Leave False
+    on single-consumer paths (the routing estimate), where an eager
+    materialization of a corpus-sized table buys nothing."""
     toks = toks.select(F.col(id_col).alias("doc_id"), F.col(tok_col).alias("tok"))
     if not assume_distinct:
         toks = toks.distinct()
@@ -4789,7 +4800,47 @@ def _ordered_tokens(
             F.count(F.lit(1)).alias("sz"),
         )
     )
+    if materialize:
+        per_doc = per_doc.localCheckpoint(eager=True)
     return toks, per_doc
+
+
+def _explode_prefix(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Explode ``per_doc``'s global-order arrays to the per-doc PREFIX
+    rows (doc_id, sz, pos, tok, df) — each doc's first
+    |t| − ⌈threshold·|t|⌉ + 1 (i.e., RAREST) tokens."""
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p0", "p"),
+    ).select(
+        "doc_id",
+        "sz",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("p.tok").alias("tok"),
+        F.col("p.df").alias("df"),
+    )
+
+
+def _hashed_token_arrays(per_doc: DataFrame) -> DataFrame:
+    """Verify-lookup table (doc_id, ts ARRAY<BIGINT>) with each token
+    replaced by its xxhash64 — the j56b hashed-key discipline applied
+    to the exact-verify payload (guide §2.3, shuffle fewer bytes).
+
+    Why sound: per-doc token sets are distinct, xxhash64 is a fixed
+    deterministic function, so |hash(A) ∩ hash(B)| == |A ∩ B| unless
+    two DISTINCT tokens in A ∪ B collide in 64 bits.  For |A∪B| ≤ 2^k
+    tokens the per-pair bound is C(2^k, 2)·2⁻⁶⁴; at this family's
+    shapes (|A∪B| ~ 10²) that is ~3e-16 per pair, ~2e-10 per 10⁶
+    candidates per run — the j56b-style written trade (failure mode:
+    one intersection count off by one).  Property-pinned bit-identical
+    to the string-array verify on the gate corpora in
+    tests/test_new_ops_props.py."""
+    return per_doc.select(
+        "doc_id",
+        F.transform("ord_toks", lambda s: F.xxhash64(s["tok"])).alias("ts"),
+    )
 
 
 def _prefix_index(
@@ -4809,19 +4860,7 @@ def _prefix_index(
     ``df`` rides along so the capped containment contract can filter
     without another frequency join."""
     toks, per_doc = _ordered_tokens(toks, id_col, tok_col, assume_distinct)
-    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    prefix = per_doc.select(
-        "doc_id",
-        "sz",
-        F.posexplode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p0", "p"),
-    ).select(
-        "doc_id",
-        "sz",
-        (F.col("p0") + 1).alias("pos"),
-        F.col("p.tok").alias("tok"),
-        F.col("p.df").alias("df"),
-    )
-    return toks, prefix
+    return toks, _explode_prefix(per_doc, threshold)
 
 
 def _ssj_candidates(
@@ -4832,6 +4871,7 @@ def _ssj_candidates(
     positional: bool = True,
     assume_distinct: bool = False,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    per_doc: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-3 of ``set_similarity_join``, exposed so the PPJoin
     positional filter's candidate-volume reduction is testable (and so
@@ -4855,9 +4895,14 @@ def _ssj_candidates(
     ``prebuilt`` short-circuits the index build with an already-derived
     (toks, prefix) pair — the router passes the (persisted) index its
     estimate pass materialized, so one routed call builds the prefix
-    index once (VERDICT r9 item 4)."""
+    index once (VERDICT r9 item 4).  ``per_doc`` (round 13) instead
+    derives the prefix from an already-materialized global-order table
+    so the caller can share one ``_ordered_tokens`` build with its
+    verify lookups."""
     if prebuilt is not None:
         toks, prefix = prebuilt
+    elif per_doc is not None:
+        prefix = _explode_prefix(per_doc, tau)
     else:
         toks, prefix = _prefix_index(toks, tau, id_col, tok_col, assume_distinct)
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -4933,11 +4978,32 @@ def set_similarity_join(
     small for rare tokens, shrunk further by the positional bound
     (measured on the sf0.01 planted corpus in
     tests/test_new_ops_props.py: strictly fewer candidates, identical
-    final pairs)."""
-    toks, cand = _ssj_candidates(
-        toks, tau, id_col, tok_col, positional, assume_distinct, prebuilt
-    )
-    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("tok")).alias("ts"))
+    final pairs).
+
+    Round-13 verify shape (guide §2.3/§5): outside the router path the
+    global-order table is built ONCE (eager localCheckpoint inside
+    ``_ordered_tokens``) and feeds prefix explode + BOTH verify
+    lookups — the profiled un-cut form recomputed the df-join +
+    per-doc groupBy per branch; and the verify arrays ship xxhash64
+    tokens (ARRAY<BIGINT>), cutting the candidate-join payload ~3×
+    and the per-pair intersect to integer compares
+    (``_hashed_token_arrays`` has the written collision bound)."""
+    if prebuilt is not None:
+        toks, cand = _ssj_candidates(
+            toks, tau, id_col, tok_col, positional, assume_distinct, prebuilt
+        )
+        # prebuilt toks is already normalized to (doc_id, tok)
+        arrs = toks.groupBy("doc_id").agg(
+            F.collect_list(F.xxhash64("tok")).alias("ts")
+        )
+    else:
+        toks, per_doc = _ordered_tokens(
+            toks, id_col, tok_col, assume_distinct, materialize=True
+        )
+        toks, cand = _ssj_candidates(
+            toks, tau, "doc_id", "tok", positional, True, per_doc=per_doc
+        )
+        arrs = _hashed_token_arrays(per_doc)
     inter = (
         cand.join(
             arrs.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("a_ts")),
@@ -5419,6 +5485,7 @@ def _containment_candidates(
     assume_distinct: bool = False,
     positional: bool = True,
     df_cap: int | None = None,
+    per_doc: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate stage of ``containment_join``, exposed (like
     ``_ssj_candidates``) so the positional/length filters' and the
@@ -5458,20 +5525,16 @@ def _containment_candidates(
     That is a CONTRACT CHANGE, not an optimization: registered capped
     queries replay the cap structurally in their oracle (the j3
     band-replay pattern) rather than claiming the exhaustive pair
-    set."""
-    toks, per_doc = _ordered_tokens(toks, id_col, tok_col, assume_distinct)
-    pref_len = (F.col("sz") - F.ceil(F.lit(c) * F.col("sz")) + 1).cast("int")
-    prefix = per_doc.select(
-        "doc_id",
-        "sz",
-        F.posexplode(F.slice("ord_toks", F.lit(1), pref_len)).alias("p0", "p"),
-    ).select(
-        "doc_id",
-        "sz",
-        (F.col("p0") + 1).alias("pos"),
-        F.col("p.tok").alias("tok"),
-        F.col("p.df").alias("df"),
-    )
+    set.
+
+    ``per_doc`` (round 13): an already-materialized global-order table
+    to share with the caller's verify lookups (the
+    ``set_similarity_join`` discipline).  The full position-annotated
+    table is exploded ONCE and the prefix is a pos-filter of it —
+    identical rows to the former slice-then-explode (the slice IS the
+    pos ≤ pref_len down-set), one fewer Generate subtree."""
+    if per_doc is None:
+        toks, per_doc = _ordered_tokens(toks, id_col, tok_col, assume_distinct)
     # Positions are assigned in the UNCAPPED global order (the cap must
     # not shift positions, or the positional bound loses its meaning).
     full = per_doc.select(
@@ -5485,6 +5548,8 @@ def _containment_candidates(
         F.col("p.tok").alias("tok"),
         F.col("p.df").alias("df"),
     )
+    pref_len = F.col("sz") - F.ceil(F.lit(c) * F.col("sz")) + 1
+    prefix = full.filter(F.col("pos") <= pref_len)
     if df_cap is not None:
         prefix = prefix.filter(F.col("df") <= int(df_cap))
         full = full.filter(F.col("df") <= int(df_cap))
@@ -5556,11 +5621,17 @@ def containment_join(
     both sides — an EXPLICIT RECALL CONTRACT (pairs whose first
     common token is sub-cap), not an optimization; see
     ``_containment_candidates``.  Verification always uses the
-    uncapped lists."""
-    toks, cand = _containment_candidates(
-        toks, c, id_col, tok_col, assume_distinct, positional, df_cap
+    uncapped lists (hashed to ARRAY<BIGINT> — the round-13
+    ``_hashed_token_arrays`` trade, bound written there) and reads the
+    same eagerly-materialized global-order table as candidate
+    generation (one ``_ordered_tokens`` build per call)."""
+    toks, per_doc = _ordered_tokens(
+        toks, id_col, tok_col, assume_distinct, materialize=True
     )
-    arrs = toks.groupBy("doc_id").agg(F.array_sort(F.collect_list("tok")).alias("ts"))
+    toks, cand = _containment_candidates(
+        toks, c, "doc_id", "tok", True, positional, df_cap, per_doc=per_doc
+    )
+    arrs = _hashed_token_arrays(per_doc)
     inter = (
         cand.join(
             arrs.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("a_ts")),

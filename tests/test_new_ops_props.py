@@ -951,6 +951,75 @@ def test_j50_positional_filter_shrinks_candidates_same_pairs(spark):
     assert got_pos == got_plain and got_pos
 
 
+def test_j50_hashed_verify_equals_string_verify(spark):
+    """Round 13: the exact-verify arrays ship xxhash64 tokens instead
+    of strings (guide §2.3; collision bound written at
+    ``_hashed_token_arrays``).  Pin the released (a_id, b_id, jaccard)
+    sets bit-identical to a string-array reference verify over the
+    same candidates, for BOTH the jaccard and the containment engines,
+    on the planted smoke corpus."""
+    from ma_anonymization_etl_spark.operators.llm import (
+        _J50_TAU,
+        _containment_candidates,
+        _ordered_tokens,
+        _ssj_candidates,
+        containment_join,
+        set_similarity_join,
+        word_shingles,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    toks = (
+        d.unionByName(pert)
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("tok"))
+        .distinct()
+    )
+    # reference: string-array verify over the same candidate stage
+    toks_n, per_doc = _ordered_tokens(toks, "doc_id", "tok", True)
+    arrs = toks_n.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("ts")
+    )
+
+    def ref_release(cand, jaccard):
+        inter = (
+            cand.join(
+                arrs.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("a_ts")),
+                "a_id",
+            )
+            .join(
+                arrs.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("b_ts")),
+                "b_id",
+            )
+            .withColumn("i", F.size(F.array_intersect("a_ts", "b_ts")))
+        )
+        if jaccard:
+            val = F.col("i") / (F.col("a_sz") + F.col("b_sz") - F.col("i"))
+            tau = _J50_TAU
+        else:
+            val = F.col("i") / F.col("a_sz")
+            tau = 0.9
+        return {
+            (r[0], r[1], r[2])
+            for r in inter.filter(val >= tau)
+            .select("a_id", "b_id", F.round(val, 6))
+            .collect()
+        }
+
+    _, cand_j = _ssj_candidates(toks, _J50_TAU, per_doc=per_doc)
+    got_j = {
+        tuple(r) for r in set_similarity_join(toks, _J50_TAU).collect()
+    }
+    assert got_j == ref_release(cand_j, jaccard=True) and got_j
+
+    _, cand_c = _containment_candidates(toks, 0.9, per_doc=per_doc)
+    got_c = {tuple(r) for r in containment_join(toks, 0.9).collect()}
+    assert got_c == ref_release(cand_c, jaccard=False) and got_c
+
+
 def test_f6_skyline_dominance_is_exact(spark):
     """Nothing returned is dominated; everything not returned is
     dominated by something returned (checked exhaustively driver-side
