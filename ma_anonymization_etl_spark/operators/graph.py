@@ -110,12 +110,26 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _GRAPH_EDGES_CACHE.get(key)
     if cached is None:
         pairs = _copurchase_pairs(spark, sf_dir)
+        sym = pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # Round 13 (guide §2.4/§3.3, and this module's own 100 TB note):
+        # hash-partition the checkpoint by the join key.  localCheckpoint
+        # preserves the plan's output partitioning on the LogicalRDD, so
+        # every iterative consumer (p1/p1b rank joins, p3 frontier joins,
+        # the per-round degree groupBy) co-partitions against it and each
+        # round pays ONE exchange (the v-keyed transpose) instead of
+        # three.  Partition count comes from the session's shuffle
+        # setting (env-driven, AQE-coalescible) — never a local constant.
+        # Skew note: a hot node's edges share a partition; this corpus is
+        # near-regular (module header), and at 100 TB the salting split
+        # in guide §2.5 applies before this checkpoint.
         cached = cache_put(
             _GRAPH_EDGES_CACHE,
             key,
-            pairs.unionByName(
-                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY),
+            sym.repartition("u").localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            ),
         )
     return cached
 
