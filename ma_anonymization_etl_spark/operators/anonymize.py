@@ -469,24 +469,45 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
         if not best:
             break
         live = [c for pid in best for c in (pid * 2 + 1, pid * 2 + 2)]
-        split_df = out.sparkSession.createDataFrame(
-            [(pid, d, m) for pid, (_, d, m) in best.items()],
-            "mondrian_pid LONG, __dim STRING, __med DOUBLE",
+        # Round 13: the split decisions are applied as FOLDABLE MAP
+        # LITERALS (pid -> med, pid -> dim) instead of a broadcast join
+        # against a createDataFrame table.  The profiled join form
+        # paid, per level, a defaultParallelism-task Python-deserialize
+        # job just to build the broadcast (createDataFrame of a driver
+        # list parallelizes it), plus the BroadcastExchange and the
+        # join itself — all to look up <= |live pids| (dim, med) pairs
+        # the driver already holds.  create_map over literals constant-
+        # folds to one MapData literal, so the projection's expression
+        # tree stays O(|qis|) at every depth (a flat WHEN chain was
+        # tried first and blew up codegen at deep levels: i22's level-9
+        # ~300-branch CASE tripled its wall).  Lookup semantics mirror
+        # the join exactly: element_at yields NULL for non-splitting
+        # pids, which keeps their pid unchanged.
+        pid = F.col("mondrian_pid")
+        med_map = F.create_map(
+            *[
+                x
+                for p, (_, _d, m) in best.items()
+                for x in (F.lit(p).cast("long"), F.lit(float(m)))
+            ]
         )
+        dim_map = F.create_map(
+            *[
+                x
+                for p, (_, d, _m) in best.items()
+                for x in (F.lit(p).cast("long"), F.lit(d))
+            ]
+        )
+        med = F.element_at(med_map, pid)
+        dim = F.element_at(dim_map, pid)
         gt = F.lit(False)
         for q in qis:
-            gt = gt | (
-                (F.col("__dim") == q) & (F.col(q).cast("double") > F.col("__med"))
-            )
-        out = (
-            out.join(F.broadcast(split_df), on="mondrian_pid", how="left")
-            .withColumn(
-                "mondrian_pid",
-                F.when(F.col("__dim").isNotNull() & gt, F.col("mondrian_pid") * 2 + 2)
-                .when(F.col("__dim").isNotNull(), F.col("mondrian_pid") * 2 + 1)
-                .otherwise(F.col("mondrian_pid")),
-            )
-            .drop("__dim", "__med")
+            gt = gt | ((dim == q) & (F.col(q).cast("double") > med))
+        out = out.withColumn(
+            "mondrian_pid",
+            F.when(dim.isNotNull() & gt, pid * 2 + 2)
+            .when(dim.isNotNull(), pid * 2 + 1)
+            .otherwise(pid),
         )
         # Iterative algorithm: truncate the lineage each level, or every
         # later collect recomputes the whole join chain from the scan
@@ -498,13 +519,15 @@ def mondrian_kanon(df: DataFrame, qis: Sequence[str], k: int, max_depth: int = 1
 
 
 def _attach_ranges(out: DataFrame, qis: Sequence[str]) -> DataFrame:
-    """Per-partition QI [lo,hi] ranges — the generalized representation."""
+    """Per-partition QI [lo,hi] ranges — the generalized representation.
+    One select (round 13): the former per-qi withColumn chain re-analyzed
+    the whole accumulated plan 2·|qis| times."""
     w = Window.partitionBy("mondrian_pid")
+    range_cols = []
     for q in qis:
-        out = out.withColumn(f"{q}_lo", F.min(q).over(w)).withColumn(
-            f"{q}_hi", F.max(q).over(w)
-        )
-    return out
+        range_cols.append(F.min(q).over(w).alias(f"{q}_lo"))
+        range_cols.append(F.max(q).over(w).alias(f"{q}_hi"))
+    return out.select("*", *range_cols)
 
 
 def mondrian_range_labels(out: DataFrame, qis: Sequence[str]) -> DataFrame:
@@ -570,21 +593,27 @@ def mondrian_kanon_relaxed(
         dim = qis[depth % len(qis)]
         w = Window.partitionBy("mondrian_pid").orderBy(F.col(dim), F.col("__tb"))
         wp = Window.partitionBy("mondrian_pid")
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__n", F.count("*").over(wp))
-            .withColumn(
-                "mondrian_pid",
-                F.when(
-                    ~F.col("mondrian_pid").isin(live), F.col("mondrian_pid")
-                )
-                .when(
-                    F.col("__rn") <= F.floor(F.col("__n") / 2),
-                    F.col("mondrian_pid") * 2 + 1,
-                )
-                .otherwise(F.col("mondrian_pid") * 2 + 2),
+        # One select per level (round 13): the former withColumn chain
+        # re-analyzed the whole accumulated window plan 3x per level.
+        # (A driver-side size-map literal in place of the COUNT window
+        # was tried and REJECTED: element_at on a ~500-entry folded map
+        # per row measured 2.4x slower than the count window — the
+        # window shares the rank's exchange+sort and is near-free.)
+        new_pid = (
+            F.when(~F.col("mondrian_pid").isin(live), F.col("mondrian_pid"))
+            .when(
+                F.row_number().over(w)
+                <= F.floor(F.count("*").over(wp) / 2),
+                F.col("mondrian_pid") * 2 + 1,
             )
-            .drop("__rn", "__n")
+            .otherwise(F.col("mondrian_pid") * 2 + 2)
+        )
+        out = out.select(
+            *[
+                new_pid.alias("mondrian_pid") if c == "mondrian_pid"
+                else c
+                for c in out.columns
+            ]
         )
     return _attach_ranges(out.drop("__tb"), qis)
 
@@ -660,16 +689,22 @@ def mondrian_kanon_hybrid(
         key_col = F.col("__coarse_pid") * (1 << local_bits) + F.col("__local")
         w = Window.partitionBy("__coarse_pid", "__local").orderBy(F.col(dim), F.col("__tb"))
         wp = Window.partitionBy("__coarse_pid", "__local")
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__n", F.count("*").over(wp))
-            .withColumn(
-                "__local",
-                F.when(~key_col.isin(live_keys), F.col("__local"))
-                .when(F.col("__rn") <= F.floor(F.col("__n") / 2), F.col("__local") * 2 + 1)
-                .otherwise(F.col("__local") * 2 + 2),
+        # One select per level (round 13) — see mondrian_kanon_relaxed
+        # (the size-map-literal alternative is rejected there).
+        new_local = (
+            F.when(~key_col.isin(live_keys), F.col("__local"))
+            .when(
+                F.row_number().over(w)
+                <= F.floor(F.count("*").over(wp) / 2),
+                F.col("__local") * 2 + 1,
             )
-            .drop("__rn", "__n")
+            .otherwise(F.col("__local") * 2 + 2)
+        )
+        out = out.select(
+            *[
+                new_local.alias("__local") if c == "__local" else c
+                for c in out.columns
+            ]
         )
     out = out.withColumn(
         "mondrian_pid", F.col("__coarse_pid") * (1 << local_bits) + F.col("__local")
