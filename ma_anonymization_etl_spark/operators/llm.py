@@ -1113,6 +1113,14 @@ def connected_components(
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    # Round 13 (guide §2.4, the p1b edge-checkpoint discipline): pin the
+    # propagation join's big side to the join key's partitioning once —
+    # LAZY checkpoint, so the hash(v) table materializes with round 1's
+    # job (it reads the already-checkpointed edges; no dedicated job).
+    # Each round then pays ONE exchange (the groupBy-u transpose); the
+    # label table inherits hash(node) from its own round join, so
+    # neither join side re-exchanges per round.
+    sym = sym.repartition("v").localCheckpoint(eager=False)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
