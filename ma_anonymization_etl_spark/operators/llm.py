@@ -3181,6 +3181,18 @@ def fuzzy_dup_pairs(
         .agg(F.count(F.lit(1)).alias("nk"))
         .drop("nk")
     )
+    # Round 13: spread the verify across the session's cores with an
+    # EXPLICIT partition count.  The banded Levenshtein is CPU-bound
+    # (~ms/pair on long texts) while the candidate table is tiny in
+    # BYTES, so AQE's byte-based coalescing funnels the whole verify
+    # into 1-3 tasks (profiled: one 3.6 s single-task stage = j60c's
+    # wall).  Partition count = defaultParallelism — the right sizing
+    # for a CPU-bound stage at any scale (cores, not bytes).  Keyless
+    # round-robin on purpose: a hash repartition on the pair key is
+    # elided as redundant against the pair-dedup groupBy's partitioning
+    # and the skew returns (measured); the round-robin's
+    # sort-before-repartition cost is per-candidate-row, trivial.
+    cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     at = base.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_t"))
     bt = base.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_t"))
     return (
