@@ -94,16 +94,26 @@ DRIVER_WINDOW = [
     # semantics now ride the gate THROUGH the twin (same oracle,
     # equality property-pinned) and the full-registry sim keeps the
     # exact form checked.
+    # Round-13 rotation #9 (VERDICT r12 item 6: re-attest the surface
+    # the driver bench saw regress while rotated out): j50b, j59 and
+    # j64 BACK IN; out go j63 (j59 restores the prebuilt-probe
+    # contract to the gate, j63b keeps the reprobe side), j62
+    # (long-green since r11; the CC release surface stays attested via
+    # p7b and j53), and j60b (the fuzzy family keeps BOTH j60 and j60c
+    # inside; j60b green since r11 and its 3-key recall delta is
+    # property-pinned).  The round-13 re-shaped engines (j50/j52
+    # hashed verify, CC co-partitioning, mondrian literals, fuzzy
+    # verify spread) all sit inside under their existing names.
     "p7b_cc_altstar",
     "j9d_sim_pair_lsh_fast",
     "j9e_pair_verify_boundary",
+    "j50b_jaccard_routed",
     "j56c_maximal_dup_spans_skewguard",
     "j56d_dup_spans_multipass",
-    "j60b_fuzzy_dedup_3key",
+    "j59_ann_prebuilt_probe",
     "j60c_fuzzy_dedup_capped",
-    "j62_cluster_canonical",
-    "j63_mp_prebuilt_probe",
     "j63b_mp_prebuilt_reprobe",
+    "j64_knn_label_ann",
     "j64b_knn_label_ann_fast",
     "i44_delta_presence",
     "i45_recursive_cl_diversity",
