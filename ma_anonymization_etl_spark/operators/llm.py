@@ -2220,10 +2220,28 @@ def substring_dedup_release(
             )
         ).alias("o"),
     ).select("doc_id", "n_words", F.col("o.pos").alias("pos"), F.col("o.gr").alias("gr"))
-    dg = occ.select("doc_id", "gr").distinct()
-    dfq = dg.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    # Round 13: (a) the gram string is replaced by the j56b composite
+    # 96-bit key (xxhash64, crc32−2³¹) BEFORE any shuffle — 12 fixed
+    # bytes per occurrence instead of an ~8-word string (this is the
+    # docstring's own "grams would be hashed before the shuffles" 100 TB
+    # note, as code; collision bound: duplicate-gram decisions flip only
+    # if two DISTINCT grams collide in 96 bits — C(V,2)·2⁻⁹⁶ ≈ 1e-19 at
+    # this corpus's vocabulary, the j56b written trade); (b) the
+    # occurrence table is materialized ONCE (eager localCheckpoint) —
+    # the round-13 profile showed its explode+hash subtree computed
+    # twice (df branch + mask branch, ~2×10 s runTime at sf0.1).
+    # Within-query cut, recomputed per invocation.
+    occ = occ.select(
+        "doc_id",
+        "n_words",
+        "pos",
+        F.xxhash64("gr").alias("g1"),
+        (F.crc32("gr") - F.lit(2**31)).cast("int").alias("g2"),
+    ).localCheckpoint(eager=True)
+    dg = occ.select("doc_id", "g1", "g2").distinct()
+    dfq = dg.groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("df"))
     stats = (
-        dg.join(dfq, "gr")
+        dg.join(dfq, ["g1", "g2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -2235,7 +2253,7 @@ def substring_dedup_release(
     # masked word positions: every position covered by a duplicated
     # gram occurrence (distinct per doc)
     mp = (
-        occ.join(dfq.filter(F.col("df") >= 2).select("gr"), "gr")
+        occ.join(dfq.filter(F.col("df") >= 2).select("g1", "g2"), ["g1", "g2"])
         .select(
             "doc_id",
             F.explode(
