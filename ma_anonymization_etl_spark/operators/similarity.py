@@ -413,6 +413,23 @@ def pair_verify_f32_screen(
     broadcastable, and broadcasting removes the whole candidate×vector
     shuffle — the measured sf100 disk wall); the float64 boundary
     lookups are never hinted, AQE broadcasts the ~empty pair side."""
+    screened = _f32_screen(cand, corpus, tau, broadcast_lookups, eps)
+    # read twice: sure branch + boundary branch
+    screened = screened.localCheckpoint(eager=False)
+    return _f32_boundary_release(screened, corpus, tau)
+
+
+def _f32_screen(
+    cand: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    broadcast_lookups: bool,
+    eps: float,
+) -> DataFrame:
+    """The float32-lookup screen half of ``pair_verify_f32_screen``:
+    (a_id, b_id) candidates -> (a_id, b_id, sure BOOLEAN) survivors
+    (sure = clears tau+eps; not sure = within eps of tau).  Factored
+    out so the multipass form can run it per key-space range."""
     import numpy as np
 
     def maybe_bcast(df):
@@ -424,7 +441,7 @@ def pair_verify_f32_screen(
     joined = cand.join(va, "a_id").join(vb, "b_id")
 
     def screen(batches):
-        import pandas as pd
+        import pandas as pd  # noqa: F401
 
         for pdf in batches:
             if not len(pdf):
@@ -441,9 +458,16 @@ def pair_verify_f32_screen(
             out["sure"] = sure[keep]
             yield out
 
-    screened = joined.mapInPandas(
-        screen, "a_id BIGINT, b_id BIGINT, sure BOOLEAN"
-    ).localCheckpoint(eager=False)  # read twice: sure branch + boundary branch
+    return joined.mapInPandas(screen, "a_id BIGINT, b_id BIGINT, sure BOOLEAN")
+
+
+def _f32_boundary_release(
+    screened: DataFrame, corpus: DataFrame, tau: float
+) -> DataFrame:
+    """The release half of ``pair_verify_f32_screen``: sure pairs union
+    the float64 re-adjudication of the (~empty by construction)
+    boundary set."""
+    import numpy as np
 
     def verify64(batches):
         for pdf in batches:
@@ -473,6 +497,82 @@ def pair_verify_f32_screen(
         screened.filter(F.col("sure")).select("a_id", "b_id")
         .unionByName(boundary_kept)
     )
+
+
+def pair_verify_f32_screen_multipass(
+    cand: DataFrame,
+    corpus: DataFrame,
+    tau: float,
+    passes: int,
+    eps: float = 1e-4,
+    scratch: str | None = None,
+) -> DataFrame:
+    """``pair_verify_f32_screen`` above the broadcast cutover with
+    BOUNDED PEAK SHUFFLE FOOTPRINT — the j56d key-space-partition
+    pattern applied to the candidate verify (NEXT r12 item filed for
+    round 13): the shuffled-f32 form's disk cost is the candidate×
+    vector join (two ~4·dims-byte payloads per candidate through one
+    exchange — the shape that died at ~60 GB written in round 11's
+    sf100 attempt), and above _J9B_BCAST_MAX_F32 vectors the broadcast
+    escape hatch is gone.
+
+    The candidate PAIR space is hash-partitioned into ``passes``
+    ranges (pmod(xxhash64(a_id, b_id), passes)); each pass joins only
+    its range against the f32 lookups and appends its screen survivors
+    to session-scoped parquet, with a ContextCleaner nudge releasing
+    the pass's shuffle files before the next pass maps.  Peak disk ≈
+    one range's candidate join (~1/passes of the single-pass shuffle)
+    plus the corpus-side f32 exchange per pass plus the accumulated
+    survivor parquet (survivors ≈ released pairs — tiny by the
+    corpus-gap construction).  Price: the f32 lookup tables are
+    re-shuffled per pass (the external-memory scan-passes-for-
+    footprint trade, exactly j56d's).
+
+    BIT-IDENTICAL to the single-pass release by construction: the
+    ranges PARTITION pairs, each pair is screened in exactly one pass
+    with identical arithmetic, and the float64 boundary
+    re-adjudication runs once, globally, on the unioned survivor set —
+    property-pinned against both single-pass forms in
+    tests/test_new_ops_props.py.
+
+    The candidate table is eagerly localCheckpointed once so the
+    banding lineage is not re-run per pass — DISK_ONLY (serialized,
+    the _copurchase_edges discipline): at above-cutover scale the pair
+    list is the largest bounded object here, and the first probe run
+    measured the default deserialized storage OOM-ing the heap while
+    every pass streams it exactly once anyway."""
+    import os
+    import shutil
+
+    from pyspark import StorageLevel
+
+    from ma_anonymization_etl_spark.sources.io import scratch_dir
+
+    if passes < 2:
+        return pair_verify_f32_screen(
+            cand, corpus, tau, broadcast_lookups=False, eps=eps
+        )
+    spark = cand.sparkSession
+    out = scratch or os.path.join(
+        scratch_dir(spark, "pair_verify_multipass"), "screened"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    cand = cand.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    for p in range(passes):
+        cand_p = cand.filter(
+            F.pmod(F.xxhash64("a_id", "b_id"), F.lit(passes)) == p
+        )
+        _f32_screen(
+            cand_p, corpus, tau, broadcast_lookups=False, eps=eps
+        ).write.mode("append").parquet(out)
+        # Release this pass's shuffle files before the next pass maps
+        # (the j56d discipline): the ContextCleaner drops unreachable
+        # shuffles, and the JVM only notices promptly under a GC.
+        spark._jvm.System.gc()
+    screened = spark.read.parquet(out)
+    return _f32_boundary_release(screened, corpus, tau)
 
 
 @register(
@@ -521,8 +621,23 @@ def j9d_sim_pair_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     released set equals the float64 verify's exactly (error bound in
     the engine's docstring; boundary pinned by property test)."""
     corpus, cand, n_corpus = _j9b_corpus_cand(spark, sf_dir)
-    return pair_verify_f32_screen(
-        cand, corpus, _J9B_TAU, broadcast_lookups=n_corpus <= _J9B_BCAST_MAX_F32
+    if n_corpus <= _J9B_BCAST_MAX_F32:
+        return pair_verify_f32_screen(
+            cand, corpus, _J9B_TAU, broadcast_lookups=True
+        )
+    # Above the broadcast cutover the shuffled form's disk footprint is
+    # the wall (round-11 sf100: ~60 GB written before death).  The
+    # bounded multipass form engages under an EXPLICIT pass count —
+    # the j56d no-silent-default discipline: guessing a disk budget
+    # wrong defeats the bound, so without the env the honest shuffled
+    # single-pass runs (passes=1).  Gate SFs sit far below the cutover
+    # and never reach this branch; bit-identity of every branch is
+    # property-pinned.
+    import os
+
+    passes = int(os.environ.get("SPARK_GRAFT_VERIFY_PASSES", "1"))
+    return pair_verify_f32_screen_multipass(
+        cand, corpus, _J9B_TAU, passes=passes
     )
 
 

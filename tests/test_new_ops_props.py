@@ -2559,6 +2559,39 @@ def test_j9d_f32_screen_boundary_adjudication(spark):
         assert got == expect, f"bcast={bcast}: {got} != {expect}"
 
 
+def test_j9d_multipass_verify_release_identical(spark):
+    """Round 13: the disk-bounded multipass verify
+    (``pair_verify_f32_screen_multipass``, the j56d key-space-partition
+    pattern) must release EXACTLY the single-pass set at several pass
+    counts — the ranges partition pairs, so every pair is screened in
+    exactly one pass with identical arithmetic.  Pinned on the j9b
+    derived corpus at smoke SF (real banding candidates, planted
+    near-dup pairs) against both single-pass regimes."""
+    from ma_anonymization_etl_spark.operators.similarity import (
+        _J9B_TAU,
+        _j9b_corpus_cand,
+        pair_verify_f32_screen,
+        pair_verify_f32_screen_multipass,
+    )
+
+    corpus, cand, _ = _j9b_corpus_cand(spark, SF_SMOKE)
+    base = {
+        (r.a_id, r.b_id)
+        for r in pair_verify_f32_screen(
+            cand, corpus, _J9B_TAU, broadcast_lookups=True
+        ).collect()
+    }
+    assert base, "smoke corpus must release pairs"
+    for passes in (1, 3):
+        got = {
+            (r.a_id, r.b_id)
+            for r in pair_verify_f32_screen_multipass(
+                cand, corpus, _J9B_TAU, passes=passes
+            ).collect()
+        }
+        assert got == base, f"passes={passes}: multipass drifted"
+
+
 def test_j54c_bm25f_single_field_reduction_and_title_boost(spark):
     """BM25F properties (NEXT r10 item d): (1) with one field, b=0 and
     unit weights, BM25F reduces EXACTLY to BM25 — wtf = tf and
